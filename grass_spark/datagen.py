@@ -1,0 +1,150 @@
+"""Deterministic synthetic transcript table (BASELINE.json input_hint).
+
+Schema: ``conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp`` — the engine's primary input (FIXTURES.md F0).
+
+Synthesis is purely expression-based: ``spark.range`` over conversations,
+conversation sizes from a closed-form Zipf-ish law, ``explode(sequence)``
+to turns, and xxhash64-derived pseudo-randomness.  Deterministic for a
+given (n_convs, seed) at any parallelism and any partition count — no
+RNG state, no driver-side loops, so the same generator runs unchanged
+at 10¹²-turn scale on a real cluster.
+
+Skew is built in (F5): conversation 0 is a hot conversation holding a
+large share of all turns; remaining sizes decay by rank — exercising
+the salting/AQE skew path the north rule requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLES = ("user", "assistant", "system", "tool")
+TOOLS = ("search", "browser", "python", "bash", "editor")
+
+T0 = "2024-01-01 00:00:00"
+
+
+def conv_sizes_expr(n_convs: int, avg_turns: int, hot_share: float) -> F.Column:
+    """Turns per conversation: conv 0 gets ``hot_share`` of the total,
+    the rest follow a 1/rank^0.5 decay normalized to the remainder.
+    Closed-form per conversation — no global pass needed."""
+    total = n_convs * avg_turns
+    hot = int(total * hot_share)
+    # sum over k=1..n of k^-0.5 ≈ 2 sqrt(n); scale so the tail sums to ~(total - hot)
+    tail_scale = (total - hot) / (2.0 * (n_convs**0.5))
+    k = F.col("conv_rank")
+    return (
+        F.when(k == 0, F.lit(hot))
+        .otherwise(F.greatest(F.lit(1), F.floor(F.lit(tail_scale) * F.pow(k.cast("double"), -0.5)).cast("long")))
+    )
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_convs: int = 1000,
+    avg_turns: int = 40,
+    seed: int = 42,
+    hot_share: float = 0.05,
+    base_gap_s: int = 30,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build the transcript DataFrame.
+
+    ``ts`` is strictly monotone non-decreasing per conv_id: each turn
+    advances by ``base_gap_s`` plus a hash jitter < base_gap_s.
+    ``text`` is deterministic pseudo-text whose length varies by turn
+    (the metric the rollup tiers aggregate).
+    """
+    convs = spark.range(n_convs).withColumnRenamed("id", "conv_rank")
+    if partitions:
+        convs = convs.repartition(partitions)
+    convs = convs.withColumn("n_turns", conv_sizes_expr(n_convs, avg_turns, hot_share))
+
+    h = lambda *cols: F.abs(F.xxhash64(F.lit(seed), *cols))  # noqa: E731
+
+    df = (
+        convs.withColumn("turn_idx", F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)))
+        .withColumn("conv_id", F.concat(F.lit("conv-"), F.format_string("%08d", "conv_rank")))
+        # conversation start spread over ~30 days after T0
+        .withColumn(
+            "_conv_start",
+            F.lit(T0).cast("timestamp")
+            + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), (h(F.col("conv_rank")) % (30 * 86400)).cast("double")),
+        )
+        .withColumn(
+            "ts",
+            F.col("_conv_start")
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                (
+                    F.col("turn_idx") * base_gap_s
+                    + (h(F.col("conv_rank"), F.col("turn_idx")) % base_gap_s)
+                ).cast("double"),
+            ),
+        )
+        .withColumn(
+            "role",
+            F.when(F.col("turn_idx") == 0, F.lit("system"))
+            .when(h(F.col("conv_rank"), F.col("turn_idx"), F.lit(1)) % 11 == 0, F.lit("tool"))
+            .when(F.col("turn_idx") % 2 == 1, F.lit("user"))
+            .otherwise(F.lit("assistant")),
+        )
+        .withColumn(
+            "tool",
+            F.when(
+                (F.col("role").isin("tool", "assistant"))
+                & (h(F.col("conv_rank"), F.col("turn_idx"), F.lit(2)) % 3 == 0),
+                F.element_at(
+                    F.array(*[F.lit(t) for t in TOOLS]),
+                    (h(F.col("conv_rank"), F.col("turn_idx"), F.lit(3)) % len(TOOLS) + 1).cast("int"),
+                ),
+            ),
+        )
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("role"),
+                F.lit(" turn "),
+                F.col("turn_idx").cast("string"),
+                F.lit(" of "),
+                F.col("conv_id"),
+                F.lit(": "),
+                F.repeat(
+                    F.lit("lorem ipsum dolor sit amet "),
+                    (h(F.col("conv_rank"), F.col("turn_idx"), F.lit(4)) % 20).cast("int"),
+                ),
+            ),
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role",
+            "text",
+            "tool",
+            "ts",
+        )
+    )
+    return df
+
+
+def write_transcripts(
+    spark: SparkSession,
+    path: str,
+    n_convs: int = 1000,
+    avg_turns: int = 40,
+    seed: int = 42,
+    **kw,
+) -> None:
+    """Materialize to parquet, range-clustered by ts within files via a
+    (salted conv hash, ts) sort — the layout the north rule asks for.
+    Iceberg is the production target; parquet is the sandbox fallback
+    (no Iceberg runtime in this container)."""
+    df = synth_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns, seed=seed, **kw)
+    (
+        df.repartition(F.pmod(F.xxhash64("conv_id"), F.lit(32)))
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

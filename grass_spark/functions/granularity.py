@@ -1,0 +1,390 @@
+"""Calendar-aware granularity machinery.
+
+Reproduces the observable behavior of GRASS's temporal datetime math
+(all independently re-implemented; semantics cross-checked against the
+reference's doctests):
+
+* ``adjust_datetime_to_granularity`` — truncate a series start to the
+  granularity unit boundary (years→Jan 1, months→1st, weeks→Monday,
+  days→00:00, …): ``python/grass/temporal/datetime_math.py:355-487``.
+* ``increment_datetime`` — calendar-aware "N unit" stepping with month
+  arithmetic that replaces year/month (no day clamping):
+  ``datetime_math.py:275-349``.
+* ``compute_datetime_delta`` — the unit-decomposed delta dict used by
+  granularity inference: ``datetime_math.py:507-712``.
+* ``infer_granularity_absolute`` / ``infer_granularity_relative`` — GCD
+  of interval lengths and gap lengths, expressed in the smallest
+  observed unit: ``temporal_granularity.py:339-529`` / ``:184-333``.
+
+Scale split: the inference functions run on the *catalog* (distinct
+timestamps — a tiny aggregate Spark collects to the driver, same as the
+reference runs them on its SQLite catalog rows), while bucket
+assignment (:func:`bucket_start_col`) is a pure JVM-side column
+expression applied to the full data — no UDF, no shuffle, fully
+codegen'd, so it holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# canonical unit names (singular)
+_UNIT_ALIASES = {
+    "second": "second", "seconds": "second", "sec": "second",
+    "minute": "minute", "minutes": "minute", "min": "minute",
+    "hour": "hour", "hours": "hour",
+    "day": "day", "days": "day",
+    "week": "week", "weeks": "week",
+    "month": "month", "months": "month",
+    "year": "year", "years": "year",
+}
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 7 * 86400,
+}
+
+CALENDAR_UNITS = ("month", "year")
+
+
+def parse_granularity(gran: str) -> tuple[int, str]:
+    """``"30 seconds"`` -> ``(30, 'second')``; also accepts bare units."""
+    parts = gran.strip().split()
+    if len(parts) == 1:
+        num, unit = 1, parts[0]
+    elif len(parts) == 2:
+        num, unit = int(parts[0]), parts[1]
+    else:
+        raise ValueError(f"bad granularity {gran!r}")
+    try:
+        return num, _UNIT_ALIASES[unit.lower()]
+    except KeyError:
+        raise ValueError(f"bad granularity unit in {gran!r}") from None
+
+
+def format_granularity(num: int, unit: str) -> str:
+    return f"{num} {unit}{'s' if num > 1 else ''}"
+
+
+def granularity_seconds(gran: str) -> int:
+    """Fixed-width seconds for sub-month granularities (raises for
+    month/year, which are calendar units)."""
+    num, unit = parse_granularity(gran)
+    if unit in CALENDAR_UNITS:
+        raise ValueError(f"{unit} is calendar-relative, has no fixed width")
+    return num * _UNIT_SECONDS[unit]
+
+
+# ---------------------------------------------------------------------------
+# driver-side calendar math (catalog-scale only)
+# ---------------------------------------------------------------------------
+
+
+def adjust_datetime_to_granularity(dt: datetime, gran: str) -> datetime:
+    """Truncate ``dt`` to the granularity's unit boundary.
+
+    Mirrors ``datetime_math.py:355-487`` including its week handling
+    (Monday start).  Seconds granularities leave ``dt`` unchanged.
+    """
+    _, unit = parse_granularity(gran)
+    if unit == "second":
+        return dt
+    if unit == "minute":
+        return dt.replace(second=0, microsecond=0)
+    if unit == "hour":
+        return dt.replace(minute=0, second=0, microsecond=0)
+    if unit == "day":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "week":
+        base = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+        return base - timedelta(days=base.weekday())
+    if unit == "month":
+        return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if unit == "year":
+        return dt.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+    raise ValueError(unit)
+
+
+def _add_months(dt: datetime, months: int) -> datetime:
+    """Calendar month addition by year/month replacement (the reference
+    computes the same result as a timedelta of actual day counts,
+    ``datetime_math.py:289-331``)."""
+    total = dt.month - 1 + months
+    year = dt.year + total // 12
+    month = total % 12 + 1
+    return dt.replace(year=year, month=month)
+
+
+def increment_datetime(dt: datetime, gran: str, mult: int = 1) -> datetime:
+    """``dt + mult * gran`` with calendar-aware month/year arithmetic."""
+    num, unit = parse_granularity(gran)
+    n = num * mult
+    if unit == "month":
+        return _add_months(dt, n)
+    if unit == "year":
+        return dt.replace(year=dt.year + n)
+    return dt + timedelta(seconds=n * _UNIT_SECONDS[unit])
+
+
+def granule_series(
+    series_start: datetime,
+    series_end: datetime,
+    gran: str,
+    include_end_equal: bool = False,
+) -> list[tuple[datetime, datetime]]:
+    """Regular granule list ``[aligned_start, +gran) ...`` covering the
+    series — the loop of ``t.rast.aggregate.py:164-185`` (``>=`` vs ``>``
+    end condition via ``include_end_equal``: when the last map is an
+    instant, one extra granule starting exactly at the series end is
+    generated)."""
+    start = adjust_datetime_to_granularity(series_start, gran)
+    out: list[tuple[datetime, datetime]] = []
+    while True:
+        if include_end_equal:
+            if start > series_end:
+                break
+        elif start >= series_end:
+            break
+        nxt = increment_datetime(start, gran)
+        out.append((start, nxt))
+        start = nxt
+    return out
+
+
+# ---------------------------------------------------------------------------
+# granularity inference (GCD) — catalog-scale
+# ---------------------------------------------------------------------------
+
+
+def compute_datetime_delta(start: datetime, end: datetime) -> dict[str, int]:
+    """Unit-decomposed delta dict (year/month/day/hour/minute/second/
+    max_days) with the reference's exact mixed-unit accumulation rules
+    (``datetime_math.py:507-712``)."""
+    comp = {"year": 0, "month": 0, "day": 0, "hour": 0, "minute": 0,
+            "second": 0, "max_days": (end - start).days}
+    day_diff = comp["max_days"]
+
+    comp["year"] = end.year - start.year
+
+    if start.month == 1 and end.month == 1:
+        comp["month"] = 0
+    elif start.day == 1 and end.day == 1:
+        d = end.month - start.month
+        if d < 0:
+            d += 12 * comp["year"]
+        elif d == 0:
+            d = 12 * comp["year"]
+        comp["month"] = d
+
+    comp["day"] = 0 if start.day == 1 and end.day == 1 else day_diff
+
+    if start.hour == 0 and end.hour == 0:
+        comp["hour"] = 0
+    else:
+        d = end.hour - start.hour
+        d += 24 + 24 * day_diff if d < 0 else 24 * day_diff
+        comp["hour"] = d
+
+    if start.minute == 0 and end.minute == 0:
+        comp["minute"] = 0
+    else:
+        d = end.minute - start.minute
+        if d != 0:
+            d += 60 * comp["hour"] if comp["hour"] else 24 * 60 * day_diff
+        else:
+            d = 60 * comp["hour"] if comp["hour"] else 24 * 60 * day_diff
+        comp["minute"] = d
+
+    if start.second == 0 and end.second == 0:
+        comp["second"] = 0
+    else:
+        d = end.second - start.second
+        if d != 0:
+            if comp["minute"]:
+                d += 60 * comp["minute"]
+            elif comp["hour"]:
+                d += 3600 * comp["hour"]
+            else:
+                d += 86400 * day_diff
+        elif comp["minute"]:
+            d = 60 * comp["minute"]
+        elif comp["hour"]:
+            d = 3600 * comp["hour"]
+        else:
+            d = 86400 * day_diff
+        comp["second"] = d
+
+    return comp
+
+
+_UNIT_ORDER = ("second", "minute", "hour", "max_days", "day", "month", "year")
+
+_TO_SMALLER = {
+    "second": {"minute": 60, "hour": 3600, "day": 86400, "max_days": 86400},
+    "minute": {"hour": 60, "day": 1440, "max_days": 1440},
+    "hour": {"day": 24, "max_days": 24},
+    "day": {"max_days": 1},
+    "month": {"year": 12},
+}
+
+
+def _is_after(start, prev_start, prev_end) -> bool:
+    return start > (prev_end if prev_end is not None else prev_start)
+
+
+def infer_granularity_absolute(
+    times: list[tuple[datetime, datetime | None]],
+) -> str | None:
+    """GCD granularity of interval lengths + gap lengths, in the smallest
+    observed unit — ``temporal_granularity.py:339-529``.
+
+    ``times`` is ordered by start; ``end`` may be None (instant).
+    """
+    if not times:
+        return None
+    units: dict[str, set[int]] = {u: set() for u in _UNIT_ORDER}
+
+    def add_delta(delta: dict[str, int]) -> None:
+        for u in _UNIT_ORDER:
+            if delta.get(u, 0) > 0:
+                units[u].add(delta[u])
+                if u != "max_days":
+                    break
+
+    prev_start, prev_end = times[0]
+    for start, end in times:
+        if end is not None:
+            add_delta(compute_datetime_delta(start, end))
+        if _is_after(start, prev_start, prev_end):
+            origin = prev_end if prev_end is not None else prev_start
+            add_delta(compute_datetime_delta(origin, start))
+        prev_start, prev_end = start, end
+
+    assigned = None
+    for u in _UNIT_ORDER:
+        if units[u]:
+            if u == "max_days":
+                continue
+            assigned = u
+            break
+    if assigned is None:
+        return None
+
+    dlist = set(units[assigned])
+    for bigger, factor in _TO_SMALLER.get(assigned, {}).items():
+        dlist.update(v * factor for v in units[bigger])
+    if not dlist:
+        return None
+    g = math.gcd(*dlist) if len(dlist) > 1 else dlist.pop()
+    return format_granularity(g, assigned)
+
+
+def infer_granularity_relative(
+    times: list[tuple[int, int | None]],
+) -> int | None:
+    """GCD of relative interval lengths + gaps —
+    ``temporal_granularity.py:184-333``."""
+    if not times:
+        return None
+    dlist: set[int] = set()
+    prev_start, prev_end = times[0]
+    for start, end in times:
+        if end is not None:
+            dlist.add(end - start)
+        if _is_after(start, prev_start, prev_end):
+            origin = prev_end if prev_end is not None else prev_start
+            dlist.add(start - origin)
+        prev_start, prev_end = start, end
+    dlist.discard(0)
+    if not dlist:
+        return None
+    return math.gcd(*dlist) if len(dlist) > 1 else dlist.pop()
+
+
+def infer_granularity_from_df(df, ts_col: str = "ts", end_col: str | None = None) -> str | None:
+    """Infer granularity of a (possibly huge) table: aggregate distinct
+    timestamps JVM-side first (small result), GCD on the driver — the
+    same catalog-scale split the reference uses (its inference also runs
+    over catalog rows, not pixels)."""
+    rows = df.select(F.col(ts_col).alias("s")).distinct().orderBy("s").collect()
+    times = [(r["s"], None) for r in rows]
+    return infer_granularity_absolute(times)
+
+
+# ---------------------------------------------------------------------------
+# JVM-side bucket assignment — the scale path
+# ---------------------------------------------------------------------------
+
+
+def bucket_idx_col(ts: Column | str, gran: str, origin: datetime) -> Column:
+    """0-based granule index of ``ts`` relative to ``origin`` (long).
+
+    Negative for timestamps before origin; floor semantics throughout.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    num, unit = parse_granularity(gran)
+    if unit == "month":
+        mdiff = (F.year(c) - F.lit(origin.year)) * 12 + (F.month(c) - F.lit(origin.month))
+        return F.floor(mdiff / num).cast("long")
+    if unit == "year":
+        return F.floor((F.year(c) - F.lit(origin.year)) / num).cast("long")
+    width_us = num * _UNIT_SECONDS[unit] * 1_000_000
+    o = F.lit(origin).cast("timestamp")
+    return F.floor((F.unix_micros(c) - F.unix_micros(o)) / F.lit(width_us)).cast("long")
+
+
+def granule_start_col(idx: Column | str, gran: str, origin: datetime) -> Column:
+    """Start timestamp of granule ``idx`` (inverse of bucket_idx_col)."""
+    i = F.col(idx) if isinstance(idx, str) else idx
+    num, unit = parse_granularity(gran)
+    o = F.lit(origin).cast("timestamp")
+    if unit == "month":
+        return F.add_months(o, (i * num).cast("int")).cast("timestamp")
+    if unit == "year":
+        return F.add_months(o, (i * num * 12).cast("int")).cast("timestamp")
+    width_us = num * _UNIT_SECONDS[unit] * 1_000_000
+    return F.timestamp_micros(F.unix_micros(o) + (i * width_us).cast("long"))
+
+
+def bucket_start_col(ts: Column | str, gran: str, origin: datetime) -> Column:
+    """Bucket start timestamp for each row: the granule ``[start, start+gran)``
+    containing ``ts``, with granules anchored at ``origin`` (an already
+    granularity-aligned datetime).
+
+    Pure built-in column arithmetic — codegen'd, partition-prunable, no
+    Python in the hot path.  Calendar units use month arithmetic
+    (``add_months``), exactly like the reference's granule stepping.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    num, unit = parse_granularity(gran)
+    o = F.lit(origin).cast("timestamp")
+    if unit == "month":
+        mdiff = (F.year(c) - F.lit(origin.year)) * 12 + (F.month(c) - F.lit(origin.month))
+        idx = F.floor(mdiff / num)
+        return F.add_months(o, (idx * num).cast("int")).cast("timestamp")
+    if unit == "year":
+        idx = F.floor((F.year(c) - F.lit(origin.year)) / num)
+        return F.add_months(o, (idx * num * 12).cast("int")).cast("timestamp")
+    width_us = num * _UNIT_SECONDS[unit] * 1_000_000
+    delta = F.unix_micros(c) - F.unix_micros(o)
+    idx = F.floor(delta / F.lit(width_us))
+    return F.timestamp_micros(F.unix_micros(o) + (idx * width_us).cast("long"))
+
+
+def bucket_end_col(bucket_start: Column | str, gran: str) -> Column:
+    """End (exclusive) of the granule beginning at ``bucket_start``."""
+    c = F.col(bucket_start) if isinstance(bucket_start, str) else bucket_start
+    num, unit = parse_granularity(gran)
+    if unit == "month":
+        return F.add_months(c, num).cast("timestamp")
+    if unit == "year":
+        return F.add_months(c, num * 12).cast("timestamp")
+    width_us = num * _UNIT_SECONDS[unit] * 1_000_000
+    return F.timestamp_micros(F.unix_micros(c) + width_us)

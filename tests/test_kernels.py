@@ -1,0 +1,99 @@
+"""Kernel parity: every Spark kernel vs the NumPy oracle (FIXTURES.md F6).
+
+Oracle implements lib/stats/c_*.c verbatim; Spark must match to 1e-12.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from grass_spark.functions.kernels import KERNELS, NEEDS_INDEX, kernel_expr
+from grass_spark.functions.oracle import ORACLE, quantile as oracle_quantile
+
+NAN = float("nan")
+
+VECTORS = {
+    "simple": [1.0, 2.0, 3.0, 4.0, 5.0],
+    "even": [1.0, 2.0, 3.0, 4.0],
+    "with_nulls": [1.0, NAN, 3.0, NAN, 5.0, 2.0],
+    "mode_tie": [1.0, 1.0, 2.0, 2.0, 3.0],
+    "decile": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0],
+    "constant": [7.0, 7.0, 7.0],
+    "single": [42.0],
+    "regression_nulls": [2.0, NAN, 6.0, 8.0, NAN, 12.0],  # x keeps index!
+    "negatives": [-5.0, 3.0, -1.0, 0.0, 2.5],
+    "skewed": [1.0, 1.0, 1.0, 2.0, 9.0],
+}
+
+
+def _spark_kernel(spark, values, method):
+    rows = [(i, None if (isinstance(v, float) and math.isnan(v)) else v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "idx int, v double")
+    out = df.agg(kernel_expr(method, "v", idx_col="idx")).collect()[0][0]
+    return out
+
+
+@pytest.mark.parametrize("vec_name", sorted(VECTORS))
+@pytest.mark.parametrize("method", sorted(KERNELS))
+def test_kernel_matches_oracle(spark, vec_name, method):
+    values = VECTORS[vec_name]
+    expected = ORACLE[method](values)
+    got = _spark_kernel(spark, values, method)
+    if expected is None:
+        assert got is None, f"{method}({vec_name}): expected NULL, got {got}"
+    else:
+        assert got is not None, f"{method}({vec_name}): expected {expected}, got NULL"
+        assert got == pytest.approx(expected, rel=1e-12, abs=1e-12), (
+            f"{method}({vec_name})"
+        )
+
+
+def test_all_null_vector(spark):
+    df = spark.createDataFrame([(0, None), (1, None)], "idx int, v double")
+    row = df.agg(
+        kernel_expr("average", "v"),
+        kernel_expr("count", "v"),
+        kernel_expr("diversity", "v"),
+        kernel_expr("min_raster", "v", idx_col="idx"),
+    ).collect()[0]
+    assert row["average"] is None
+    assert row["count"] == 0
+    assert row["diversity"] == 0
+    assert row["min_raster"] is None
+
+
+@pytest.mark.parametrize("q", [0.1, 0.25, 0.5, 0.75, 0.9, 0.33])
+def test_quantile_type7(spark, q):
+    """Spark exact percentile must equal Hyndman–Fan type 7 closed form
+    (lib/stats/c_percentile.c:21-27)."""
+    values = VECTORS["decile"]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = df.agg(F.expr(f"percentile(v, {q}D)")).collect()[0][0]
+    assert got == pytest.approx(oracle_quantile(values, q), rel=1e-12)
+
+
+def test_propagate_null_flag(spark):
+    """r.series -n: any NULL input -> NULL result (main.c:208-210)."""
+    from grass_spark.functions.kernels import agg_exprs
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    rows = {
+        r["g"]: r["sum"]
+        for r in df.groupBy("g").agg(*agg_exprs(["sum"], "v", propagate_null=True)).collect()
+    }
+    assert rows["a"] is None
+    assert rows["b"] == 3.0
+
+
+def test_range_mask(spark):
+    """r.series range=lo,hi masks out-of-range values to NULL."""
+    from grass_spark.functions.kernels import masked
+
+    df = spark.createDataFrame([(1.0,), (5.0,), (100.0,)], "v double")
+    got = df.select(masked("v", 0, 10).alias("m")).agg(F.sum("m")).collect()[0][0]
+    assert got == 6.0
