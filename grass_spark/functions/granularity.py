@@ -329,6 +329,7 @@ def bucket_idx_col(ts: Column | str, gran: str, origin: datetime) -> Column:
     Negative for timestamps before origin; floor semantics throughout.
     """
     c = F.col(ts) if isinstance(ts, str) else ts
+    c = c.cast("timestamp")  # accept TIMESTAMP_NTZ (parquet default) too
     num, unit = parse_granularity(gran)
     if unit == "month":
         mdiff = (F.year(c) - F.lit(origin.year)) * 12 + (F.month(c) - F.lit(origin.month))
@@ -363,6 +364,7 @@ def bucket_start_col(ts: Column | str, gran: str, origin: datetime) -> Column:
     (``add_months``), exactly like the reference's granule stepping.
     """
     c = F.col(ts) if isinstance(ts, str) else ts
+    c = c.cast("timestamp")  # accept TIMESTAMP_NTZ (parquet default) too
     num, unit = parse_granularity(gran)
     o = F.lit(origin).cast("timestamp")
     if unit == "month":
@@ -381,6 +383,7 @@ def bucket_start_col(ts: Column | str, gran: str, origin: datetime) -> Column:
 def bucket_end_col(bucket_start: Column | str, gran: str) -> Column:
     """End (exclusive) of the granule beginning at ``bucket_start``."""
     c = F.col(bucket_start) if isinstance(bucket_start, str) else bucket_start
+    c = c.cast("timestamp")
     num, unit = parse_granularity(gran)
     if unit == "month":
         return F.add_months(c, num).cast("timestamp")

@@ -1,0 +1,97 @@
+"""Self-check: run every QUERIES entry on Spark and its ORACLES twin on
+DuckDB over the same parquet tables; compare row count, column names,
+and exact sorted values — a local rehearsal of the driver's
+CORRECTNESS gate.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
+from grass_spark.session import get_spark  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if hasattr(v, "as_integer_ratio") and not isinstance(v, (int, float)):
+        return float(v)  # Decimal
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark = get_spark("oracle_check", cores=8, shuffle_partitions=16)
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            rel = con.execute(ORACLES[name])
+            d_cols = [d[0] for d in rel.description]
+            d_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: EXCEPTION {type(e).__name__}: {e}")
+            continue
+
+        sc, sr = norm_rows(s_cols, s_rows)
+        dc, dr = norm_rows(d_cols, d_rows)
+        if sc != dc:
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sc} duckdb={dc}")
+            continue
+        if len(sr) != len(dr):
+            failures.append(name)
+            print(f"FAIL {name}: rows spark={len(sr)} duckdb={len(dr)}")
+            continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {len(bad)}/{len(sr)} value mismatches; first 3:")
+            for a, b in bad[:3]:
+                print(f"   spark : {a}\n   duckdb: {b}")
+            continue
+        print(f"OK   {name}: {len(sr)} rows, cols={sc}")
+
+    print(f"\n{len(QUERIES) - len(failures)}/{len(only) or len(QUERIES)} queries match")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
