@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all JVM-side (higher-order functions + hash built-ins,
+zero Python in the hot path):
+
+* exact      — content-hash groupBy;
+* minhash    — word-shingle MinHash signatures + banded LSH candidate
+               pairs (the classic Broder / LSH construction);
+* simhash    — Charikar 64-bit fingerprints + banded candidate pairs
+               filtered by Hamming distance (``bit_count(a XOR b)``);
+* ngram_jaccard — exact Jaccard on shingle sets for candidate
+               verification (or small corpora).
+
+Scale shape: shingling is an ``explode`` (map-side), signatures are one
+``groupBy(doc)`` with k ``min()`` aggregates, and the pair join is an
+equi-join on (band_idx, band_hash) — all shuffles are on keys with
+bounded fan-in.  The quadratic all-pairs comparison never happens; only
+same-bucket candidates are compared, which is the whole point of LSH at
+10^12-document scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column) -> Column:
+    """Casefold + collapse whitespace (shared by all dedup families)."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups: keep the smallest id per content hash."""
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingle strings (distinct).
+
+    Pure higher-order functions: split -> transform(sequence) ->
+    array_distinct; no UDF.
+    """
+    words = F.split(normalize_text(c), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    # short docs (< n words): fall back to the whole normalized text
+    return F.array_distinct(
+        F.when(F.size(words) >= n, sh).otherwise(F.array(normalize_text(c)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_candidates(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard is
+    the fraction of equal signature slots (unbiased MinHash estimate).
+    """
+    sig = signatures.select(id_col, "sig")
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+    ).select(
+        id_col,
+        "sig",
+        "band_idx",
+        F.xxhash64(
+            F.slice(
+                "sig",
+                (F.col("band_idx") * rows_per_band + 1).cast("int"),
+                rows_per_band,
+            ).cast("string"),
+            F.col("band_idx"),
+        ).alias("band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_hash",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_hash",
+    )
+    pairs = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        (eq / F.size("sig_a")).alias("est_jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification pass)."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a", "id_b", (inter / union).alias("jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Charikar 64-bit SimHash per doc: majority vote of shingle-hash
+    bits (sum +1/-1 per bit position, sign -> bit)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).withColumn("h", F.xxhash64("sh"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_candidates(
+    fingerprints: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits: band the 64-bit fingerprint
+    into ``bands`` chunks (pigeonhole: any pair within max_hamming <
+    bands shares at least one exact band), equi-join per band, verify
+    with bit_count(xor)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fp = fingerprints.select(id_col, "simhash")
+    band_vals = F.array(*[
+        F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
+    banded = fp.select(
+        id_col, "simhash",
+        F.posexplode(band_vals).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"),
+        "band_idx", "band_val",
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force exact top-k: broadcast the query
+  set, cross join, JVM-side dot product (``zip_with`` + ``aggregate``
+  higher-order functions — no UDF), window rank.  The baseline: exact,
+  one pass over the corpus, scales linearly with |corpus|x|queries|.
+* :func:`hyperplane_lsh_buckets` / :func:`lsh_topk` — the scale path:
+  random-hyperplane (SRP) buckets; candidates = same bucket in any of
+  ``n_tables`` tables, then exact cosine only on candidates.  Planes
+  are deterministic (seeded numpy) and shipped as literal arrays, so
+  bucketing is a pure column expression.
+* :func:`embedding_neardup` — near-duplicate pairs (cosine >= threshold)
+  via the LSH buckets, the embedding leg of the dedup suite.
+
+At 100 TB the corpus never collects: bucketing is map-side, the only
+shuffles are the bucket equi-join and the final top-k window, and the
+broadcast side is just the query batch / plane matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(c) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2norm(c) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str | None = None,
+    q_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query (query side broadcast)."""
+    q_id_col = q_id_col or id_col
+    q_vec_col = q_vec_col or vec_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_e")
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), _as_double(q_vec_col).alias("_qe")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("neighbor_id") != F.col("q_id"))
+    sim = dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("q_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _planes(dims: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dims)).tolist()
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dims: int,
+    *,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 3,
+    seed: int = 1234,
+) -> DataFrame:
+    """Add (table_idx, bucket) — sign pattern of ``n_planes`` random
+    hyperplanes per table.  Output has one row per (input row, table)."""
+    out = None
+    e = _as_double(vec_col)
+    for t in range(n_tables):
+        planes = _planes(dims, n_planes, seed + t)
+        bucket = F.lit(0).cast("long")
+        for p, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            bit = (dot(e, lit_plane) > 0).cast("long")
+            bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+        part = df.withColumn("table_idx", F.lit(t)).withColumn("bucket", bucket)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 3,
+    seed: int = 1234,
+) -> DataFrame:
+    """Approximate top-k: exact cosine over same-bucket candidates only."""
+    cb = hyperplane_lsh_buckets(
+        corpus, dims, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables, seed=seed
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("_e"),
+        "table_idx", "bucket",
+    )
+    qb = hyperplane_lsh_buckets(
+        queries, dims, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables, seed=seed
+    ).select(
+        F.col(id_col).alias("q_id"),
+        _as_double(vec_col).alias("_qe"),
+        "table_idx", "bucket",
+    )
+    cand = (
+        F.broadcast(qb).join(cb, on=["table_idx", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "_qe", "neighbor_id", "_e")
+        .distinct()
+    )
+    sim = dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("q_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    dims: int,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 14,
+    n_tables: int = 4,
+    seed: int = 99,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= threshold) via SRP-LSH buckets."""
+    b = hyperplane_lsh_buckets(
+        df, dims, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables, seed=seed
+    ).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("e"),
+        "table_idx", "bucket",
+    )
+    a = b.select(
+        F.col("id").alias("id_a"), F.col("e").alias("e_a"), "table_idx", "bucket"
+    )
+    c = b.select(
+        F.col("id").alias("id_b"), F.col("e").alias("e_b"), "table_idx", "bucket"
+    )
+    pairs = (
+        a.join(c, on=["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "e_a", "e_b")
+        .distinct()
+    )
+    sim = dot("e_a", "e_b") / (l2norm("e_a") * l2norm("e_b"))
+    return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,188 @@
+"""sample / accumulate / timeshift operator semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from grass_spark.functions.granularity import granule_series
+from grass_spark.operators.accumulate import accdetect, accumulate
+from grass_spark.operators.aggregate import aggregate
+from grass_spark.operators.sample import (
+    aggregate_by_dataset,
+    resample_by_granularity,
+    sample_by_dataset,
+    topology_census,
+)
+from grass_spark.operators.timeshift import list_deltas, shift, snap
+
+
+def _granules_df(spark, start, end, gran):
+    rows = granule_series(start, end, gran)
+    return spark.createDataFrame(rows, ["bucket_start", "bucket_end"])
+
+
+# ---------------- sample ----------------
+
+
+def test_aggregate_by_dataset_matches_regular_aggregate(spark):
+    rows = [
+        ("c", datetime(2001, 1, 15), 100.0),
+        ("c", datetime(2001, 1, 20), 200.0),
+        ("c", datetime(2001, 2, 10), 300.0),
+        ("c", datetime(2001, 3, 1), 400.0),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "ts", "value"])
+    gr = _granules_df(spark, datetime(2001, 1, 1), datetime(2001, 4, 1), "1 month")
+    via_ds = aggregate_by_dataset(
+        df, gr, ["sum", "count"], keys=["conv_id"], value_col="value"
+    ).select("conv_id", F.col("granule_start").alias("bucket_start"), "sum", "count")
+    via_reg = aggregate(
+        df, "1 month", ["sum", "count"], keys=["conv_id"], value_col="value",
+        origin=datetime(2001, 1, 1),
+    ).select("conv_id", "bucket_start", "sum", "count")
+    assert via_ds.exceptAll(via_reg).count() == 0
+    assert via_reg.exceptAll(via_ds).count() == 0
+
+
+def test_sample_by_dataset_relations(spark):
+    maps = spark.createDataFrame(
+        [("m1", datetime(2001, 1, 10)), ("m2", datetime(2001, 5, 10))],
+        ["map_id", "ts"],
+    )
+    gr = _granules_df(spark, datetime(2001, 1, 1), datetime(2001, 3, 1), "1 month")
+    out = sample_by_dataset(maps, gr, ["during"]).collect()
+    assert len(out) == 1 and out[0]["map_id"] == "m1"
+    assert out[0]["granule_start"] == datetime(2001, 1, 1)
+
+
+def test_resample_priority_equal_beats_during(spark):
+    maps = spark.createDataFrame(
+        [
+            ("equal_map", datetime(2001, 1, 1), datetime(2001, 2, 1)),
+            ("during_map", datetime(2001, 1, 10), datetime(2001, 1, 20)),
+        ],
+        ["map_id", "ts", "te"],
+    )
+    gr = _granules_df(spark, datetime(2001, 1, 1), datetime(2001, 3, 1), "1 month")
+    out = {r["granule_start"]: r["map_id"] for r in resample_by_granularity(
+        maps, gr, map_start="ts", map_end="te"
+    ).collect()}
+    assert out[datetime(2001, 1, 1)] == "equal_map"
+    assert out[datetime(2001, 2, 1)] is None  # gap granule kept with NULL
+
+
+def test_topology_census(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2001, 1, 1), datetime(2001, 2, 1)),
+            ("b", datetime(2001, 2, 1), datetime(2001, 3, 1)),  # a precedes b
+            ("c", datetime(2001, 1, 10), datetime(2001, 1, 20)),  # c during a
+        ],
+        ["id", "s", "e"],
+    )
+    got = {
+        r["relation"]: r["cnt"]
+        for r in topology_census(df, start_col="s", end_col="e", id_col="id").collect()
+    }
+    # pairs (ordered, both directions): a-b precedes/follows, a-c contains/during,
+    # b-c after/before
+    assert got == {"precedes": 1, "follows": 1, "contains": 1, "during": 1,
+                   "after": 1, "before": 1}
+
+
+# ---------------- accumulate ----------------
+
+
+def test_accumulate_gdd_golden(spark):
+    rows = [("c", datetime(2001, 1, i + 1), v) for i, v in enumerate([5.0, 15.0, 25.0])]
+    df = spark.createDataFrame(rows, ["conv_id", "ts", "value"])
+    out = accumulate(df, lower=10.0, method="gdd").orderBy("ts").collect()
+    assert [r["acc"] for r in out] == [0.0, 5.0, 20.0]
+
+
+def test_accumulate_upper_cap(spark):
+    rows = [("c", datetime(2001, 1, 1), 100.0)]
+    df = spark.createDataFrame(rows, ["conv_id", "ts", "value"])
+    out = accumulate(df, lower=10.0, upper=30.0, method="gdd").collect()
+    assert out[0]["acc"] == 20.0  # min(100,30) - 10
+
+
+def test_accumulate_cycle_reset(spark):
+    rows = [
+        ("c", datetime(2001, 1, 5), 1.0),
+        ("c", datetime(2001, 1, 20), 2.0),
+        ("c", datetime(2001, 2, 5), 4.0),   # new monthly cycle
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "ts", "value"])
+    out = accumulate(
+        df, method="sum", cycle="1 month", origin=datetime(2001, 1, 1)
+    ).orderBy("ts").collect()
+    assert [r["acc"] for r in out] == [1.0, 3.0, 4.0]
+    assert [r["cycle_idx"] for r in out] == [0, 0, 1]
+
+
+def test_accdetect_indicator(spark):
+    rows = [("c", datetime(2001, 1, d), 10.0) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, ["conv_id", "ts", "value"])
+    acc = accumulate(df, method="sum")  # acc: 10,20,30,40,50
+    out = accdetect(acc, 20, 40).orderBy("ts").collect()
+    assert [r["indicator"] for r in out] == [None, 1, 2, 3, None]
+    assert all(
+        r["occurrence"] == datetime(2001, 1, 2) for r in out
+    )
+
+
+# ---------------- timeshift ----------------
+
+
+def test_shift_calendar_and_fixed(spark):
+    df = spark.createDataFrame(
+        [(datetime(2001, 1, 15), datetime(2001, 2, 15))],
+        ["start_time", "end_time"],
+    )
+    m = shift(df, "2 months").collect()[0]
+    assert m["start_time"] == datetime(2001, 3, 15)
+    assert m["end_time"] == datetime(2001, 4, 15)
+    d = shift(df, "3 days").collect()[0]
+    assert d["start_time"] == datetime(2001, 1, 18)
+
+
+def test_snap_closes_gaps(spark):
+    df = spark.createDataFrame(
+        [
+            ("c", datetime(2001, 1, 1), datetime(2001, 1, 10)),
+            ("c", datetime(2001, 2, 1), datetime(2001, 2, 10)),
+        ],
+        ["k", "start_time", "end_time"],
+    )
+    out = snap(df, keys=["k"]).orderBy("start_time").collect()
+    assert out[0]["end_time"] == datetime(2001, 2, 1)   # snapped to next start
+    assert out[1]["end_time"] == datetime(2001, 2, 10)  # last keeps its end
+
+
+def test_snap_last_gets_granularity_end(spark):
+    df = spark.createDataFrame(
+        [("c", datetime(2001, 1, 1), None)],
+        "k string, start_time timestamp, end_time timestamp",
+    )
+    out = snap(df, keys=["k"], gran="1 month").collect()[0]
+    assert out["end_time"] == datetime(2001, 2, 1)
+
+
+def test_list_deltas(spark):
+    df = spark.createDataFrame(
+        [
+            ("c", datetime(2001, 1, 1), datetime(2001, 1, 2)),
+            ("c", datetime(2001, 1, 5), datetime(2001, 1, 6)),
+        ],
+        ["k", "start_time", "end_time"],
+    )
+    out = list_deltas(df, keys=["k"]).orderBy("start_time").collect()
+    assert out[0]["delta"] == 86400.0
+    assert out[0]["distance_from_begin"] == 0.0
+    assert out[0]["gap_to_next"] == 3 * 86400.0
+    assert out[1]["distance_from_begin"] == 4 * 86400.0
+    assert out[1]["gap_to_next"] is None
