@@ -781,3 +781,10 @@ ORACLES: dict[str, str] = {
     "knn_cosine": ORACLE_KNN_COSINE,
     "embed_norms": ORACLE_EMBED_NORMS,
 }
+
+# second wave (weighted kernels, cyclic accumulate, resample priority,
+# gap listing, pivots, portable MinHash-LSH) — grass_spark.queries_ext
+from grass_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+ORACLES.update(EXT_ORACLES)

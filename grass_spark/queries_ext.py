@@ -1,0 +1,389 @@
+"""Second wave of driver-contract queries: weighted kernels, cyclic
+accumulation, resample priority, gap listing, pivots, and a fully
+portable MinHash-LSH pipeline (md5-based so the DuckDB oracle runs the
+*identical* algorithm).
+
+Merged into the main registries by :mod:`grass_spark.queries`.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from grass_spark.functions.granularity import granule_series
+from grass_spark.functions.kernels import weighted_kernel_expr
+from grass_spark.functions.weighted import weighted_median, weighted_mode
+from grass_spark.operators.accumulate import accumulate
+from grass_spark.operators.dedup import word_shingles
+from grass_spark.operators.gapfill import gaps_report
+from grass_spark.operators.sample import resample_by_granularity
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _with_w(ev):
+    """weight = the integer `k` field of the props JSON column."""
+    return ev.withColumn(
+        "w", F.get_json_object("props", "$.k").cast("double")
+    )
+
+
+# ---------------------------------------------------------------------
+# weighted kernels (r.series input=...|weight — SURVEY §2.2)
+# ---------------------------------------------------------------------
+
+
+def q_weighted_avg_daily(spark, sf_dir):
+    ev = _with_w(_t(spark, sf_dir, "events"))
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    return ev.groupBy(day).agg(
+        F.round(weighted_kernel_expr("w_ave", "value", "w"), 6).alias("w_ave"),
+        F.round(weighted_kernel_expr("w_var", "value", "w"), 6).alias("w_var"),
+    )
+
+
+ORACLE_WEIGHTED_AVG_DAILY = """
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, value AS v,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS w
+  FROM events
+)
+SELECT bucket,
+       round(sum(v * w) / sum(w), 6) AS w_ave,
+       round(sum(w * v * v) / sum(w) - pow(sum(w * v) / sum(w), 2), 6) AS w_var
+FROM e GROUP BY bucket
+"""
+
+
+def q_weighted_median_mode(spark, sf_dir):
+    """GRASS lower weighted median (c_median.c:16-41) + weighted mode
+    per event_type; values discretized so mode is meaningful."""
+    ev = _with_w(_t(spark, sf_dir, "events")).withColumn(
+        "iv", F.round("value", 0).cast("long")
+    )
+    med = weighted_median(
+        ev, keys=["event_type"], value_col="value", weight_col="w",
+        tiebreak=["event_id"],
+    )
+    mode = weighted_mode(
+        ev, keys=["event_type"], value_col="iv", weight_col="w",
+    )
+    return med.join(mode, "event_type").select(
+        "event_type", F.round("w_median", 6).alias("w_median"),
+        F.col("w_mode").cast("long").alias("w_mode"),
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN_MODE = """
+WITH e AS (
+  SELECT event_type, event_id, value AS v,
+         CAST(round(value, 0) AS BIGINT) AS iv,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS w
+  FROM events
+), c AS (
+  SELECT event_type, v, event_id,
+         sum(w) OVER (PARTITION BY event_type ORDER BY v, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(w) OVER (PARTITION BY event_type) AS tot
+  FROM e
+), med AS (
+  SELECT event_type, round(min(v), 6) AS w_median
+  FROM c WHERE cumw >= tot * 0.5 GROUP BY event_type
+), ws AS (
+  SELECT event_type, iv, sum(w) AS wsum FROM e GROUP BY 1, 2
+), mode AS (
+  SELECT event_type, (list(iv ORDER BY wsum DESC, iv ASC))[1] AS w_mode
+  FROM ws GROUP BY event_type
+)
+SELECT med.event_type, med.w_median, mode.w_mode
+FROM med JOIN mode USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------
+# cyclic accumulation (t.rast.accumulate — SURVEY §2.3)
+# ---------------------------------------------------------------------
+
+_ACC_ORIGIN = datetime(2024, 1, 1)
+
+
+def q_accumulate_cycle(spark, sf_dir):
+    """GDD accumulation (lower threshold 50) with weekly cycle reset."""
+    ev = _t(spark, sf_dir, "events")
+    out = accumulate(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        order_cols=["event_id"], lower=50.0, method="gdd",
+        cycle="1 week", origin=_ACC_ORIGIN,
+    )
+    return out.select(
+        "user_id", "event_id", "cycle_idx", F.round("acc", 6).alias("acc")
+    )
+
+
+ORACLE_ACCUMULATE_CYCLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(datediff('day', TIMESTAMP '2024-01-01', CAST(ts AS DATE)) / 7)
+              AS BIGINT) AS cycle_idx,
+         greatest(value - 50.0, 0.0) AS contrib
+  FROM events
+)
+SELECT user_id, event_id, cycle_idx,
+       round(sum(contrib) OVER (
+         PARTITION BY user_id, cycle_idx ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS acc
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------
+# resample by granularity with relation priority (SURVEY §2.5)
+# ---------------------------------------------------------------------
+
+
+def q_resample_priority(spark, sf_dir):
+    """One map per day granule chosen by EQUAL>DURING>OVERLAPS>
+    OVERLAPPED>CONTAINS, ties -> earliest start; gap granules keep NULL
+    (resample_maplist_by_granularity,
+    abstract_space_time_dataset.py:1380-1399)."""
+    ev = _t(spark, sf_dir, "events").filter("user_id = 3").select(
+        F.col("event_id").alias("map_id"),
+        F.col("ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("te"),
+    )
+    rows = granule_series(datetime(2024, 1, 1), datetime(2024, 2, 1), "1 day")
+    granules = spark.createDataFrame(rows, ["bucket_start", "bucket_end"])
+    return resample_by_granularity(ev, granules, map_start="ts", map_end="te")
+
+
+ORACLE_RESAMPLE_PRIORITY = """
+WITH g AS (
+  SELECT CAST(d AS TIMESTAMP) AS granule_start,
+         CAST(d AS TIMESTAMP) + INTERVAL 1 DAY AS granule_end
+  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-31',
+                                      INTERVAL 1 DAY)) AS d)
+), m AS (
+  SELECT event_id AS map_id, ts AS ms, ts + INTERVAL 30 MINUTE AS me
+  FROM events WHERE user_id = 3
+), j AS (
+  SELECT granule_start, granule_end, map_id, ms,
+         CASE WHEN ms = granule_start AND me = granule_end THEN 0
+              WHEN ms > granule_start AND me < granule_end THEN 1
+              WHEN ms < granule_start AND me < granule_end AND me > granule_start THEN 2
+              WHEN ms > granule_start AND me > granule_end AND ms < granule_end THEN 3
+              WHEN ms < granule_start AND me > granule_end THEN 4
+         END AS prio
+  FROM g LEFT JOIN m ON (
+       (ms = granule_start AND me = granule_end)
+    OR (ms > granule_start AND me < granule_end)
+    OR (ms < granule_start AND me < granule_end AND me > granule_start)
+    OR (ms > granule_start AND me > granule_end AND ms < granule_end)
+    OR (ms < granule_start AND me > granule_end))
+)
+SELECT granule_start, granule_end,
+       (list(map_id ORDER BY prio, ms))[1] AS map_id,
+       (list(ms ORDER BY prio, ms))[1]     AS map_start
+FROM j GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------
+# gap listing (t.rast.list method=deltagaps — SURVEY §2.1)
+# ---------------------------------------------------------------------
+
+
+def q_gaps_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("bucket_start")
+    ).distinct()
+    return gaps_report(daily, "1 day", keys=["user_id"])
+
+
+ORACLE_GAPS_DAILY = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+), x AS (
+  SELECT user_id, d,
+         lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nd
+  FROM daily
+)
+SELECT user_id,
+       d + INTERVAL 1 DAY AS gap_start,
+       nd                 AS gap_end,
+       CAST(datediff('day', d, nd) - 1 AS BIGINT) AS gap_len
+FROM x WHERE datediff('day', d, nd) > 1
+"""
+
+
+# ---------------------------------------------------------------------
+# per-type activity pivot (per-role/per-tool activity analog)
+# ---------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy("user_id", day).agg(
+        F.count(F.lit(1)).alias("cnt"), *aggs
+    )
+
+
+ORACLE_PIVOT_DAILY = f"""
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       {', '.join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+           for t in EVENT_TYPES
+       )}
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------
+# portable MinHash-LSH (md5-based so DuckDB runs the same algorithm)
+# ---------------------------------------------------------------------
+
+N_SIG = 8
+N_BANDS = 4  # 2 slots per band
+
+_SQL_SHINGLES = """
+  nrm AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+    FROM documents
+  ), w AS (
+    SELECT doc_id, t, regexp_split_to_array(t, ' ') AS ws FROM nrm
+  ), sh AS (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ws) >= 3
+           THEN list_distinct(list_transform(
+                  generate_series(1, len(ws) - 2),
+                  i -> array_to_string(ws[i:i+2], ' ')))
+           ELSE [t] END) AS s
+    FROM w
+  )
+"""
+
+_SQL_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5(s || '#{i}')) AS h{i}" for i in range(N_SIG))
+    + " FROM sh GROUP BY doc_id)"
+)
+
+
+def _sig_df(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(N_SIG)
+    ]
+    return exploded.groupBy("doc_id").agg(*mins)
+
+
+def q_minhash_sig(spark, sf_dir):
+    """Word-3-gram MinHash signatures (8 md5-min slots per doc)."""
+    return _sig_df(spark, sf_dir)
+
+
+ORACLE_MINHASH_SIG = f"WITH {_SQL_SHINGLES}, {_SQL_SIG} SELECT * FROM sig"
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Banded-LSH candidate pairs + MinHash Jaccard estimate (4 bands
+    of 2 slots) — the scale path of near-dup detection."""
+    sig = _sig_df(spark, sf_dir).withColumn(
+        "sig", F.array(*[F.col(f"h{i}") for i in range(N_SIG)])
+    )
+    bands = F.array(*[
+        F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+        for b in range(N_BANDS)
+    ])
+    banded = sig.select(
+        "doc_id", "sig", F.posexplode(bands).alias("band_idx", "bh")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "bh",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "bh",
+    )
+    pairs = (
+        a.join(b, on=["band_idx", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(eq / N_SIG, 6).alias("est_jaccard")
+    )
+
+
+ORACLE_MINHASH_PAIRS = f"""
+WITH {_SQL_SHINGLES}, {_SQL_SIG},
+sig2 AS (
+  SELECT doc_id, [{', '.join(f'h{i}' for i in range(N_SIG))}] AS sig
+  FROM sig
+), band AS (
+  SELECT doc_id, sig,
+         unnest(generate_series(0, {N_BANDS - 1})) AS band_idx,
+         unnest(list_transform(generate_series(0, {N_BANDS - 1}),
+                b -> md5(sig[2*b + 1] || sig[2*b + 2]))) AS bh
+  FROM sig2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM band a JOIN band b USING (band_idx, bh)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(generate_series(1, {N_SIG}),
+                             i -> sig_a[i] = sig_b[i])) / {N_SIG}.0, 6)
+         AS est_jaccard
+FROM pairs
+"""
+
+
+EXT_QUERIES = {
+    "weighted_avg_daily": q_weighted_avg_daily,
+    "weighted_median_mode": q_weighted_median_mode,
+    "accumulate_cycle": q_accumulate_cycle,
+    "resample_priority": q_resample_priority,
+    "gaps_daily": q_gaps_daily,
+    "pivot_daily": q_pivot_daily,
+    "minhash_sig": q_minhash_sig,
+    "minhash_pairs": q_minhash_pairs,
+}
+
+EXT_ORACLES = {
+    "weighted_avg_daily": ORACLE_WEIGHTED_AVG_DAILY,
+    "weighted_median_mode": ORACLE_WEIGHTED_MEDIAN_MODE,
+    "accumulate_cycle": ORACLE_ACCUMULATE_CYCLE,
+    "resample_priority": ORACLE_RESAMPLE_PRIORITY,
+    "gaps_daily": ORACLE_GAPS_DAILY,
+    "pivot_daily": ORACLE_PIVOT_DAILY,
+    "minhash_sig": ORACLE_MINHASH_SIG,
+    "minhash_pairs": ORACLE_MINHASH_PAIRS,
+}
