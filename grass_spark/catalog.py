@@ -1,0 +1,238 @@
+"""Dataset catalog — the engine's temporal database.
+
+The reference keeps per-map and per-dataset rows in SQLite/PostgreSQL
+(``lib/temporal/SQL/*.sql``; never the pixel data, only extents +
+metadata).  Here the same roles are:
+
+* per-tier metadata + lineage -> :mod:`grass_spark.manifest` (JSON);
+* per-map (= per-bucket/slice) listing -> computed *from the data* with
+  one cheap aggregate, because Iceberg/parquet footers already index
+  min/max — the reference needs its catalog precisely because raster
+  files can't answer range queries; a columnar table can.
+
+Operations mirrored (SURVEY §2.1):
+
+* ``t.create``  -> :meth:`TierCatalog.create`
+* ``t.register`` (assign timestamps: start / start+increment / per-row)
+  -> :func:`register_maps`
+* ``t.info``    -> :meth:`TierCatalog.info` (dataset report incl.
+  granularity inference + min/max rollups, the strds_metadata analog)
+* ``t.rast.list`` -> :func:`list_maps` with ``where=`` / ``order=`` /
+  ``columns=`` and plain/csv/json writers (``list_stds.py:158-273``)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grass_spark.functions.granularity import (
+    granularity_seconds,
+    infer_granularity_absolute,
+    parse_granularity,
+)
+from grass_spark.manifest import CheckpointManifest, TierRecord
+
+
+@dataclass
+class DatasetInfo:
+    """The ``t.info`` report — strds_metadata + stds_absolute_time."""
+
+    name: str
+    temporal_type: str            # absolute | relative
+    start_time: datetime | None
+    end_time: datetime | None
+    granularity: str | None
+    map_time: str                 # interval | point
+    number_of_maps: int
+    min_min: float | None
+    min_max: float | None
+    max_min: float | None
+    max_max: float | None
+    aggregation_type: str | None
+
+
+def register_maps(
+    df: DataFrame,
+    *,
+    start: datetime | None = None,
+    increment: str | None = None,
+    interval: bool = False,
+    ts_col: str | None = None,
+    order_col: str = "map_id",
+) -> DataFrame:
+    """``t.register``: stamp rows with temporal extents.
+
+    Modes (register.py:37-470):
+      * ``ts_col`` given — per-row times already present (file mode);
+      * ``start`` only — every map gets the same instant;
+      * ``start`` + ``increment`` — map i gets start + i*increment
+        (ordered by ``order_col``); with ``interval=True`` the extent
+        is [start_i, start_{i+1}).
+    """
+    if ts_col is not None:
+        out = df.withColumn("start_time", F.col(ts_col).cast("timestamp"))
+    elif start is not None and increment is not None:
+        num, unit = parse_granularity(increment)
+        from pyspark.sql import Window
+
+        idx = F.row_number().over(Window.orderBy(order_col)) - 1
+        if unit in ("month", "year"):
+            months = num * (12 if unit == "year" else 1)
+            out = df.withColumn(
+                "start_time",
+                F.add_months(F.lit(start), (idx * months).cast("int")).cast("timestamp"),
+            )
+        else:
+            secs = granularity_seconds(increment)
+            out = df.withColumn(
+                "start_time",
+                F.timestamp_seconds(
+                    F.lit(int(start.timestamp())) + idx.cast("long") * secs
+                ),
+            )
+    elif start is not None:
+        out = df.withColumn("start_time", F.lit(start).cast("timestamp"))
+    else:
+        raise ValueError("need ts_col, or start (+ optional increment)")
+
+    if interval and increment is not None:
+        num, unit = parse_granularity(increment)
+        if unit in ("month", "year"):
+            months = num * (12 if unit == "year" else 1)
+            end = F.add_months(F.col("start_time"), months).cast("timestamp")
+        else:
+            end = F.timestamp_micros(
+                F.unix_micros(F.col("start_time"))
+                + granularity_seconds(increment) * 1_000_000
+            )
+        out = out.withColumn("end_time", end)
+    else:
+        out = out.withColumn("end_time", F.lit(None).cast("timestamp"))
+    return out
+
+
+def dataset_info(
+    df: DataFrame,
+    name: str,
+    *,
+    start_col: str = "start_time",
+    end_col: str | None = "end_time",
+    value_min_col: str | None = None,
+    value_max_col: str | None = None,
+    aggregation_type: str | None = None,
+) -> DatasetInfo:
+    """``t.info``: one aggregate over the catalog columns."""
+    has_end = end_col is not None and end_col in df.columns
+    aggs = [
+        F.min(start_col).alias("s"),
+        F.max(F.coalesce(F.col(end_col), F.col(start_col)) if has_end else F.col(start_col)).alias("e"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col(end_col).isNotNull(), 1).otherwise(0)).alias("n_interval")
+        if has_end else F.lit(0).alias("n_interval"),
+    ]
+    if value_min_col:
+        aggs += [F.min(value_min_col).alias("min_min"), F.max(value_min_col).alias("min_max")]
+    if value_max_col:
+        aggs += [F.min(value_max_col).alias("max_min"), F.max(value_max_col).alias("max_max")]
+    row = df.agg(*aggs).collect()[0]
+
+    times = [
+        (r["s"], r["e"] if has_end else None)
+        for r in df.select(
+            F.col(start_col).alias("s"),
+            (F.col(end_col) if has_end else F.lit(None)).alias("e"),
+        ).distinct().orderBy("s").collect()
+    ]
+    gran = infer_granularity_absolute(times)
+    map_time = (
+        "interval" if has_end and row["n_interval"] == row["n"]
+        else ("mixed" if has_end and row["n_interval"] > 0 else "point")
+    )
+    return DatasetInfo(
+        name=name,
+        temporal_type="absolute",
+        start_time=row["s"],
+        end_time=row["e"],
+        granularity=gran,
+        map_time=map_time,
+        number_of_maps=row["n"],
+        min_min=row["min_min"] if value_min_col else None,
+        min_max=row["min_max"] if value_min_col else None,
+        max_min=row["max_min"] if value_max_col else None,
+        max_max=row["max_max"] if value_max_col else None,
+        aggregation_type=aggregation_type,
+    )
+
+
+def list_maps(
+    df: DataFrame,
+    *,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    order: str = "start_time",
+    fmt: str = "df",
+) -> DataFrame | str:
+    """``t.rast.list``: SELECT columns WHERE ... ORDER BY ... with
+    plain/csv/json writers (the reference's single catalog query shape,
+    abstract_space_time_dataset.py:1919-1932)."""
+    out = df
+    if where:
+        out = out.filter(F.expr(where))
+    if columns:
+        out = out.select(*columns)
+    out = out.orderBy(*[c.strip() for c in order.split(",")])
+    if fmt == "df":
+        return out
+    rows = out.collect()
+    cols = out.columns
+    if fmt == "json":
+        return json.dumps([{c: str(r[c]) for c in cols} for r in rows])
+    if fmt == "csv":
+        lines = [",".join(cols)]
+        lines += [",".join(str(r[c]) for c in cols) for r in rows]
+        return "\n".join(lines)
+    if fmt == "plain":
+        return "\n".join("|".join(str(r[c]) for c in cols) for r in rows)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+class TierCatalog:
+    """Directory-backed tier registry (t.create / t.remove / open)."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self.manifest = CheckpointManifest(os.path.join(base_dir, "manifest.json"))
+
+    def create(
+        self, name: str, granularity: str, *, source: str = "raw",
+        aggregation: list[str] | None = None, command: str = "",
+    ) -> None:
+        self.manifest.register_tier(
+            name,
+            TierRecord(
+                granularity=granularity, source=source,
+                aggregation=aggregation or [], command=command,
+            ),
+        )
+
+    def tiers(self) -> dict[str, dict]:
+        return self.manifest.tiers()
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, name)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.path(name))
+
+    def info(self, spark: SparkSession, name: str, **kw) -> DatasetInfo:
+        return dataset_info(
+            self.read(spark, name).withColumnRenamed("bucket_start", "start_time"),
+            name, **kw,
+        )
