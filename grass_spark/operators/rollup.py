@@ -106,6 +106,40 @@ def with_derived(df: DataFrame, granularity: str) -> DataFrame:
     ).withColumn("bucket_end", bucket_end_col(F.col("bucket_start"), granularity))
 
 
+def _collapse_day_ranges(days: set[str]) -> list[tuple[str, str]]:
+    """Collapse 'yyyy-MM-dd' strings into [start_day, end_day_exclusive)
+    ranges of consecutive days (resume typically skips one big prefix)."""
+    from datetime import date, timedelta
+
+    if not days:
+        return []
+    ds = sorted(date.fromisoformat(d) for d in days)
+    out: list[tuple[str, str]] = []
+    lo = prev = ds[0]
+    for d in ds[1:]:
+        if d == prev + timedelta(days=1):
+            prev = d
+            continue
+        out.append((lo.isoformat(), (prev + timedelta(days=1)).isoformat()))
+        lo = prev = d
+    out.append((lo.isoformat(), (prev + timedelta(days=1)).isoformat()))
+    return out
+
+
+def _ts_not_in_days(ts_col: str, days: set[str]):
+    """Predicate excluding rows whose ts falls on any done day, built as
+    plain timestamp-range comparisons so parquet row-group min/max stats
+    (and Iceberg partition transforms) can skip data — an expression
+    like date_format(ts) IN (...) cannot be pushed down."""
+    cond = F.lit(True)
+    for lo, hi in _collapse_day_ranges(days):
+        in_range = (F.col(ts_col) >= F.lit(f"{lo} 00:00:00").cast("timestamp")) & (
+            F.col(ts_col) < F.lit(f"{hi} 00:00:00").cast("timestamp")
+        )
+        cond = cond & ~in_range
+    return cond
+
+
 @dataclass
 class TierResult:
     name: str
@@ -175,10 +209,25 @@ class RollupPipeline:
                     command=f"rollup(tier={name}, gran={gran!r}, keys={self.keys}, src={src})",
                 ),
             )
+            done_now: set[str] = set()
+            if resume:
+                done_now = self.manifest.done_parts(name, input_fingerprint or None)
+                if lower_days is not None:
+                    done_now -= lower_days
             if i == 0:
-                tiered = rollup_from_raw(raw, gran, origin, self.keys)
+                src = raw
+                if done_now:
+                    # pushable ts-range prefilter: row-group stats /
+                    # Iceberg day() partitions skip done days at the scan
+                    src = src.filter(_ts_not_in_days("ts", done_now))
+                tiered = rollup_from_raw(src, gran, origin, self.keys)
             else:
-                tiered = rollup_from_tier(lower, gran, origin, self.keys)
+                src = lower
+                if done_now:
+                    # d is the lower tier's PARTITION column -> real
+                    # partition pruning, not just a row filter
+                    src = src.filter(~F.col("d").isin(sorted(done_now)))
+                tiered = rollup_from_tier(src, gran, origin, self.keys)
 
             res = self._write_tier(
                 spark, tiered, name, gran,
