@@ -31,6 +31,7 @@ class PartitionEntry:
 
     tier: str
     part: str                      # partition value, e.g. "2024-01-07"
+    rows_in: int = 0               # raw rows feeding this partition (tier 0)
     rows_out: int = 0
     bytes_out: int = 0
     n_files: int = 0
@@ -102,6 +103,16 @@ class CheckpointManifest:
         ]
         self._data["partitions"].extend(asdict(e) for e in entries)
         self._save()
+
+    def rows_in_map(self, tier: str) -> dict[str, int]:
+        """part -> rows_in for completed partitions (content fingerprint
+        for incremental append: a day whose raw count is unchanged is
+        up to date under the engine's append-only contract)."""
+        return {
+            e["part"]: e.get("rows_in", 0)
+            for e in self._data["partitions"]
+            if e["tier"] == tier and e["status"] == "ok"
+        }
 
     def metrics(self, tier: str | None = None) -> list[dict]:
         return [

@@ -186,13 +186,33 @@ class RollupPipeline:
         raw: DataFrame,
         input_fingerprint: str = "",
         resume: bool = True,
+        incremental: bool = False,
     ) -> list[TierResult]:
+        """Materialize all tiers.
+
+        ``incremental=True`` enables content-based resume for appends
+        (the reference's ``update_from_registered_maps`` role): a day
+        counts as done when its RAW ROW COUNT matches the manifest's
+        recorded ``rows_in``, regardless of fingerprint — so appending
+        new days (or backfilling an old one) recomputes exactly the
+        changed days plus their upper-tier dependents.  Assumes
+        append-only raw data (counts identify content).
+        """
         spark = raw.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
         t0 = raw.agg(F.min("ts").alias("s")).collect()[0]["s"]
         if t0 is None:
             raise ValueError("empty raw input")
+
+        # one cheap aggregate: raw rows per day (stored as rows_in
+        # lineage; drives incremental dirty-day detection)
+        raw_day_counts = {
+            str(r["d"]): int(r["n"])
+            for r in raw.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("d")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
 
         results: list[TierResult] = []
         lower: DataFrame | None = None
@@ -210,10 +230,18 @@ class RollupPipeline:
                 ),
             )
             done_now: set[str] = set()
-            if resume:
+            if resume and incremental and i == 0:
+                recorded = self.manifest.rows_in_map(name)
+                done_now = {
+                    d for d, n in recorded.items()
+                    if raw_day_counts.get(d) == n
+                }
+            elif resume and incremental:
+                done_now = self.manifest.done_parts(name, None)
+            elif resume:
                 done_now = self.manifest.done_parts(name, input_fingerprint or None)
-                if lower_days is not None:
-                    done_now -= lower_days
+            if resume and lower_days is not None:
+                done_now -= lower_days
             if i == 0:
                 src = raw
                 if done_now:
@@ -232,8 +260,8 @@ class RollupPipeline:
             res = self._write_tier(
                 spark, tiered, name, gran,
                 input_fingerprint=input_fingerprint,
-                resume=resume,
-                dirty_days=lower_days,
+                done=done_now if resume else set(),
+                rows_in_map=raw_day_counts if i == 0 else None,
             )
             results.append(res)
             lower = spark.read.parquet(self.tier_path(name))
@@ -248,20 +276,16 @@ class RollupPipeline:
         name: str,
         gran: str,
         input_fingerprint: str,
-        resume: bool,
-        dirty_days: set[str] | None,
+        done: set[str],
+        rows_in_map: dict[str, int] | None,
     ) -> TierResult:
-        """Write one tier partitioned by bucket day, skipping days the
-        manifest already records (unless the lower tier just rewrote
-        them — ``dirty_days`` forces recompute of dependents)."""
+        """Write one tier partitioned by bucket day, skipping ``done``
+        days (already excluded upstream; the filter here is the safety
+        net that keeps the write idempotent even if a caller passes an
+        unfiltered frame)."""
         path = self.tier_path(name)
         tiered = tiered.withColumn("d", F.date_format("bucket_start", "yyyy-MM-dd"))
 
-        done: set[str] = set()
-        if resume:
-            done = self.manifest.done_parts(name, input_fingerprint or None)
-            if dirty_days is not None:
-                done -= dirty_days
         if done:
             tiered = tiered.filter(~F.col("d").isin(sorted(done)))
 
@@ -299,6 +323,7 @@ class RollupPipeline:
                 PartitionEntry(
                     tier=name,
                     part=day,
+                    rows_in=int((rows_in_map or {}).get(day, 0)),
                     rows_out=int(n),
                     bytes_out=sum(os.path.getsize(f) for f in files),
                     n_files=len(files),

@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) — pure driver-side math, no Spark.
+
+Mirrors the reference's pytest layer over pure functions
+(``python/grass/temporal/tests/*.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grass_spark.functions import compress as C
+from grass_spark.functions.granularity import (
+    adjust_datetime_to_granularity,
+    granule_series,
+    increment_datetime,
+    infer_granularity_absolute,
+    infer_granularity_relative,
+    parse_granularity,
+)
+
+TS0 = 1_700_000_000_000_000  # anchor microseconds
+
+
+# ---------------- codec round-trips ----------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=0, max_size=500
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_ts_codec_roundtrip_any_deltas(deltas):
+    ts = TS0 + np.cumsum(np.array(deltas + [0], dtype=np.int64))
+    assert np.array_equal(C.decode_timestamps(C.encode_timestamps(ts)), ts)
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=0,
+        max_size=400,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_float_codec_bitexact_any_values(vals):
+    v = np.array(vals, dtype=np.float64)
+    out = C.decode_floats(C.encode_floats(v))
+    assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=400
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_int_codec_roundtrip(vals):
+    v = np.array(vals, dtype=np.int64)
+    assert np.array_equal(C.decode_ints(C.encode_ints(v)), v)
+
+
+# ---------------- granularity inference ----------------
+
+
+@given(
+    st.integers(min_value=1, max_value=3600),
+    st.integers(min_value=1, max_value=20),
+    st.lists(st.integers(min_value=1, max_value=50), min_size=2, max_size=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_relative_granularity_divides_everything(base, mult, steps):
+    """Inferred relative granularity divides every interval + gap."""
+    pos = 0
+    times = []
+    for s in steps:
+        times.append((pos, pos + base * s))
+        pos += base * s + base * mult
+    g = infer_granularity_relative(times)
+    assert g is not None and g % base == 0 or g == base or base % g == 0
+    for s, e in times:
+        assert (e - s) % g == 0
+
+
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_absolute_granularity_seconds_gcd(mults):
+    """Instant series at k*gcd second spacings infers the GCD."""
+    t = datetime(2020, 1, 1)
+    times = []
+    for m in mults:
+        times.append((t, None))
+        t += timedelta(seconds=int(m))
+    g = infer_granularity_absolute(times)
+    num, unit = parse_granularity(g)
+    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+    # n instants have n-1 gaps: the last step never materializes
+    expected = math.gcd(*mults[:-1])
+    assert num * secs == expected
+
+
+# ---------------- granule arithmetic ----------------
+
+GRANS = ["15 seconds", "1 minute", "2 hours", "1 day", "1 week", "1 month", "3 months", "1 year"]
+
+
+@given(
+    st.sampled_from(GRANS),
+    st.datetimes(
+        min_value=datetime(1990, 1, 5), max_value=datetime(2049, 12, 24)
+    ),
+)
+@settings(max_examples=120, deadline=None)
+def test_alignment_idempotent_and_bounding(gran, dt):
+    a = adjust_datetime_to_granularity(dt, gran)
+    assert a <= dt
+    assert adjust_datetime_to_granularity(a, gran) == a
+    # the next granule strictly bounds dt
+    assert increment_datetime(a, gran) > a
+
+
+@given(
+    st.sampled_from(GRANS),
+    st.datetimes(min_value=datetime(2000, 1, 1), max_value=datetime(2030, 1, 1)),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=80, deadline=None)
+def test_granule_series_contiguous(gran, start, n):
+    end = increment_datetime(adjust_datetime_to_granularity(start, gran), gran, n)
+    gs = granule_series(start, end, gran)
+    assert gs, "non-empty series"
+    for (s1, e1), (s2, _) in zip(gs, gs[1:]):
+        assert e1 == s2, "granules are contiguous"
+    assert gs[0][0] <= start < gs[0][1] or gs[0][0] <= start
+    assert gs[-1][1] >= end

@@ -139,3 +139,44 @@ def test_per_turn_text_equality_invariant(spark, tmp_path):
         back.select("conv_id", "turn_idx", "text")
     ).count()
     assert diff == 0
+
+
+def test_incremental_append_new_days(spark, tmp_path):
+    """Appending new days recomputes only those days (content-based
+    resume, fingerprint-free)."""
+    raw = _raw(spark)
+    base = str(tmp_path / "tiers")
+    RollupPipeline(base).run(raw, incremental=True)
+
+    # append a copy of the data shifted far past the original range
+    shifted = raw.withColumn("ts", F.col("ts") + F.expr("INTERVAL 90 DAYS"))
+    full = raw.unionByName(shifted)
+    results = RollupPipeline(base).run(full, incremental=True)
+    by = {r.name: r for r in results}
+    orig_days = {
+        str(r["d"]) for r in raw.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().collect()
+    }
+    # no original day recomputed at tier 0
+    assert not (set(by["t1m"].days_written) & orig_days)
+    assert by["t1m"].days_written  # but the new days were
+    # totals correct across old + new
+    pipe = RollupPipeline(base)
+    assert pipe.read_tier(spark, "t1d").agg(F.sum("turn_cnt")).collect()[0][0] == full.count()
+
+
+def test_incremental_backfill_existing_day(spark, tmp_path):
+    """Appending rows INTO an existing day recomputes exactly that day."""
+    raw = _raw(spark).cache()
+    base = str(tmp_path / "tiers")
+    RollupPipeline(base).run(raw, incremental=True)
+
+    target_day = raw.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d")).orderBy("d").first()["d"]
+    extra = raw.filter(F.date_format("ts", "yyyy-MM-dd") == target_day).limit(5)
+    full = raw.unionByName(extra)
+    results = RollupPipeline(base).run(full, incremental=True)
+    by = {r.name: r for r in results}
+    assert by["t1m"].days_written == [target_day]
+    pipe = RollupPipeline(base)
+    assert pipe.read_tier(spark, "t1d").agg(F.sum("turn_cnt")).collect()[0][0] == full.count()
