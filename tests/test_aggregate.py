@@ -155,3 +155,41 @@ def test_multi_conv_independent(spark):
         ("a", dt(2001, 1, 3)): 20.0,
         ("b", dt(2001, 1, 2)): 100.0,
     }
+
+
+# ---------------- relative time (FIXTURES F1 twin) ----------------
+
+
+def test_aggregate_relative_series_golden(spark):
+    """t.rast.series relative twin (test_series.py:168-257): values
+    100..400 at days 0,14,28,42, granularity 14 -> per-bucket identity;
+    coarse granularity 56 -> avg 250, min 100, max 400."""
+    from grass_spark.operators.aggregate import aggregate_relative
+
+    rows = [("c", d, float(v)) for d, v in zip((0, 14, 28, 42), (100, 200, 300, 400))]
+    df = spark.createDataFrame(rows, ["conv_id", "t", "value"])
+
+    fine = aggregate_relative(df, 14, ["average", "count"], ts_col="t")
+    got = {r["bucket_start"]: (r["average"], r["count"]) for r in fine.collect()}
+    assert got == {0: (100.0, 1), 14: (200.0, 1), 28: (300.0, 1), 42: (400.0, 1)}
+
+    coarse = aggregate_relative(
+        df, 56, ["average", "minimum", "maximum", "median"], ts_col="t"
+    ).collect()
+    assert len(coarse) == 1
+    r = coarse[0]
+    assert (r["average"], r["minimum"], r["maximum"], r["median"]) == (
+        250.0, 100.0, 400.0, 250.0,
+    )
+    assert r["bucket_start"] == 0 and r["bucket_end"] == 56
+
+
+def test_aggregate_relative_where_and_origin(spark):
+    from grass_spark.operators.aggregate import aggregate_relative
+
+    rows = [("c", d, float(v)) for d, v in zip((0, 14, 28, 42), (100, 200, 300, 400))]
+    df = spark.createDataFrame(rows, ["conv_id", "t", "value"])
+    out = aggregate_relative(
+        df, 100, ["minimum"], ts_col="t", where="t >= 28"
+    ).collect()
+    assert out[0]["minimum"] == 300.0
