@@ -59,6 +59,7 @@ HEADLINE = [
     "allen_relations",
     "extract_expr",
     "dedup_exact",
+    "minhash_pairs",
     "text_stats",
     "knn_cosine",
 ]

@@ -228,3 +228,56 @@ def simhash_candidates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs -> duplicate
+    clusters: (doc_id, cluster_id = smallest id reachable).
+
+    Iterative min-label propagation (the simple alternating-star
+    algorithm): each round every node adopts the minimum label among
+    itself and its neighbors; converges in O(diameter) rounds.  Each
+    round is one shuffle; near-dup clusters are tiny (diameter 2-3), so
+    this terminates in 2-4 rounds in practice — the driver only checks
+    a one-row convergence aggregate per round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("cluster_id"))
+        )
+        # localCheckpoint truncates lineage — without it each round
+        # re-executes every previous round (exponential plans)
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -387,3 +387,66 @@ EXT_ORACLES = {
     "minhash_sig": ORACLE_MINHASH_SIG,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
 }
+
+
+# ---------------------------------------------------------------------
+# t.rast.what — point sampling across time, wide format (SURVEY §2.1)
+# ---------------------------------------------------------------------
+
+WHAT_USERS = (1, 5, 9)
+
+
+def q_what_wide(spark, sf_dir):
+    """Sample 3 users' hourly averages as wide columns across time
+    (t.rast.what wide output, temporal/t.rast.what/t.rast.what.py)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isin(*WHAT_USERS))
+    hour = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    aggs = [
+        F.round(
+            F.avg(F.when(F.col("user_id") == u, F.col("value"))), 6
+        ).alias(f"u{u}")
+        for u in WHAT_USERS
+    ]
+    return ev.groupBy(hour).agg(*aggs)
+
+
+ORACLE_WHAT_WIDE = f"""
+SELECT date_trunc('hour', ts) AS bucket,
+       {', '.join(
+           f"round(avg(CASE WHEN user_id = {u} THEN value END), 6) AS u{u}"
+           for u in WHAT_USERS
+       )}
+FROM events WHERE user_id IN {WHAT_USERS}
+GROUP BY 1
+"""
+
+
+def q_infer_granularity(spark, sf_dir):
+    """Granularity inference (GCD of deltas/gaps) over each user's daily
+    buckets — returns the inferred granularity string per user.  No SQL
+    oracle (GCD aggregation is not portably expressible): rows-only check."""
+    from grass_spark.functions.granularity import infer_granularity_absolute
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+        .orderBy("user_id", "d")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in daily:
+        per_user.setdefault(r["user_id"], []).append((r["d"], None))
+    rows = [
+        (u, infer_granularity_absolute(times)) for u, times in per_user.items()
+    ]
+    return spark.createDataFrame(rows, "user_id bigint, granularity string")
+
+
+EXT_QUERIES.update({
+    "what_wide": q_what_wide,
+    "infer_granularity": q_infer_granularity,
+})
+EXT_ORACLES.update({
+    "what_wide": ORACLE_WHAT_WIDE,
+})

@@ -253,3 +253,26 @@ def test_frame_sampling(spark):
     import math
     for mid, n in per.items():
         assert n == max(1, math.ceil(max(durs[mid], 1) / 500))
+
+
+def test_dedup_clusters(spark):
+    from grass_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 7), (2, 9), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 4: 1, 7: 1, 2: 2, 9: 2, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_chain(spark):
+    from grass_spark.operators.dedup import dedup_clusters
+
+    # a long chain needs label propagation across multiple hops
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert set(got.values()) == {1}
