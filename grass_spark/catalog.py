@@ -236,3 +236,16 @@ class TierCatalog:
             self.read(spark, name).withColumnRenamed("bucket_start", "start_time"),
             name, **kw,
         )
+
+
+def remove_tier(catalog: TierCatalog, name: str) -> None:
+    """``t.remove``: drop a tier's data + manifest partitions (the
+    catalog row stays as history, like the reference keeps command
+    history)."""
+    import shutil
+
+    shutil.rmtree(catalog.path(name), ignore_errors=True)
+    catalog.manifest._data["partitions"] = [
+        e for e in catalog.manifest._data["partitions"] if e["tier"] != name
+    ]
+    catalog.manifest._save()

@@ -242,10 +242,10 @@ def q_regression(spark, sf_dir):
     (lib/stats/c_reg.c:16-104; x = original input position)."""
     ev = _with_idx(_t(spark, sf_dir, "events"))
     out = series(
-        ev, ["slope", "offset", "detcoeff"], keys=["user_id"],
+        ev, ["slope", "offset", "detcoeff", "tvalue"], keys=["user_id"],
         ts_col="ts", value_col="value", idx_col="idx",
     )
-    return out.select("user_id", *_r6("slope", "offset", "detcoeff"))
+    return out.select("user_id", *_r6("slope", "offset", "detcoeff", "tvalue"))
 
 
 ORACLE_REGRESSION = """
@@ -261,7 +261,12 @@ SELECT user_id,
             ELSE round(regr_intercept(v, idx), 6) END AS offset,
        CASE WHEN count(v) < 2 THEN NULL
             WHEN var_pop(v) = 0 THEN NULL
-            ELSE round(regr_r2(v, idx), 6) END        AS detcoeff
+            ELSE round(regr_r2(v, idx), 6) END        AS detcoeff,
+       CASE WHEN count(v) < 2 THEN NULL
+            WHEN var_pop(v) = 0 THEN NULL
+            WHEN regr_r2(v, idx) >= 1.0 THEN NULL
+            ELSE round(sqrt(regr_r2(v, idx) * (count(v) - 2)
+                            / (1.0 - regr_r2(v, idx))), 6) END AS tvalue
 FROM base GROUP BY user_id
 """
 
