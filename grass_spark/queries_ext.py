@@ -16,7 +16,7 @@ from grass_spark.functions.granularity import granule_series
 from grass_spark.functions.kernels import weighted_kernel_expr
 from grass_spark.functions.weighted import weighted_median, weighted_mode
 from grass_spark.operators.accumulate import accumulate
-from grass_spark.operators.dedup import word_shingles
+from grass_spark.operators.dedup import with_shingles
 from grass_spark.operators.gapfill import gaps_report
 from grass_spark.operators.sample import resample_by_granularity
 
@@ -285,8 +285,8 @@ _SQL_SIG = (
 
 def _sig_df(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    exploded = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    exploded = with_shingles(d, "text", 3).select(
+        "doc_id", F.explode("sh_arr").alias("s")
     )
     mins = [
         F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
@@ -306,9 +306,11 @@ ORACLE_MINHASH_SIG = f"WITH {_SQL_SHINGLES}, {_SQL_SIG} SELECT * FROM sig"
 def q_minhash_pairs(spark, sf_dir):
     """Banded-LSH candidate pairs + MinHash Jaccard estimate (4 bands
     of 2 slots) — the scale path of near-dup detection."""
+    # localCheckpoint: the band self-join would otherwise recompute the
+    # whole shingle+minhash subtree twice (Spark does not dedup subplans)
     sig = _sig_df(spark, sf_dir).withColumn(
         "sig", F.array(*[F.col(f"h{i}") for i in range(N_SIG)])
-    )
+    ).localCheckpoint()
     bands = F.array(*[
         F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
         for b in range(N_BANDS)
