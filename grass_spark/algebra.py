@@ -417,6 +417,14 @@ class TemporalAlgebra:
                     arg.df.withColumn("__val", _SCALAR_FNS[name](F.col("__val")))
                 )
             return _Scalar(_SCALAR_FNS[name](self._as_col(arg)), time_dep=arg.time_dep)
+        # full r.mapcalc inventory fallback (graph, rand, bit ops,
+        # n-variants, ... — functions/mapcalc.py)
+        from grass_spark.functions.mapcalc import MAPCALC_FNS
+        from grass_spark.functions.mapcalc import fn as mapcalc_fn
+
+        if name in MAPCALC_FNS:
+            vals = [self._eval(a, env) for a in node.args]
+            return self._nary(lambda *cols: mapcalc_fn(name, *cols), vals)
         raise KeyError(f"unknown function {name!r}")
 
     def _nary(self, fn, vals):

@@ -124,3 +124,15 @@ def test_parse_errors():
 def test_unknown_dataset(alg, env):
     with pytest.raises(KeyError):
         alg.eval("A + ZZZ", env)
+
+
+def test_mapcalc_fallback_functions(alg, env):
+    # graph(): piecewise linear of A
+    got = _vals(alg.eval("graph(A, 0, 0, 400, 100)", env))
+    assert got == [25.0, 50.0, 75.0, 100.0]
+    # nmax with a dataset and literal
+    got = _vals(alg.eval("nmax(A, 250)", env))
+    assert got == [250.0, 250.0, 300.0, 400.0]
+    # bit ops through the algebra surface
+    got = _vals(alg.eval("bitand(int(A / 100), 3)", env))
+    assert got == [1, 2, 3, 0]
