@@ -107,6 +107,7 @@ class Select:
     a: object
     b: object
     negate: bool
+    relations: tuple[str, ...] = ("equal",)
 
 
 class Parser:
@@ -155,10 +156,23 @@ class Parser:
 
     def select_expr(self):
         e = self.add_expr()
-        while self.peek()[0] == "op" and self.peek()[1] in (":", "!:"):
-            op = self.eat()
-            e = Select(e, self.add_expr(), negate=op == "!:")
-        return e
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in (":", "!:"):
+                self.eat()
+                e = Select(e, self.add_expr(), negate=v == "!:")
+            elif k == "topr" and v.strip("{}").split(",")[0].strip() in (":", "!:"):
+                # parameterized select {:,relations[,policy]} —
+                # temporal_algebra.py:2977-3072
+                spec = self.eat("topr").strip("{}")
+                parts = [p.strip() for p in spec.split(",")]
+                rels = tuple(
+                    r.strip()
+                    for r in (parts[1].split("|") if len(parts) > 1 and parts[1] else ["equal"])
+                )
+                e = Select(e, self.add_expr(), negate=parts[0] == "!:", relations=rels)
+            else:
+                return e
 
     def add_expr(self):
         e = self.mul_expr()
@@ -168,6 +182,8 @@ class Parser:
                 self.eat()
                 e = Bin(v, e, self.mul_expr())
             elif k == "topr":
+                if v.strip("{}").split(",")[0].strip() in (":", "!:"):
+                    return e  # parameterized select — handled one level up
                 e = self._temporal_op(e)
             else:
                 return e
@@ -342,11 +358,30 @@ class TemporalAlgebra:
             if not isinstance(a, _Frame) or not isinstance(b, _Frame):
                 raise ValueError("':' operands must be datasets")
             how = "left_anti" if node.negate else "left_semi"
-            return _Frame(
-                a.df.join(
-                    b.df.select(*self._join_cols(b.df)), on=self._join_cols(a.df), how=how
+            if set(node.relations) == {"equal"}:
+                return _Frame(
+                    a.df.join(
+                        b.df.select(*self._join_cols(b.df)),
+                        on=self._join_cols(a.df), how=how,
+                    )
                 )
+            # relation-parameterized select: semi/anti join on the Allen
+            # predicates over the extent columns (keys still equi-joined)
+            from grass_spark.functions import relations as _rel
+
+            a_e = F.col("__end") if "__end" in a.df.columns else F.lit(None).cast("timestamp")
+            bsel = b.df.select(
+                *[F.col(k).alias(f"__b_{k}") for k in self.keys],
+                F.col("__time").alias("__b_time"),
+                (F.col("__end") if "__end" in b.df.columns else F.lit(None).cast("timestamp")).alias("__b_end"),
             )
+            cond = _rel.any_relation(
+                list(node.relations), F.col("__time"), a_e,
+                F.col("__b_time"), F.col("__b_end"),
+            )
+            for k in self.keys:
+                cond = cond & (F.col(k) == F.col(f"__b_{k}"))
+            return _Frame(a.df.join(bsel, on=cond, how=how))
         if isinstance(node, Call):
             return self._call(node, env)
         if isinstance(node, Bin):

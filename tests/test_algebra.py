@@ -136,3 +136,26 @@ def test_mapcalc_fallback_functions(alg, env):
     # bit ops through the algebra surface
     got = _vals(alg.eval("bitand(int(A / 100), 3)", env))
     assert got == [1, 2, 3, 0]
+
+
+def test_parameterized_select_relations(alg, spark):
+    """A {:,during} B — keep A rows whose extent is during some B extent."""
+    from datetime import datetime
+
+    a = spark.createDataFrame(
+        [("c", datetime(2001, 1, 10), datetime(2001, 1, 20), 1.0),
+         ("c", datetime(2001, 3, 10), datetime(2001, 3, 20), 2.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    b = spark.createDataFrame(
+        [("c", datetime(2001, 1, 1), datetime(2001, 2, 1), 0.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    env = {"A": a, "B": b}
+    got = _vals(alg.eval("A {:,during} B", env))
+    assert got == [1.0]
+    got = _vals(alg.eval("A {!:,during} B", env))
+    assert got == [2.0]
+    # multi-relation spec
+    got = _vals(alg.eval("A {:,during|equal} B", env))
+    assert got == [1.0]
