@@ -249,3 +249,49 @@ def remove_tier(catalog: TierCatalog, name: str) -> None:
         e for e in catalog.manifest._data["partitions"] if e["tier"] != name
     ]
     catalog.manifest._save()
+
+
+def export_dataset(
+    df: DataFrame,
+    path: str,
+    *,
+    name: str,
+    start_col: str = "start_time",
+    end_col: str | None = "end_time",
+    **info_kw,
+) -> None:
+    """``t.rast.export`` analog (stds_export.py): one self-contained
+    directory holding the data (parquet) + a metadata JSON with the
+    t.info report — enough for a foreign engine (or a later import) to
+    reconstruct the dataset.  The reference tars GeoTIFFs + metadata
+    files; columnar data + JSON is the Spark-native equivalent."""
+    import dataclasses
+
+    df.write.mode("overwrite").parquet(os.path.join(path, "data"))
+    info = dataset_info(df, name, start_col=start_col, end_col=end_col, **info_kw)
+    meta = dataclasses.asdict(info)
+    meta["schema"] = df.schema.jsonValue()
+    for k in ("start_time", "end_time"):
+        if meta[k] is not None:
+            meta[k] = meta[k].isoformat()
+    tmp = os.path.join(path, "metadata.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "metadata.json"))
+
+
+def import_dataset(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """``t.rast.import`` analog: read the archive back, validating the
+    stored schema against the parquet footer schema."""
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(os.path.join(path, "data"))
+    stored = meta.get("schema", {}).get("fields", [])
+    stored_names = {f["name"] for f in stored}
+    actual = set(df.columns)
+    if stored_names != actual:
+        raise ValueError(
+            f"schema mismatch on import: metadata {sorted(stored_names)} "
+            f"vs data {sorted(actual)}"
+        )
+    return df, meta

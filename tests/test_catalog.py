@@ -3,7 +3,8 @@
 Goldens mirror ``temporal/t.rast.aggregate/testsuite/
 test_aggregation_absolute.py:26-127``: 7 maps at 14-day intervals from
 2001-01-15 12:05:45 — t.info must report start 2001-01-15 12:05:45,
-granularity '14 days', interval map_time.
+granularity '1209600 seconds' (the reference's own unit selection for
+starts with non-zero seconds), interval map_time.
 """
 
 from __future__ import annotations
@@ -120,3 +121,32 @@ def test_tier_catalog_roundtrip(spark, tmp_path):
     info = cat.info(spark, "t1h", value_min_col="v")
     assert info.number_of_maps == 3
     assert info.granularity == "1 hour"
+
+
+def test_export_import_roundtrip(spark, tmp_path, maps7):
+    from grass_spark.catalog import export_dataset, import_dataset
+
+    p = str(tmp_path / "archive")
+    export_dataset(maps7, p, name="A", value_min_col="v", value_max_col="v")
+    back, meta = import_dataset(spark, p)
+    assert back.count() == 7
+    assert meta["name"] == "A"
+    assert meta["granularity"] == "1209600 seconds"
+    assert meta["map_time"] == "interval"
+    assert meta["start_time"].startswith("2001-01-15T12:05:45")
+    # data equality
+    assert maps7.exceptAll(back).count() == 0
+
+
+def test_import_schema_mismatch_rejected(spark, tmp_path, maps7):
+    import json as _json
+    from grass_spark.catalog import export_dataset, import_dataset
+
+    p = str(tmp_path / "archive2")
+    export_dataset(maps7, p, name="A")
+    mp = f"{p}/metadata.json"
+    meta = _json.load(open(mp))
+    meta["schema"]["fields"] = meta["schema"]["fields"][:-1]
+    _json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        import_dataset(spark, p)
