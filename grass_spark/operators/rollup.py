@@ -159,17 +159,32 @@ class RollupPipeline:
     partitions are overwritten idempotently.
     """
 
+    #: integer metric columns carried by every tier (compressible)
+    INT_METRICS = ("turn_cnt", *[f"n_{r}" for r in ROLES], "tool_calls",
+                   "len_cnt", "len_sum", "len_min", "len_max")
+
     def __init__(
         self,
         base_dir: str,
         tiers: tuple[tuple[str, str], ...] = DEFAULT_TIERS,
         keys: list[str] | None = None,
         write_salt: int = 4,
+        compress: bool = False,
+        compress_tiers: tuple[str, ...] | None = None,
     ):
         self.base_dir = base_dir
         self.tiers = tiers
         self.keys = ["conv_id"] if keys is None else list(keys)
         self.write_salt = write_salt
+        self.compress = compress
+        # block stores only pay where groups are dense: the finest tier
+        # compresses 5.8x, but a day tier's (conv, block) groups hold a
+        # handful of points and the per-block headers EXCEED the data
+        # (measured ratio 0.55) — so default to tier 0 only
+        self.compress_tiers = (
+            compress_tiers if compress_tiers is not None
+            else (tiers[0][0],)
+        )
         os.makedirs(base_dir, exist_ok=True)
         self.manifest = CheckpointManifest(os.path.join(base_dir, "manifest.json"))
 
@@ -179,6 +194,41 @@ class RollupPipeline:
     def read_tier(self, spark: SparkSession, name: str) -> DataFrame:
         gran = dict(self.tiers)[name]
         return with_derived(spark.read.parquet(self.tier_path(name)), gran)
+
+    def read_tier_from_blocks(self, spark: SparkSession, name: str) -> DataFrame:
+        """Decode a tier back from its compressed block store (bit-exact
+        inverse of the codec; see operators/blocks.py)."""
+        from grass_spark.operators.blocks import decompress_blocks
+
+        blocks = spark.read.parquet(self.tier_path(name) + "_blocks")
+        out = decompress_blocks(
+            blocks, keys=self.keys, ts_col="bucket_start",
+            int_cols=list(self.INT_METRICS),
+        )
+        # int metrics decode as double (NULL-capable); tiers are non-null
+        for m in self.INT_METRICS:
+            out = out.withColumn(m, F.col(m).cast("long"))
+        return out
+
+    def _write_blocks(self, spark: SparkSession, name: str) -> dict:
+        """Materialize the tier's Gorilla block store (delta-of-delta
+        timestamps + delta ints inside Arrow pandas UDFs) and return the
+        codec metrics (ratio recorded per tier in the manifest)."""
+        from grass_spark.operators.blocks import compress_blocks, compression_report
+
+        tier = spark.read.parquet(self.tier_path(name))
+        blocks = compress_blocks(
+            tier, keys=self.keys, ts_col="bucket_start",
+            int_cols=list(self.INT_METRICS), block="month",
+        )
+        bpath = self.tier_path(name) + "_blocks"
+        blocks.write.mode("overwrite").parquet(bpath)
+        rep = compression_report(spark.read.parquet(bpath)).collect()[0]
+        return {
+            "n_blocks": int(rep["n_blocks"]), "n_points": int(rep["n_points"]),
+            "raw_bytes": int(rep["raw_bytes"]), "comp_bytes": int(rep["comp_bytes"]),
+            "ratio": float(rep["ratio"]),
+        }
 
     # ------------------------------------------------------------------
     def run(
@@ -264,6 +314,17 @@ class RollupPipeline:
                 rows_in_map=raw_day_counts if i == 0 else None,
             )
             results.append(res)
+            if self.compress and name in self.compress_tiers and res.days_written:
+                codec = self._write_blocks(spark, name)
+                rec = self.manifest.tiers()[name]
+                self.manifest.register_tier(
+                    name,
+                    TierRecord(
+                        granularity=rec["granularity"], source=rec["source"],
+                        aggregation=rec["aggregation"],
+                        command=rec["command"] + f" | blocks(ratio={codec['ratio']})",
+                    ),
+                )
             lower = spark.read.parquet(self.tier_path(name))
             lower_days = set(res.days_written)
         return results

@@ -180,3 +180,24 @@ def test_incremental_backfill_existing_day(spark, tmp_path):
     assert by["t1m"].days_written == [target_day]
     pipe = RollupPipeline(base)
     assert pipe.read_tier(spark, "t1d").agg(F.sum("turn_cnt")).collect()[0][0] == full.count()
+
+
+def test_compressed_block_store_roundtrip(spark, tmp_path):
+    """compress=True materializes Gorilla block stores per tier; decode
+    must be bit-exact vs the parquet tier."""
+    raw = _raw(spark)
+    base = str(tmp_path / "tiers")
+    pipe = RollupPipeline(base, compress=True)
+    pipe.run(raw, input_fingerprint="fp")
+
+    # block store is built for the finest tier only (coarser tiers'
+    # tiny groups make headers exceed the data — see RollupPipeline)
+    tier = spark.read.parquet(pipe.tier_path("t1m")).drop("d")
+    back = pipe.read_tier_from_blocks(spark, "t1m")
+    cols = sorted(tier.columns)
+    a, b = tier.select(*cols), back.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    import os
+    assert not os.path.exists(pipe.tier_path("t1d") + "_blocks")
+    # codec lineage landed in the manifest command history
+    assert "blocks(ratio=" in pipe.manifest.tiers()["t1m"]["command"]
