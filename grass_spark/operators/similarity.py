@@ -175,3 +175,99 @@ def embedding_neardup(
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + cell probe
+# ---------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dims: int,
+    n_centroids: int = 16,
+    *,
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Train the coarse quantizer: numpy k-means on a driver-side
+    sample (the sample is tiny and bounded; the corpus never collects).
+    Deterministic for a given seed."""
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents.tolist()
+
+
+def _cell_of(vec, centroids: list[list[float]]) -> Column:
+    """argmin distance over centroid literals == argmax(dot - |c|^2/2);
+    pure column arithmetic, broadcast-free (literals travel in the plan)."""
+    scored = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        half_norm = sum(v * v for v in c) / 2.0
+        scored.append(F.struct(
+            (dot(vec, lit_c) - F.lit(half_norm)).alias("s"),
+            F.lit(-i).alias("ni"),
+        ))
+    best = F.array_max(F.array(*scored))
+    return (-best["ni"]).cast("int")
+
+
+def _top_cells(vec, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe best cell ids for a query vector."""
+    scored = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        half_norm = sum(v * v for v in c) / 2.0
+        scored.append(F.struct(
+            (dot(vec, lit_c) - F.lit(half_norm)).alias("s"),
+            F.lit(i).alias("i"),
+        ))
+    ranked = F.reverse(F.array_sort(F.array(*scored)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus rows live in their nearest-centroid cell
+    (equi-join key — one shuffle on a small int); each query probes its
+    ``nprobe`` best cells and ranks exact cosine within candidates."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_e")
+    ).withColumn("cell", _cell_of(F.col("_e"), centroids))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(vec_col).alias("_qe")
+    ).withColumn(
+        "cell", F.explode(_top_cells(F.col("_qe"), centroids, nprobe))
+    )
+    cand = (
+        F.broadcast(q).join(c, on="cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+    )
+    sim = dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("q_id", "neighbor_id", sim.alias("cosine"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

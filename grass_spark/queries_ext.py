@@ -452,3 +452,58 @@ EXT_QUERIES.update({
 EXT_ORACLES.update({
     "what_wide": ORACLE_WHAT_WIDE,
 })
+
+
+def q_accdetect(spark, sf_dir):
+    """t.rast.accdetect: in-band indicator (1 first, 2 middle, 3 last)
+    + first-occurrence timestamp over the weekly GDD accumulation."""
+    from grass_spark.operators.accumulate import accdetect
+
+    ev = _t(spark, sf_dir, "events")
+    acc = accumulate(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        order_cols=["event_id"], lower=50.0, method="gdd",
+        cycle="1 week", origin=_ACC_ORIGIN,
+    )
+    out = accdetect(acc, 500.0, 2000.0, keys=["user_id"],
+                    order_cols=["event_id"])
+    return out.select(
+        "user_id", "event_id", "cycle_idx", "in_range",
+        "indicator", "occurrence",
+    )
+
+
+ORACLE_ACCDETECT = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(datediff('day', TIMESTAMP '2024-01-01', CAST(ts AS DATE)) / 7)
+              AS BIGINT) AS cycle_idx,
+         greatest(value - 50.0, 0.0) AS contrib
+  FROM events
+), a AS (
+  SELECT user_id, event_id, ts, cycle_idx,
+         sum(contrib) OVER (
+           PARTITION BY user_id, cycle_idx ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+  FROM e
+), f AS (
+  SELECT *, acc BETWEEN 500.0 AND 2000.0 AS in_range FROM a
+), m AS (
+  SELECT *,
+         min(CASE WHEN in_range THEN ts END)
+           OVER (PARTITION BY user_id, cycle_idx) AS occurrence,
+         max(CASE WHEN in_range THEN ts END)
+           OVER (PARTITION BY user_id, cycle_idx) AS last_ts
+  FROM f
+)
+SELECT user_id, event_id, cycle_idx, in_range,
+       CASE WHEN NOT in_range THEN NULL
+            WHEN ts = occurrence THEN 1
+            WHEN ts = last_ts THEN 3
+            ELSE 2 END AS indicator,
+       occurrence
+FROM m
+"""
+
+EXT_QUERIES["accdetect"] = q_accdetect
+EXT_ORACLES["accdetect"] = ORACLE_ACCDETECT

@@ -276,3 +276,36 @@ def test_dedup_clusters_chain(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert set(got.values()) == {1}
+
+
+def test_ivf_topk_clustered(spark):
+    from grass_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _clustered_embeddings(spark, n_clusters=4, per=6, dim=16).cache()
+    cents = train_ivf_centroids(emb, dims=16, n_centroids=4, sample=24, seed=1)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    q = emb.filter("vec_id = 0")
+    got = ivf_topk(emb, q, cents, k=5, nprobe=1).collect()
+    ids = {r["neighbor_id"] for r in got}
+    # with one probe, same-cluster vectors (1..5) fill the top-5
+    assert ids == {1, 2, 3, 4, 5}
+    # cosines are exact (match brute force)
+    from grass_spark.operators.similarity import cosine_topk
+    brute = {
+        (r["q_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, q, k=23).collect()
+    }
+    for r in got:
+        assert abs(brute[(0, r["neighbor_id"])] - r["cosine"]) < 1e-12
+
+
+def test_ivf_nprobe_widens_recall(spark):
+    from grass_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _clustered_embeddings(spark, n_clusters=4, per=6, dim=16)
+    cents = train_ivf_centroids(emb, dims=16, n_centroids=4, sample=24, seed=1)
+    q = emb.filter("vec_id = 0")
+    n1 = ivf_topk(emb, q, cents, k=23, nprobe=1).count()
+    n4 = ivf_topk(emb, q, cents, k=23, nprobe=4).count()
+    assert n4 >= n1
+    assert n4 == 23  # all candidates reachable with every cell probed
