@@ -507,3 +507,40 @@ FROM m
 
 EXT_QUERIES["accdetect"] = q_accdetect
 EXT_ORACLES["accdetect"] = ORACLE_ACCDETECT
+
+
+def q_algebra_expr(spark, sf_dir):
+    """t.rast.algebra through the expression front-end: per user per day,
+    D = if(S / C > 100, S / C, 0) over sum (S) and count (C) datasets —
+    parsed and compiled to a DataFrame plan by TemporalAlgebra."""
+    from grass_spark.algebra import TemporalAlgebra
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("bucket_start")
+    s = ev.groupBy("user_id", day).agg(F.sum("value").alias("value"))
+    c = ev.groupBy("user_id", day).agg(
+        F.count("value").cast("double").alias("value")
+    )
+    alg = TemporalAlgebra(keys=["user_id"], time_col="bucket_start",
+                          end_col=None, value_col="value")
+    out = alg.eval("if(S / C > 100, S / C, 0)", {"S": s, "C": c})
+    return out.select(
+        "user_id",
+        F.col("bucket_start").alias("bucket"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_ALGEBRA_EXPR = """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         sum(value) AS s, CAST(count(value) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, bucket,
+       round(CASE WHEN s / c > 100 THEN s / c ELSE 0 END, 6) AS value
+FROM d
+"""
+
+EXT_QUERIES["algebra_expr"] = q_algebra_expr
+EXT_ORACLES["algebra_expr"] = ORACLE_ALGEBRA_EXPR
