@@ -544,3 +544,71 @@ FROM d
 
 EXT_QUERIES["algebra_expr"] = q_algebra_expr
 EXT_ORACLES["algebra_expr"] = ORACLE_ALGEBRA_EXPR
+
+
+def q_masked_agg(spark, sf_dir):
+    """r.series range=lo,hi masking (values outside [50,300] -> NULL,
+    main.c:199-203) + the -n propagate-null flag variant: cnt_masked
+    skips NULLs, sum_propagate is NULL when any input in the bucket was
+    masked (main.c:208-210)."""
+    from grass_spark.functions.kernels import masked
+
+    ev = _t(spark, sf_dir, "events").withColumn("mv", masked("value", 50.0, 300.0))
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    return ev.groupBy("user_id", day).agg(
+        F.count("mv").alias("cnt_masked"),
+        F.round(F.sum("mv"), 6).alias("sum_masked"),
+        F.round(
+            F.when(F.count(F.lit(1)) == F.count("mv"), F.sum("mv")), 6
+        ).alias("sum_propagate"),
+    )
+
+
+ORACLE_MASKED_AGG = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         CASE WHEN value BETWEEN 50.0 AND 300.0 THEN value END AS mv
+  FROM events
+)
+SELECT user_id, bucket,
+       CAST(count(mv) AS BIGINT) AS cnt_masked,
+       round(sum(mv), 6)         AS sum_masked,
+       round(CASE WHEN count(*) = count(mv) THEN sum(mv) END, 6)
+         AS sum_propagate
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_weighted_quantile(spark, sf_dir):
+    """GRASS w_quant (c_percentile.c:49-75): lower weighted quantile at
+    q=0.75 per event_type (cumulative weight >= total * q)."""
+    from grass_spark.functions.weighted import weighted_quantile
+
+    ev = _with_w(_t(spark, sf_dir, "events"))
+    out = weighted_quantile(
+        ev, 0.75, keys=["event_type"], value_col="value", weight_col="w",
+        tiebreak=["event_id"], alias="w_q75",
+    )
+    return out.select("event_type", F.round("w_q75", 6).alias("w_q75"))
+
+
+ORACLE_WEIGHTED_QUANTILE = """
+WITH e AS (
+  SELECT event_type, event_id, value AS v,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS w
+  FROM events
+), c AS (
+  SELECT event_type, v,
+         sum(w) OVER (PARTITION BY event_type ORDER BY v, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(w) OVER (PARTITION BY event_type) AS tot
+  FROM e
+)
+SELECT event_type, round(min(v), 6) AS w_q75
+FROM c WHERE cumw >= tot * 0.75 GROUP BY event_type
+"""
+
+EXT_QUERIES["masked_agg"] = q_masked_agg
+EXT_ORACLES["masked_agg"] = ORACLE_MASKED_AGG
+EXT_QUERIES["weighted_quantile"] = q_weighted_quantile
+EXT_ORACLES["weighted_quantile"] = ORACLE_WEIGHTED_QUANTILE
