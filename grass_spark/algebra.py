@@ -392,21 +392,23 @@ class TemporalAlgebra:
         a = self._eval(node.a, env)
         b = self._eval(node.b, env)
         fn = _BIN_COL[node.op]
-        if set(node.relations) != {"equal"} or node.policy not in ("l", "i"):
+        if node.policy not in ("l", "r", "u", "i"):
             raise NotImplementedError(
-                f"temporal operator relations={node.relations} policy="
-                f"{node.policy!r} not supported yet (equal/l only)"
+                f"temporal extent policy {node.policy!r} not supported "
+                "(l | r | u | i)"
             )
         if isinstance(a, _Frame) and isinstance(b, _Frame):
-            bb = b.df.select(
-                *self._join_cols(b.df), F.col("__val").alias("__val_r")
-            )
-            joined = a.df.join(bb, on=self._join_cols(a.df), how="inner")
-            return _Frame(
-                joined.withColumn("__val", fn(F.col("__val"), F.col("__val_r"))).drop(
-                    "__val_r"
+            if set(node.relations) == {"equal"}:
+                bb = b.df.select(
+                    *self._join_cols(b.df), F.col("__val").alias("__val_r")
                 )
-            )
+                joined = a.df.join(bb, on=self._join_cols(a.df), how="inner")
+                return _Frame(
+                    joined.withColumn(
+                        "__val", fn(F.col("__val"), F.col("__val_r"))
+                    ).drop("__val_r")
+                )
+            return self._relation_join(a, b, fn, node.relations, node.policy)
         if isinstance(a, _Frame):
             return _Frame(a.df.withColumn("__val", fn(F.col("__val"), self._as_col(b))))
         if isinstance(b, _Frame):
@@ -419,6 +421,63 @@ class TemporalAlgebra:
     @staticmethod
     def _as_col(s: _Scalar) -> Column:
         return s.col
+
+    def _relation_join(self, a, b, fn, relations, policy):
+        """Arithmetic across datasets related by arbitrary Allen
+        relations (``A {+,during,u} B`` — temporal_raster_base_algebra
+        spatio-temporal operators).  Keys stay equi-joined; extents join
+        on the relation predicates; the result extent follows the
+        policy: l=left, r=right, u=union, i=intersection
+        (temporal_operator.py doctests)."""
+        from grass_spark.functions import relations as _rel
+
+        a_end = (
+            F.col("__end") if "__end" in a.df.columns
+            else F.lit(None).cast("timestamp")
+        )
+        bsel = b.df.select(
+            *[F.col(k).alias(f"__b_{k}") for k in self.keys],
+            F.col("__time").alias("__b_time"),
+            (
+                F.col("__end") if "__end" in b.df.columns
+                else F.lit(None).cast("timestamp")
+            ).alias("__b_end"),
+            F.col("__val").alias("__val_r"),
+        )
+        cond = _rel.any_relation(
+            list(relations), F.col("__time"), a_end,
+            F.col("__b_time"), F.col("__b_end"),
+        )
+        for k in self.keys:
+            cond = cond & (F.col(k) == F.col(f"__b_{k}"))
+        joined = a.df.join(bsel, on=cond, how="inner")
+
+        if policy == "l":
+            t, e = F.col("__time"), a_end
+        elif policy == "r":
+            t, e = F.col("__b_time"), F.col("__b_end")
+        elif policy == "u":
+            t = F.least(F.col("__time"), F.col("__b_time"))
+            e = F.greatest(
+                F.coalesce(a_end, F.col("__time")),
+                F.coalesce(F.col("__b_end"), F.col("__b_time")),
+            )
+        else:  # "i"
+            t = F.greatest(F.col("__time"), F.col("__b_time"))
+            e = F.least(
+                F.coalesce(a_end, F.col("__time")),
+                F.coalesce(F.col("__b_end"), F.col("__b_time")),
+            )
+        out = (
+            joined.withColumn("__val", fn(F.col("__val"), F.col("__val_r")))
+            .withColumn("__new_time", t)
+            .withColumn("__new_end", e)
+            .drop("__time", "__end", "__val_r", "__b_time", "__b_end",
+                  *[f"__b_{k}" for k in self.keys])
+            .withColumnRenamed("__new_time", "__time")
+            .withColumnRenamed("__new_end", "__end")
+        )
+        return _Frame(out)
 
     def _call(self, node: Call, env):
         name = node.fn

@@ -51,9 +51,14 @@ def test_dataset_arithmetic_equal_join(alg, env):
     assert _vals(alg.eval("A / B", env)) == [10.0, 10.0, 10.0, 10.0]
 
 
-def test_unsupported_relation_raises(alg, env):
+def test_relation_arithmetic_no_match_is_empty(alg, env):
+    # identical extents are never 'during' each other -> empty result
+    assert alg.eval("A {+,during,u} B", env).count() == 0
+
+
+def test_unsupported_policy_raises(alg, env):
     with pytest.raises(NotImplementedError):
-        alg.eval("A {+,during,u} B", env)
+        alg.eval("A {+,equal,d} B", env)
 
 
 def test_if_conditional(alg, env):
@@ -159,3 +164,42 @@ def test_parameterized_select_relations(alg, spark):
     # multi-relation spec
     got = _vals(alg.eval("A {:,during|equal} B", env))
     assert got == [1.0]
+
+
+def test_relation_arithmetic_with_policies(alg, spark):
+    """A {+,contains,l} B: A's month intervals contain B's day
+    intervals; policies choose the result extent."""
+    from datetime import datetime
+
+    a = spark.createDataFrame(
+        [("c", datetime(2001, 1, 1), datetime(2001, 2, 1), 100.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    b = spark.createDataFrame(
+        [("c", datetime(2001, 1, 10), datetime(2001, 1, 11), 7.0),
+         ("c", datetime(2001, 3, 10), datetime(2001, 3, 11), 9.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    env = {"A": a, "B": b}
+    out = alg.eval("A {+,contains,l} B", env).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["value"] == 107.0
+    assert r["bucket_start"] == datetime(2001, 1, 1)       # left extent
+    assert r["bucket_end"] == datetime(2001, 2, 1)
+
+    r = alg.eval("A {+,contains,r} B", env).collect()[0]
+    assert (r["bucket_start"], r["bucket_end"]) == (
+        datetime(2001, 1, 10), datetime(2001, 1, 11))      # right extent
+
+    r = alg.eval("A {*,contains,i} B", env).collect()[0]
+    assert r["value"] == 700.0
+    assert (r["bucket_start"], r["bucket_end"]) == (
+        datetime(2001, 1, 10), datetime(2001, 1, 11))      # intersection
+
+    r = alg.eval("A {+,contains,u} B", env).collect()[0]
+    assert (r["bucket_start"], r["bucket_end"]) == (
+        datetime(2001, 1, 1), datetime(2001, 2, 1))        # union
+
+    with pytest.raises(NotImplementedError):
+        alg.eval("A {+,contains,d} B", env)
