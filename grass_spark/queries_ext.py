@@ -612,3 +612,48 @@ EXT_QUERIES["masked_agg"] = q_masked_agg
 EXT_ORACLES["masked_agg"] = ORACLE_MASKED_AGG
 EXT_QUERIES["weighted_quantile"] = q_weighted_quantile
 EXT_ORACLES["weighted_quantile"] = ORACLE_WEIGHTED_QUANTILE
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: split each user's event stream at >30-minute
+    inactivity gaps; per-session bounds + counts."""
+    from grass_spark.operators.sessionize import session_stats, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, 30 * 60, keys=["user_id"], ts_col="ts", order_cols=["event_id"]
+    )
+    return session_stats(sess, keys=["user_id"], ts_col="ts").select(
+        "user_id", "session_idx", "session_start", "session_end",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.col("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH l AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL
+                OR date_diff('microsecond', prev, ts) > 30*60*1000000
+              THEN 1 ELSE 0 END AS boundary
+  FROM l
+), s AS (
+  SELECT user_id, ts,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1 AS session_idx
+  FROM b
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(date_diff('microsecond', min(ts), max(ts)) / 1e6, 6) AS duration_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1, 2
+"""
+
+EXT_QUERIES["sessionize"] = q_sessionize
+EXT_ORACLES["sessionize"] = ORACLE_SESSIONIZE
