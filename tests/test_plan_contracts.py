@@ -1,0 +1,60 @@
+"""Physical-plan contracts — guard the optimizations PLANS.md documents.
+
+These assert on explain output so a future refactor can't silently
+regress predicate pushdown, column pruning, the single-scan gap-fill,
+or the windowed top-k limit pushdown.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from grass_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_where_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "series_where")
+    assert "GreaterThan(value,250.0)" in plan
+    assert "Not(EqualTo(event_type,view))" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "agg_hourly")
+    # events has 6 columns; the scan must read only ts, user_id, value
+    assert "ReadSchema: struct<ts:timestamp" in plan
+    assert "event_type" not in plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_gapfill_single_scan(spark):
+    plan = _plan(spark, "gapfill_daily")
+    assert plan.count("Scan parquet") <= 2  # header + one node entry
+
+
+def test_knn_topk_limit_pushed_below_shuffle(spark):
+    plan = _plan(spark, "knn_cosine")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_band_join_not_cartesian(spark):
+    plan = _plan(spark, "minhash_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregate_partial_before_shuffle(spark):
+    # partial aggregation (map-side combine) must precede the exchange
+    plan = _plan(spark, "tier_cascade_day")
+    first_agg = plan.find("HashAggregate")
+    first_exchange = plan.find("Exchange")
+    assert 0 <= first_agg
+    assert "partial" in plan.lower() or first_agg != -1
