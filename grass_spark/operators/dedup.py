@@ -300,3 +300,43 @@ def dedup_clusters(
             break
     edges.unpersist()
     return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate removal decision per document:
+
+    1. MinHash signatures -> banded LSH candidate pairs (sub-quadratic);
+    2. exact shingle-Jaccard verification >= ``jaccard_threshold``
+       (kills LSH false positives — exact dups are a special case with
+       Jaccard 1.0, so no separate exact pass is needed);
+    3. connected components over verified pairs -> duplicate clusters;
+    4. keep the smallest id per cluster.
+
+    Returns (id_col, cluster_id, keep) for EVERY input document —
+    singletons keep themselves.  The standard training-data dedup
+    pipeline, one call.
+    """
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col,
+        n_hashes=n_hashes, shingle_n=shingle_n,
+    )
+    cands = minhash_candidates(sigs, id_col=id_col, bands=bands)
+    verified = ngram_jaccard_pairs(
+        df, cands, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    clusters = dedup_clusters(verified)
+
+    all_docs = df.select(F.col(id_col))
+    labeled = all_docs.join(
+        clusters.withColumnRenamed("id", id_col), on=id_col, how="left"
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    return labeled.withColumn("keep", F.col(id_col) == F.col("cluster_id"))

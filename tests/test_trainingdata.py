@@ -309,3 +309,31 @@ def test_ivf_nprobe_widens_recall(spark):
     n4 = ivf_topk(emb, q, cents, k=23, nprobe=4).count()
     assert n4 >= n1
     assert n4 == 23  # all candidates reachable with every cell probed
+
+
+def test_near_dedup_end_to_end(spark, docs):
+    from grass_spark.operators.dedup import near_dedup
+
+    # one changed word in a ~25-word doc gives 3-gram Jaccard ~0.77
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_dedup(docs, jaccard_threshold=0.7).collect()
+    }
+    assert out[1] == (1, True)     # cluster head
+    assert out[4] == (1, False)    # exact dup of 1
+    assert out[2] == (1, False)    # near dup joins the cluster
+    assert out[3] == (3, True)     # unrelated singleton keeps itself
+
+
+def test_near_dedup_on_testdata(spark):
+    from grass_spark.operators.dedup import near_dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = near_dedup(d, jaccard_threshold=0.9).cache()
+    assert out.count() == 500
+    dropped = out.filter("NOT keep").count()
+    # the synthetic corpus plants ~25 near-dup pairs
+    assert dropped >= 20
+    # every cluster head is the smallest member
+    bad = out.filter("keep AND cluster_id <> doc_id").count()
+    assert bad == 0
