@@ -60,6 +60,7 @@ HEADLINE = [
     "extract_expr",
     "dedup_exact",
     "minhash_pairs",
+    "sessionize",
     "text_stats",
     "knn_cosine",
 ]
