@@ -198,3 +198,68 @@ WEIGHTED_KERNELS: dict[str, object] = {
 def weighted_kernel_expr(method: str, value_col: str, weight_col: str, alias: str | None = None) -> Column:
     builder = WEIGHTED_KERNELS[method]
     return F.expr(builder(value_col, weight_col)).alias(alias or method)  # type: ignore[operator]
+
+
+# ---------------------------------------------------------------------------
+# weighted regression kernels (lib/stats/c_reg.c:108-180, regression_w)
+# ---------------------------------------------------------------------------
+
+def _wreg_parts(v: str, i: str, w: str) -> dict[str, str]:
+    """The exact aggregates of regression_w: count = Σw over non-null
+    values; x is the original input index weighted by w."""
+    flt = f"FILTER (WHERE {v} IS NOT NULL)"
+    cnt = f"sum({w}) {flt}"
+    xbar = f"(sum({i} * {w}) {flt}) / ({cnt})"
+    ybar = f"(sum({v} * {w}) {flt}) / ({cnt})"
+    numer = f"((sum({i} * {v} * {w}) {flt}) - ({cnt}) * ({xbar}) * ({ybar}))"
+    denom = f"((sum({i} * {i} * {w}) {flt}) - ({cnt}) * ({xbar}) * ({xbar}))"
+    denom2 = f"((sum({v} * {v} * {w}) {flt}) - ({cnt}) * ({ybar}) * ({ybar}))"
+    return {"cnt": cnt, "xbar": xbar, "ybar": ybar,
+            "numer": numer, "denom": denom, "denom2": denom2}
+
+
+def _wreg_guard(sql: str, cnt: str) -> str:
+    # count < 2 -> NULL (c_reg.c:128-131); NaN -> NULL (c_reg.c:177-178)
+    return f"CASE WHEN ({cnt}) < 2 THEN NULL ELSE {_nan_to_null(sql)} END"
+
+
+def _w_slope(v, i, w):
+    p = _wreg_parts(v, i, w)
+    return _wreg_guard(f"({p['numer']}) / ({p['denom']})", p["cnt"])
+
+
+def _w_offset(v, i, w):
+    p = _wreg_parts(v, i, w)
+    return _wreg_guard(
+        f"({p['ybar']}) - ({p['xbar']}) * ({p['numer']}) / ({p['denom']})",
+        p["cnt"],
+    )
+
+
+def _w_detcoeff(v, i, w):
+    p = _wreg_parts(v, i, w)
+    rsq = f"(({p['numer']}) * ({p['numer']})) / (({p['denom']}) * ({p['denom2']}))"
+    return _wreg_guard(rsq, p["cnt"])
+
+
+def _w_tvalue(v, i, w):
+    p = _wreg_parts(v, i, w)
+    rsq = f"(({p['numer']}) * ({p['numer']})) / (({p['denom']}) * ({p['denom2']}))"
+    t = f"sqrt(({rsq}) * (({p['cnt']}) - 2) / (1.0 - ({rsq})))"
+    return _wreg_guard(t, p["cnt"])
+
+
+W_REG_KERNELS = {
+    "w_slope": _w_slope,
+    "w_offset": _w_offset,
+    "w_detcoeff": _w_detcoeff,
+    "w_tvalue": _w_tvalue,
+}
+
+
+def weighted_regression_expr(
+    method: str, value_col: str, idx_col: str, weight_col: str,
+    alias: str | None = None,
+) -> Column:
+    builder = W_REG_KERNELS[method]
+    return F.expr(builder(value_col, idx_col, weight_col)).alias(alias or method)

@@ -657,3 +657,57 @@ FROM s GROUP BY 1, 2
 
 EXT_QUERIES["sessionize"] = q_sessionize
 EXT_ORACLES["sessionize"] = ORACLE_SESSIONIZE
+
+
+def q_weighted_regression(spark, sf_dir):
+    """w_reg_* kernels (c_reg.c regression_w): weighted OLS of value
+    against the time index per event_type, weights from props.k."""
+    from pyspark.sql import Window as W
+
+    from grass_spark.functions.kernels import weighted_regression_expr
+
+    ev = _with_w(_t(spark, sf_dir, "events"))
+    idx = F.row_number().over(
+        W.partitionBy("event_type").orderBy("ts", "event_id")
+    ) - 1
+    base = ev.withColumn("idx", idx)
+    return base.groupBy("event_type").agg(
+        F.round(weighted_regression_expr("w_slope", "value", "idx", "w"), 6).alias("w_slope"),
+        F.round(weighted_regression_expr("w_offset", "value", "idx", "w"), 6).alias("w_offset"),
+        F.round(weighted_regression_expr("w_detcoeff", "value", "idx", "w"), 6).alias("w_detcoeff"),
+    )
+
+
+ORACLE_WEIGHTED_REGRESSION = """
+WITH e AS (
+  SELECT event_type, value AS v,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS w,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), a AS (
+  SELECT event_type,
+         sum(w) AS cnt,
+         sum(i * w) / sum(w) AS xbar,
+         sum(v * w) / sum(w) AS ybar,
+         sum(i * v * w) AS sxy,
+         sum(i * i * w) AS sxx,
+         sum(v * v * w) AS syy
+  FROM e GROUP BY event_type
+), b AS (
+  SELECT event_type, cnt, xbar, ybar,
+         sxy - cnt * xbar * ybar AS numer,
+         sxx - cnt * xbar * xbar AS denom,
+         syy - cnt * ybar * ybar AS denom2
+  FROM a
+)
+SELECT event_type,
+       CASE WHEN cnt < 2 THEN NULL ELSE round(numer / denom, 6) END AS w_slope,
+       CASE WHEN cnt < 2 THEN NULL
+            ELSE round(ybar - xbar * numer / denom, 6) END AS w_offset,
+       CASE WHEN cnt < 2 THEN NULL
+            ELSE round(numer * numer / (denom * denom2), 6) END AS w_detcoeff
+FROM b
+"""
+
+EXT_QUERIES["weighted_regression"] = q_weighted_regression
+EXT_ORACLES["weighted_regression"] = ORACLE_WEIGHTED_REGRESSION

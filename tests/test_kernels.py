@@ -97,3 +97,49 @@ def test_range_mask(spark):
     df = spark.createDataFrame([(1.0,), (5.0,), (100.0,)], "v double")
     got = df.select(masked("v", 0, 10).alias("m")).agg(F.sum("m")).collect()[0][0]
     assert got == 6.0
+
+
+# ---------------- weighted regression (c_reg.c regression_w) ----------------
+
+
+def test_weighted_regression_matches_numpy(spark):
+    import numpy as np
+    from grass_spark.functions.kernels import weighted_regression_expr
+
+    rng = np.random.default_rng(3)
+    n = 60
+    y = 3.0 * np.arange(n) + 10 + rng.normal(0, 2.0, n)
+    w = rng.integers(1, 9, n).astype(float)
+    rows = [("g", int(i), float(y[i]), float(w[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, ["g", "i", "v", "w"])
+    got = df.groupBy("g").agg(
+        weighted_regression_expr("w_slope", "v", "i", "w"),
+        weighted_regression_expr("w_offset", "v", "i", "w"),
+        weighted_regression_expr("w_detcoeff", "v", "i", "w"),
+        weighted_regression_expr("w_tvalue", "v", "i", "w"),
+    ).collect()[0]
+
+    # reference formulas (c_reg.c:108-180) in numpy
+    cnt = w.sum()
+    xbar = (np.arange(n) * w).sum() / cnt
+    ybar = (y * w).sum() / cnt
+    numer = (np.arange(n) * y * w).sum() - cnt * xbar * ybar
+    denom = (np.arange(n) ** 2 * w).sum() - cnt * xbar * xbar
+    denom2 = (y * y * w).sum() - cnt * ybar * ybar
+    rsq = numer * numer / (denom * denom2)
+    assert got["w_slope"] == pytest.approx(numer / denom, rel=1e-9)
+    assert got["w_offset"] == pytest.approx(ybar - xbar * numer / denom, rel=1e-9)
+    assert got["w_detcoeff"] == pytest.approx(rsq, rel=1e-9)
+    assert got["w_tvalue"] == pytest.approx(
+        (rsq * (cnt - 2) / (1 - rsq)) ** 0.5, rel=1e-9
+    )
+
+
+def test_weighted_regression_count_guard(spark):
+    from grass_spark.functions.kernels import weighted_regression_expr
+
+    df = spark.createDataFrame([("g", 0, 1.0, 0.5)], ["g", "i", "v", "w"])
+    got = df.groupBy("g").agg(
+        weighted_regression_expr("w_slope", "v", "i", "w")
+    ).collect()[0]
+    assert got["w_slope"] is None  # Σw = 0.5 < 2
