@@ -77,19 +77,30 @@ GROUP BY 1, 2
 
 def q_agg_daily_holistic(spark, sf_dir):
     """Holistic kernels per event_type per day: stddev/variance (population),
-    median (mean-of-middle-two), type-7 quartiles, population skew/kurtosis."""
+    median (mean-of-middle-two), type-7 quartiles, population skew/kurtosis.
+
+    The three quantiles are computed with ONE array-argument exact
+    ``percentile`` call (single sort buffer) instead of three separate
+    sort-based aggregates — the reference's multi-output single scan
+    (r.series/main.c:402-474), applied to the quantile family.
+    """
+    from grass_spark.functions.kernels import agg_exprs
+
     ev = _t(spark, sf_dir, "events")
-    out = aggregate(
-        ev, "1 day",
-        ["stddev", "variance", "median", "quart1", "quart3", "perc90",
-         "skewness", "kurtosis"],
-        keys=["event_type"], ts_col="ts", value_col="value",
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    qs = F.expr("percentile(value, array(0.25D, 0.75D, 0.90D))")
+    out = ev.groupBy("event_type", day).agg(
+        *agg_exprs(["stddev", "variance", "median", "skewness", "kurtosis"],
+                   "value"),
+        qs.alias("_q"),
     )
     return out.select(
-        "event_type",
-        F.col("bucket_start").alias("bucket"),
-        *_r6("stddev", "variance", "median", "quart1", "quart3", "perc90",
-             "skewness", "kurtosis"),
+        "event_type", "bucket",
+        *_r6("stddev", "variance", "median"),
+        F.round(F.col("_q")[0], 6).alias("quart1"),
+        F.round(F.col("_q")[1], 6).alias("quart3"),
+        F.round(F.col("_q")[2], 6).alias("perc90"),
+        *_r6("skewness", "kurtosis"),
     )
 
 

@@ -193,3 +193,26 @@ def test_aggregate_relative_where_and_origin(spark):
         df, 100, ["minimum"], ts_col="t", where="t >= 28"
     ).collect()
     assert out[0]["minimum"] == 300.0
+
+
+def test_parallel_aggregation_golden_540(spark):
+    """Mirror of test_aggregation_absolute_parallel.py:29-80: 540
+    instants at 4-hour steps aggregated to 12 hours and 1 day — bucket
+    counts and per-bucket membership must be exact."""
+    t0 = dt(2001, 1, 1)
+    rows = [
+        ("c1", k, t0 + timedelta(hours=4 * k), float(k)) for k in range(540)
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts", "value"])
+    from grass_spark.operators.aggregate import aggregate
+
+    h12 = aggregate(df, "12 hours", ["count", "sum"], value_col="value")
+    assert h12.count() == 180            # 540 * 4h / 12h
+    assert h12.filter("count <> 3").count() == 0
+    d1 = aggregate(df, "1 day", ["count", "minimum", "maximum"], value_col="value")
+    assert d1.count() == 90
+    assert d1.filter("count <> 6").count() == 0
+    first = d1.orderBy("bucket_start").first()
+    assert first["minimum"] == 0.0 and first["maximum"] == 5.0
+    # total conservation through both granularities
+    assert h12.agg(F.sum("sum")).collect()[0][0] == sum(range(540))
