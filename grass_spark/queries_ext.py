@@ -711,3 +711,27 @@ FROM b
 
 EXT_QUERIES["weighted_regression"] = q_weighted_regression
 EXT_ORACLES["weighted_regression"] = ORACLE_WEIGHTED_REGRESSION
+
+
+def q_what_long(spark, sf_dir):
+    """t.rast.what long/text output: sampled users' raw values across
+    time in long format (t.rast.what.py layout=row)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id").isin(*WHAT_USERS))
+        .select(
+            "user_id",
+            F.col("ts").alias("sample_time"),
+            F.round("value", 6).alias("value"),
+            "event_type",
+        )
+    )
+
+
+ORACLE_WHAT_LONG = f"""
+SELECT user_id, ts AS sample_time, round(value, 6) AS value, event_type
+FROM events WHERE user_id IN {WHAT_USERS}
+"""
+
+EXT_QUERIES["what_long"] = q_what_long
+EXT_ORACLES["what_long"] = ORACLE_WHAT_LONG
