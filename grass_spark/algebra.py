@@ -12,19 +12,45 @@ Supported surface (the load-bearing subset of the reference grammar):
 
 * arithmetic ``+ - * / %`` between datasets (implicit *equal* temporal
   join, left extent policy) and scalars; explicit
-  ``{op,relations,policy}`` is parsed, with ``equal``/``l`` supported;
-* comparisons ``< <= > >= == !=`` and boolean ``&& ||``;
-* ``if(cond, then[, else])`` conditionals (``temporal_algebra.py:3073``);
+  ``{op,relations,policy}`` with policies ``l r u i d``
+  (``temporal_operator.py:69-99``; ``d`` = disjoint union,
+  ``temporal_extent.py:210-258``);
+* comparisons ``< <= > >= == !=`` and boolean ``&& ||``, plus the
+  parameterized ``{&&,relations,aggregate,policy}`` /
+  ``{||,...}`` comparison (``temporal_algebra.py:2915-2976``,
+  ``compare_bool_value`` at ``temporal_algebra.py:1666-1744``);
+* the hash operator ``A # B`` and ``A {#,relations} B`` — per left
+  granule, the count of temporally related right granules
+  (``temporal_algebra.py:2710-2747``, ``count_map=True`` branch of
+  ``build_spatio_temporal_topology_list`` at ``:1609-1620``);
+* ``if(cond, then[, else])`` conditionals — map-valued conditions
+  (value join) and time-variable conditions (per-branch filters with
+  the else branch taking the inverse rows, mirroring
+  ``eval_condition_list(inverse=True)``,
+  ``temporal_algebra.py:3073-3230``); the relation-parameterized
+  ``if({relations}, cond, then[, else])`` form joins branch granules
+  to condition granules via Allen relations
+  (``build_condition_list`` + ``assign_bool_value``, ``:1630-1664``);
 * selection ``A : B`` / anti-selection ``A !: B``
-  (``temporal_algebra.py:2977-3071``) — semi/anti equal-join;
+  (``temporal_algebra.py:2977-3071``) — semi/anti equal-join, plus
+  ``{:,relations}`` / ``{!:,relations}``;
 * ``merge(A, B)`` dataset union (``temporal_algebra.py:2651-2709``);
+* extent surgery *inside expressions*: ``buff_t(A, "n unit"|n)``
+  (``temporal_algebra.py:3231-3270``, ``temporal_buffer`` at
+  ``abstract_map_dataset.py:719-817``: start-inc, coalesce(end,start)
+  +inc), ``tsnap(A)`` and ``tshift(A, "n unit"|n)``
+  (``temporal_algebra.py:3272-3329``);
 * r.mapcalc scalar functions (``lib/calc/function.c:3-76``): exp, log,
   sqrt, abs, sin, cos, tan, asin, acos, atan, int, float, double,
   round, ceil, floor, pow, isnull, isntnull, null(), min, max;
 * temporal accessors (``temporal_algebra.py:499-549``): td(),
-  start_time(), start_doy(), start_dow(), start_year(), start_month(),
-  start_week(), start_day(), start_hour(), start_minute(),
-  start_second().
+  start_time(), start_date(), start_datetime(), start_doy(),
+  start_dow(), start_year(), start_month(), start_week(),
+  start_day(), start_hour(), start_minute(), start_second(), and the
+  ``end_*`` twins (interval datasets only);
+* quoted datetime literals (``"2005-06-01"``) for use in comparisons
+  with the accessors (the lexer's DATETIME/DATE/TIME tokens,
+  ``temporal_algebra.py:620-650``).
 
 Every dataset is a DataFrame with key columns, a bucket/time column and
 a value column; the evaluator normalizes them to (keys..., __time,
@@ -46,9 +72,10 @@ from pyspark.sql import functions as F
 _TOKEN_RE = re.compile(
     r"\s*(?:"
     r"(?P<num>\d+\.\d*|\.\d+|\d+)"
+    r"|(?P<str>\"[^\"]*\"|'[^']*')"
     r"|(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
     r"|(?P<topr>\{[^}]*\})"
-    r"|(?P<op>!:|&&|\|\||==|!=|<=|>=|[-+*/%():,<>])"
+    r"|(?P<op>!:|&&|\|\||==|!=|<=|>=|[-+*/%():,<>#])"
     r")"
 )
 
@@ -63,13 +90,50 @@ def tokenize(s: str) -> list[tuple[str, str]]:
                 break
             raise SyntaxError(f"bad token at: {rest[:20]!r}")
         pos = m.end()
-        for kind in ("num", "name", "topr", "op"):
+        for kind in ("num", "str", "name", "topr", "op"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
                 break
     out.append(("end", ""))
     return out
+
+
+# extent-policy aliases accepted inside {…} operators
+# (temporal_operator.py temporal_symbol: l/left r/right u/union
+#  d/disjoint i/intersect)
+_POLICY_ALIAS = {
+    "l": "l", "left": "l", "r": "r", "right": "r",
+    "u": "u", "union": "u", "d": "d", "disjoint": "d",
+    "i": "i", "intersect": "i",
+}
+
+
+def _parse_topr(spec: str):
+    """Split a ``{op,relations[,aggregate][,policy]}`` operator.
+
+    Returns (op, relations, aggregate, policy).  ``aggregate`` is only
+    meaningful for the ``&&``/``||`` comparison form
+    (temporal_operator.py optype='boolean' doctests); it defaults to
+    the comparison's own connector (``&&``→``&``, ``||``→``|``).
+    """
+    parts = [p.strip() for p in spec.strip("{}").split(",")]
+    op = parts[0]
+    rels = tuple(
+        r.strip() for r in (parts[1].split("|") if len(parts) > 1 and parts[1] else ["equal"])
+    )
+    aggregate = None
+    policy = "l"
+    for extra in parts[2:]:
+        if extra in ("&", "|"):
+            aggregate = extra
+        elif extra in _POLICY_ALIAS:
+            policy = _POLICY_ALIAS[extra]
+        elif extra:
+            raise SyntaxError(f"bad temporal-operator component {extra!r}")
+    if aggregate is None:
+        aggregate = "&" if op == "&&" else "|"
+    return op, rels, aggregate, policy
 
 
 # ---------------------------------------------------------------------------
@@ -80,6 +144,11 @@ def tokenize(s: str) -> list[tuple[str, str]]:
 @dataclass
 class Num:
     v: float
+
+
+@dataclass
+class Str:
+    v: str
 
 
 @dataclass
@@ -94,12 +163,21 @@ class Bin:
     b: object
     relations: tuple[str, ...] = ("equal",)
     policy: str = "l"
+    aggregate: str = "&"  # only used by the {&&,…}/{||,…} comparison
+
+
+@dataclass
+class Hash:
+    a: object
+    b: object
+    relations: tuple[str, ...] = ("equal",)
 
 
 @dataclass
 class Call:
     fn: str
     args: list
+    relations: tuple[str, ...] | None = None  # if({relations}, …) form
 
 
 @dataclass
@@ -110,8 +188,22 @@ class Select:
     relations: tuple[str, ...] = ("equal",)
 
 
+def _topr_kind(v: str) -> str:
+    """Classify a {…} operator token by its leading function symbol."""
+    head = v.strip("{}").split(",")[0].strip()
+    if head in (":", "!:"):
+        return "select"
+    if head == "#":
+        return "hash"
+    if head in ("&&", "||"):
+        return "comp"
+    if head in ("+", "-", "*", "/", "%"):
+        return "arith"
+    return "relation"  # bare {equal|during} — used by if({rel}, …)
+
+
 class Parser:
-    """Precedence-climbing parser: ||  &&  cmp  + -  * / %  unary  atom."""
+    """Precedence climbing: ||  &&  cmp  #  select(:)  + -  * / %  unary."""
 
     def __init__(self, tokens: list[tuple[str, str]]):
         self.toks = tokens
@@ -133,26 +225,52 @@ class Parser:
             raise SyntaxError(f"trailing input at {self.peek()[1]!r}")
         return e
 
+    def _peek_topr(self, kind: str) -> bool:
+        k, v = self.peek()
+        return k == "topr" and _topr_kind(v) == kind
+
     def or_expr(self):
         e = self.and_expr()
-        while self.peek() == ("op", "||"):
-            self.eat()
-            e = Bin("||", e, self.and_expr())
-        return e
+        while True:
+            if self.peek() == ("op", "||"):
+                self.eat()
+                e = Bin("||", e, self.and_expr())
+            elif self._peek_topr("comp") and self.peek()[1].strip("{}").split(",")[0].strip() == "||":
+                op, rels, agg, pol = _parse_topr(self.eat("topr"))
+                e = Bin(op, e, self.and_expr(), relations=rels, policy=pol, aggregate=agg)
+            else:
+                return e
 
     def and_expr(self):
         e = self.cmp_expr()
-        while self.peek() == ("op", "&&"):
-            self.eat()
-            e = Bin("&&", e, self.cmp_expr())
-        return e
+        while True:
+            if self.peek() == ("op", "&&"):
+                self.eat()
+                e = Bin("&&", e, self.cmp_expr())
+            elif self._peek_topr("comp") and self.peek()[1].strip("{}").split(",")[0].strip() == "&&":
+                op, rels, agg, pol = _parse_topr(self.eat("topr"))
+                e = Bin(op, e, self.cmp_expr(), relations=rels, policy=pol, aggregate=agg)
+            else:
+                return e
 
     def cmp_expr(self):
-        e = self.select_expr()
+        e = self.hash_expr()
         while self.peek()[0] == "op" and self.peek()[1] in ("<", "<=", ">", ">=", "==", "!="):
             op = self.eat()
-            e = Bin(op, e, self.select_expr())
+            e = Bin(op, e, self.hash_expr())
         return e
+
+    def hash_expr(self):
+        e = self.select_expr()
+        while True:
+            if self.peek() == ("op", "#"):
+                self.eat()
+                e = Hash(e, self.select_expr())
+            elif self._peek_topr("hash"):
+                _, rels, _, _ = _parse_topr(self.eat("topr"))
+                e = Hash(e, self.select_expr(), relations=rels)
+            else:
+                return e
 
     def select_expr(self):
         e = self.add_expr()
@@ -161,16 +279,11 @@ class Parser:
             if k == "op" and v in (":", "!:"):
                 self.eat()
                 e = Select(e, self.add_expr(), negate=v == "!:")
-            elif k == "topr" and v.strip("{}").split(",")[0].strip() in (":", "!:"):
+            elif k == "topr" and _topr_kind(v) == "select":
                 # parameterized select {:,relations[,policy]} —
                 # temporal_algebra.py:2977-3072
-                spec = self.eat("topr").strip("{}")
-                parts = [p.strip() for p in spec.split(",")]
-                rels = tuple(
-                    r.strip()
-                    for r in (parts[1].split("|") if len(parts) > 1 and parts[1] else ["equal"])
-                )
-                e = Select(e, self.add_expr(), negate=parts[0] == "!:", relations=rels)
+                op, rels, _, _ = _parse_topr(self.eat("topr"))
+                e = Select(e, self.add_expr(), negate=op == "!:", relations=rels)
             else:
                 return e
 
@@ -181,25 +294,11 @@ class Parser:
             if k == "op" and v in ("+", "-"):
                 self.eat()
                 e = Bin(v, e, self.mul_expr())
-            elif k == "topr":
-                if v.strip("{}").split(",")[0].strip() in (":", "!:"):
-                    return e  # parameterized select — handled one level up
-                e = self._temporal_op(e)
+            elif k == "topr" and _topr_kind(v) == "arith":
+                op, rels, _, pol = _parse_topr(self.eat("topr"))
+                e = Bin(op, e, self.mul_expr(), relations=rels, policy=pol)
             else:
                 return e
-
-    def _temporal_op(self, left):
-        spec = self.eat("topr").strip("{}")
-        parts = [p.strip() for p in spec.split(",")]
-        op = parts[0]
-        relations = tuple(
-            r.strip() for r in (parts[1].split("|") if len(parts) > 1 and parts[1] else ["equal"])
-        )
-        policy = parts[2] if len(parts) > 2 else "l"
-        if op not in ("+", "-", "*", "/", "%"):
-            raise SyntaxError(f"unsupported temporal operator function {op!r}")
-        right = self.mul_expr()
-        return Bin(op, left, right, relations=relations, policy=policy)
 
     def mul_expr(self):
         e = self.unary()
@@ -219,18 +318,29 @@ class Parser:
         if k == "num":
             self.eat()
             return Num(float(v))
+        if k == "str":
+            self.eat()
+            return Str(v[1:-1])
         if k == "name":
             self.eat()
             if self.peek() == ("op", "("):
                 self.eat()
-                args = []
+                args, rels = [], None
+                if self._peek_topr("relation"):
+                    # if({equal|during}, cond, then[, else]) — the bare
+                    # T_REL_OPERATOR form: the whole {…} body is the
+                    # relation list (temporal_algebra.py:3097-3128,
+                    # 3171-3230)
+                    spec = self.eat("topr").strip("{}")
+                    rels = tuple(r.strip() for r in spec.split("|"))
+                    self.eat("op", ",")
                 if self.peek() != ("op", ")"):
                     args.append(self.or_expr())
                     while self.peek() == ("op", ","):
                         self.eat()
                         args.append(self.or_expr())
                 self.eat("op", ")")
-                return Call(v, args)
+                return Call(v, args, relations=rels)
             return Ref(v)
         if k == "op" and v == "(":
             self.eat()
@@ -260,8 +370,12 @@ _SCALAR_FNS = {
 
 _TIME_FNS = {
     "start_time": lambda t, e: t,
+    "start_date": lambda t, e: F.to_date(t),
+    "start_datetime": lambda t, e: t,
     "start_doy": lambda t, e: F.dayofyear(t),
-    "start_dow": lambda t, e: F.dayofweek(t),
+    # isoweekday parity: Monday == 1 (temporal_algebra.py:2062
+    # ``start.isoweekday()``); Spark's dayofweek is Sunday==1
+    "start_dow": lambda t, e: F.weekday(t) + 1,
     "start_year": lambda t, e: F.year(t),
     "start_month": lambda t, e: F.month(t),
     "start_week": lambda t, e: F.weekofyear(t),
@@ -269,6 +383,20 @@ _TIME_FNS = {
     "start_hour": lambda t, e: F.hour(t),
     "start_minute": lambda t, e: F.minute(t),
     "start_second": lambda t, e: F.second(t),
+    # end_* twins (temporal_operator/datetime_functions table,
+    # temporal_algebra.py:499-548) — interval datasets only
+    "end_time": lambda t, e: e,
+    "end_date": lambda t, e: F.to_date(e),
+    "end_datetime": lambda t, e: e,
+    "end_doy": lambda t, e: F.dayofyear(e),
+    "end_dow": lambda t, e: F.weekday(e) + 1,
+    "end_year": lambda t, e: F.year(e),
+    "end_month": lambda t, e: F.month(e),
+    "end_week": lambda t, e: F.weekofyear(e),
+    "end_day": lambda t, e: F.dayofmonth(e),
+    "end_hour": lambda t, e: F.hour(e),
+    "end_minute": lambda t, e: F.minute(e),
+    "end_second": lambda t, e: F.second(e),
     "td": lambda t, e: (F.unix_micros(e) - F.unix_micros(t)) / 1e6,
 }
 
@@ -345,59 +473,110 @@ class TemporalAlgebra:
     def _join_cols(self, df: DataFrame) -> list[str]:
         return [*self.keys, "__time"]
 
+    @staticmethod
+    def _end_of(df: DataFrame) -> Column:
+        return (
+            F.col("__end") if "__end" in df.columns
+            else F.lit(None).cast("timestamp")
+        )
+
+    def _b_side(self, b: DataFrame) -> DataFrame:
+        """Rename b's columns for a non-equi relation join."""
+        return b.select(
+            *[F.col(k).alias(f"__b_{k}") for k in self.keys],
+            F.col("__time").alias("__b_time"),
+            self._end_of(b).alias("__b_end"),
+            F.col("__val").alias("__val_r"),
+        )
+
+    def _rel_cond(self, a: DataFrame, relations) -> Column:
+        from grass_spark.functions import relations as _rel
+
+        cond = _rel.any_relation(
+            list(relations), F.col("__time"), self._end_of(a),
+            F.col("__b_time"), F.col("__b_end"),
+        )
+        for k in self.keys:
+            cond = cond & (F.col(k) == F.col(f"__b_{k}"))
+        return cond
+
     def _eval(self, node, env):
         if isinstance(node, Num):
+            return _Scalar(F.lit(node.v))
+        if isinstance(node, Str):
             return _Scalar(F.lit(node.v))
         if isinstance(node, Ref):
             if node.name not in env:
                 raise KeyError(f"unknown dataset {node.name!r}")
             return _Frame(env[node.name])
         if isinstance(node, Select):
-            a = self._eval(node.a, env)
-            b = self._eval(node.b, env)
-            if not isinstance(a, _Frame) or not isinstance(b, _Frame):
-                raise ValueError("':' operands must be datasets")
-            how = "left_anti" if node.negate else "left_semi"
-            if set(node.relations) == {"equal"}:
-                return _Frame(
-                    a.df.join(
-                        b.df.select(*self._join_cols(b.df)),
-                        on=self._join_cols(a.df), how=how,
-                    )
-                )
-            # relation-parameterized select: semi/anti join on the Allen
-            # predicates over the extent columns (keys still equi-joined)
-            from grass_spark.functions import relations as _rel
-
-            a_e = F.col("__end") if "__end" in a.df.columns else F.lit(None).cast("timestamp")
-            bsel = b.df.select(
-                *[F.col(k).alias(f"__b_{k}") for k in self.keys],
-                F.col("__time").alias("__b_time"),
-                (F.col("__end") if "__end" in b.df.columns else F.lit(None).cast("timestamp")).alias("__b_end"),
-            )
-            cond = _rel.any_relation(
-                list(node.relations), F.col("__time"), a_e,
-                F.col("__b_time"), F.col("__b_end"),
-            )
-            for k in self.keys:
-                cond = cond & (F.col(k) == F.col(f"__b_{k}"))
-            return _Frame(a.df.join(bsel, on=cond, how=how))
+            return self._select(node, env)
+        if isinstance(node, Hash):
+            return self._hash(node, env)
         if isinstance(node, Call):
             return self._call(node, env)
         if isinstance(node, Bin):
             return self._bin(node, env)
         raise TypeError(node)
 
+    def _select(self, node: Select, env):
+        a = self._eval(node.a, env)
+        b = self._eval(node.b, env)
+        if not isinstance(a, _Frame) or not isinstance(b, _Frame):
+            raise ValueError("':' operands must be datasets")
+        how = "left_anti" if node.negate else "left_semi"
+        if set(node.relations) == {"equal"}:
+            return _Frame(
+                a.df.join(
+                    b.df.select(*self._join_cols(b.df)),
+                    on=self._join_cols(a.df), how=how,
+                )
+            )
+        # relation-parameterized select: semi/anti join on the Allen
+        # predicates over the extent columns (keys still equi-joined)
+        bsel = self._b_side(b.df).drop("__val_r")
+        return _Frame(a.df.join(bsel, on=self._rel_cond(a.df, node.relations), how=how))
+
+    def _hash(self, node: Hash, env):
+        """``A # B`` / ``A {#,relations} B`` — replace each left
+        granule's value with the count of temporally related right
+        granules (``count_map=True``,
+        ``temporal_algebra.py:1609-1620``).  Left granules with no
+        related right granule are dropped (the reference only adds a
+        map to ``resultdict`` when a relation is found); the extent is
+        always the left extent (the hash eval never applies the
+        extent operator).  One relation join + one groupBy — no
+        cross product at any scale."""
+        a = self._eval(node.a, env)
+        b = self._eval(node.b, env)
+        if not isinstance(a, _Frame) or not isinstance(b, _Frame):
+            raise ValueError("'#' operands must be datasets")
+        ident = [*self.keys, "__time"] + (["__end"] if "__end" in a.df.columns else [])
+        if set(node.relations) == {"equal"}:
+            bb = b.df.groupBy(*self._join_cols(b.df)).agg(
+                F.count(F.lit(1)).alias("__cnt")
+            )
+            joined = a.df.drop("__val").join(bb, on=self._join_cols(a.df), how="inner")
+            return _Frame(joined.withColumnRenamed("__cnt", "__val"))
+        bsel = self._b_side(b.df).drop("__val_r")
+        joined = a.df.drop("__val").join(
+            bsel, on=self._rel_cond(a.df, node.relations), how="inner"
+        )
+        out = joined.groupBy(*ident).agg(F.count(F.lit(1)).alias("__val"))
+        return _Frame(out)
+
     def _bin(self, node: Bin, env):
         a = self._eval(node.a, env)
         b = self._eval(node.b, env)
         fn = _BIN_COL[node.op]
-        if node.policy not in ("l", "r", "u", "i"):
+        if node.policy not in ("l", "r", "u", "i", "d"):
             raise NotImplementedError(
                 f"temporal extent policy {node.policy!r} not supported "
-                "(l | r | u | i)"
+                "(l | r | u | i | d)"
             )
         if isinstance(a, _Frame) and isinstance(b, _Frame):
+            if node.op in ("&&", "||") and set(node.relations) != {"equal"}:
+                return self._comp_join(a, b, node)
             if set(node.relations) == {"equal"}:
                 bb = b.df.select(
                     *self._join_cols(b.df), F.col("__val").alias("__val_r")
@@ -422,54 +601,53 @@ class TemporalAlgebra:
     def _as_col(s: _Scalar) -> Column:
         return s.col
 
+    def _policy_extent(self, a_df: DataFrame, policy: str):
+        """(new_time, new_end, keep_pair) under an extent policy.
+
+        Mirrors ``temporal_extent.py``: ``u`` (union) and ``i``
+        (intersect) return None — drop the pair — when the extents are
+        strictly before/after each other; ``d`` (disjoint union) always
+        spans min(start)…max(end) (``temporal_extent.py:210-258``,
+        ``:399-436``).  ``i`` with an instant operand yields the
+        instant (``temporal_extent.py:119-146``)."""
+        a_t, a_e = F.col("__time"), self._end_of(a_df)
+        b_t, b_e = F.col("__b_time"), F.col("__b_end")
+        a_hi = F.coalesce(a_e, a_t)
+        b_hi = F.coalesce(b_e, b_t)
+        disjoint = (a_hi < b_t) | (b_hi < a_t)
+        keep = F.lit(True)
+        if policy == "l":
+            t, e = a_t, a_e
+        elif policy == "r":
+            t, e = b_t, b_e
+        elif policy in ("u", "d"):
+            t = F.least(a_t, b_t)
+            e = F.greatest(a_hi, b_hi)
+            if policy == "u":
+                keep = ~disjoint
+        else:  # "i"
+            t = F.when(a_e.isNull(), a_t).when(b_e.isNull(), b_t).otherwise(
+                F.greatest(a_t, b_t)
+            )
+            e = F.when(a_e.isNull() | b_e.isNull(), F.lit(None).cast("timestamp")).otherwise(
+                F.least(a_hi, b_hi)
+            )
+            keep = ~disjoint
+        return t, e, keep
+
     def _relation_join(self, a, b, fn, relations, policy):
         """Arithmetic across datasets related by arbitrary Allen
         relations (``A {+,during,u} B`` — temporal_raster_base_algebra
         spatio-temporal operators).  Keys stay equi-joined; extents join
         on the relation predicates; the result extent follows the
-        policy: l=left, r=right, u=union, i=intersection
-        (temporal_operator.py doctests)."""
-        from grass_spark.functions import relations as _rel
-
-        a_end = (
-            F.col("__end") if "__end" in a.df.columns
-            else F.lit(None).cast("timestamp")
-        )
-        bsel = b.df.select(
-            *[F.col(k).alias(f"__b_{k}") for k in self.keys],
-            F.col("__time").alias("__b_time"),
-            (
-                F.col("__end") if "__end" in b.df.columns
-                else F.lit(None).cast("timestamp")
-            ).alias("__b_end"),
-            F.col("__val").alias("__val_r"),
-        )
-        cond = _rel.any_relation(
-            list(relations), F.col("__time"), a_end,
-            F.col("__b_time"), F.col("__b_end"),
-        )
-        for k in self.keys:
-            cond = cond & (F.col(k) == F.col(f"__b_{k}"))
-        joined = a.df.join(bsel, on=cond, how="inner")
-
-        if policy == "l":
-            t, e = F.col("__time"), a_end
-        elif policy == "r":
-            t, e = F.col("__b_time"), F.col("__b_end")
-        elif policy == "u":
-            t = F.least(F.col("__time"), F.col("__b_time"))
-            e = F.greatest(
-                F.coalesce(a_end, F.col("__time")),
-                F.coalesce(F.col("__b_end"), F.col("__b_time")),
-            )
-        else:  # "i"
-            t = F.greatest(F.col("__time"), F.col("__b_time"))
-            e = F.least(
-                F.coalesce(a_end, F.col("__time")),
-                F.coalesce(F.col("__b_end"), F.col("__b_time")),
-            )
+        policy: l=left, r=right, u=union, i=intersection, d=disjoint
+        union (temporal_operator.py doctests)."""
+        bsel = self._b_side(b.df)
+        joined = a.df.join(bsel, on=self._rel_cond(a.df, relations), how="inner")
+        t, e, keep = self._policy_extent(a.df, policy)
         out = (
-            joined.withColumn("__val", fn(F.col("__val"), F.col("__val_r")))
+            joined.where(keep)
+            .withColumn("__val", fn(F.col("__val"), F.col("__val_r")))
             .withColumn("__new_time", t)
             .withColumn("__new_end", e)
             .drop("__time", "__end", "__val_r", "__b_time", "__b_end",
@@ -479,12 +657,139 @@ class TemporalAlgebra:
         )
         return _Frame(out)
 
+    def _comp_join(self, a, b, node: Bin):
+        """Parameterized boolean comparison ``A {&&,relations,agg,
+        policy} B`` (``compare_bool_value``,
+        ``temporal_algebra.py:1666-1744``): per left granule, the
+        related right granules' boolean values are folded with the
+        aggregate connector (``&`` = all, ``|`` = any) and the result
+        combined with the left value via the comparison operator.
+        Left granules with no related right granule are dropped.  For
+        policies u/i/d the reference mutates the left extent once per
+        related map, accumulating — equivalent to aggregating min/max
+        over the matched set, which is what the groupBy computes."""
+        bsel = self._b_side(b.df)
+        joined = a.df.join(bsel, on=self._rel_cond(a.df, node.relations), how="inner")
+        agg_fn = F.bool_and if node.aggregate == "&" else F.bool_or
+        a_t, a_e = F.col("__time"), self._end_of(a.df)
+        b_t = F.col("__b_time")
+        b_hi = F.coalesce(F.col("__b_end"), b_t)
+        a_hi = F.coalesce(a_e, a_t)
+        ident = [*self.keys, "__time"] + (["__end"] if "__end" in a.df.columns else [])
+        grouped = joined.groupBy(*ident, F.col("__val")).agg(
+            agg_fn(F.col("__val_r")).alias("__agg"),
+            F.min(b_t).alias("__b_lo"),
+            F.max(b_hi).alias("__b_hi"),
+        )
+        comb = (
+            (F.col("__val") & F.col("__agg")) if node.op == "&&"
+            else (F.col("__val") | F.col("__agg"))
+        )
+        grouped = grouped.withColumn("__val", comb).drop("__agg")
+        if node.policy == "l":
+            return _Frame(grouped.drop("__b_lo", "__b_hi"))
+        if node.policy == "r":
+            t, e = F.col("__b_lo"), F.col("__b_hi")
+        elif node.policy in ("u", "d"):
+            t = F.least(a_t, F.col("__b_lo"))
+            e = F.greatest(a_hi, F.col("__b_hi"))
+        else:  # "i"
+            t = F.greatest(a_t, F.col("__b_lo"))
+            e = F.least(a_hi, F.col("__b_hi"))
+        out = (
+            grouped.withColumn("__new_time", t)
+            .withColumn("__new_end", e)
+            .drop("__time", "__end", "__b_lo", "__b_hi")
+            .withColumnRenamed("__new_time", "__time")
+            .withColumnRenamed("__new_end", "__end")
+        )
+        return _Frame(out)
+
+    # -- extent surgery inside expressions ---------------------------------
+    @staticmethod
+    def _increment(arg) -> tuple[int, str]:
+        """Parse a buff_t/tshift increment: Num(n) → n seconds
+        (relative-time analog), Str("n unit") → calendar-aware."""
+        from grass_spark.functions.granularity import parse_granularity
+
+        if isinstance(arg, Num):
+            return int(arg.v), "second"
+        if isinstance(arg, Str):
+            return parse_granularity(arg.v)
+        raise ValueError("increment must be a number or a quoted string")
+
+    @staticmethod
+    def _shift_ts(c: Column, num: int, unit: str) -> Column:
+        from grass_spark.functions.granularity import _UNIT_SECONDS
+
+        if unit in ("month", "year"):
+            months = num * (12 if unit == "year" else 1)
+            return F.add_months(c, months).cast("timestamp")
+        secs = num * _UNIT_SECONDS[unit]
+        return F.timestamp_micros(F.unix_micros(c.cast("timestamp")) + secs * 1_000_000)
+
+    def _buff_t(self, frame: _Frame, arg) -> _Frame:
+        """temporal_buffer (abstract_map_dataset.py:719-817):
+        start -= inc; end = coalesce(end, start) + inc — instants
+        become intervals spanning ±inc."""
+        num, unit = self._increment(arg)
+        df = frame.df
+        base_end = self._end_of(df)
+        out = df.withColumn(
+            "__new_end", self._shift_ts(F.coalesce(base_end, F.col("__time")), num, unit)
+        ).withColumn("__time", self._shift_ts(F.col("__time"), -num, unit))
+        out = out.drop("__end").withColumnRenamed("__new_end", "__end")
+        # keep column order stable: keys, __time, __end, __val
+        return _Frame(out.select(*self.keys, "__time", "__end", "__val"))
+
+    def _tsnap(self, frame: _Frame) -> _Frame:
+        """snap_map_list inside an expression
+        (abstract_space_time_dataset.py:2099-2274 via
+        temporal_algebra.py:3272-3289): end := next start per key;
+        equal starts inherit the *next* granule's end (the reference
+        clobbers ``end`` with the next map's end before the equal-start
+        branch — :2182-2198); the last granule keeps its end."""
+        from pyspark.sql import Window
+
+        df = frame.df
+        has_end = "__end" in df.columns
+        w = Window.partitionBy(*self.keys).orderBy(
+            "__time", *(["__end"] if has_end else [])
+        )
+        nxt_start = F.lead("__time").over(w)
+        own_end = self._end_of(df)
+        nxt_end = F.lead(own_end).over(w)
+        new_end = (
+            F.when(nxt_start.isNull(), own_end)
+            .when(nxt_start != F.col("__time"), nxt_start)
+            .otherwise(nxt_end)
+        )
+        out = df.withColumn("__snap_end", new_end)
+        if has_end:
+            out = out.drop("__end")
+        out = out.withColumnRenamed("__snap_end", "__end")
+        return _Frame(out.select(*self.keys, "__time", "__end", "__val"))
+
+    def _tshift(self, frame: _Frame, arg) -> _Frame:
+        num, unit = self._increment(arg)
+        df = frame.df
+        out = df.withColumn("__time", self._shift_ts(F.col("__time"), num, unit))
+        if "__end" in df.columns:
+            out = out.withColumn(
+                "__end",
+                F.when(
+                    F.col("__end").isNotNull(),
+                    self._shift_ts(F.col("__end"), num, unit),
+                ),
+            )
+        return _Frame(out)
+
     def _call(self, node: Call, env):
         name = node.fn
         if name == "null":
             return _Scalar(F.lit(None).cast("double"))
         if name in _TIME_FNS:
-            # td() resolves __end at join time — interval datasets only
+            # td()/end_*() resolve __end at join time — interval datasets only
             return _Scalar(
                 _TIME_FNS[name](F.col("__time"), F.col("__end")), time_dep=True
             )
@@ -496,6 +801,27 @@ class TemporalAlgebra:
             for f in frames[1:]:
                 out = out.unionByName(f.df, allowMissingColumns=True)
             return _Frame(out)
+        if name == "buff_t":
+            if len(node.args) != 2:
+                raise ValueError('buff_t(A, "n unit" | n)')
+            frame = self._eval(node.args[0], env)
+            if not isinstance(frame, _Frame):
+                raise ValueError("buff_t() takes a dataset")
+            return self._buff_t(frame, node.args[1])
+        if name == "tsnap":
+            if len(node.args) != 1:
+                raise ValueError("tsnap(A)")
+            frame = self._eval(node.args[0], env)
+            if not isinstance(frame, _Frame):
+                raise ValueError("tsnap() takes a dataset")
+            return self._tsnap(frame)
+        if name == "tshift":
+            if len(node.args) != 2:
+                raise ValueError('tshift(A, "n unit" | n)')
+            frame = self._eval(node.args[0], env)
+            if not isinstance(frame, _Frame):
+                raise ValueError("tshift() takes a dataset")
+            return self._tshift(frame, node.args[1])
         if name == "if":
             return self._if(node, env)
         if name in ("min", "max") and len(node.args) > 1:
@@ -550,11 +876,32 @@ class TemporalAlgebra:
             raise ValueError("if(cond, then[, else])")
         cond = self._eval(node.args[0], env)
         then = self._eval(node.args[1], env)
-        els = self._eval(node.args[2], env) if len(node.args) == 3 else _Scalar(
-            F.lit(None).cast("double")
-        )
-        if not isinstance(cond, _Frame):
-            raise ValueError("if() condition must reference a dataset")
+        els = self._eval(node.args[2], env) if len(node.args) == 3 else None
+
+        # --- time-variable condition: per-branch row filters ----------
+        # if(start_dow() < 6, A, B): the reference evaluates the
+        # condition against each branch's own granules and unions
+        # then-rows-where-true with else-rows-where-false
+        # (build_condition_list + eval_condition_list(inverse=True),
+        # temporal_algebra.py:3130-3169).
+        if isinstance(cond, _Scalar):
+            if not isinstance(then, _Frame):
+                raise ValueError("if() with a scalar condition needs a dataset branch")
+            out = then.df.where(cond.col.cast("boolean"))
+            if els is not None:
+                if not isinstance(els, _Frame):
+                    raise ValueError("if() else branch must be a dataset here")
+                out = out.unionByName(
+                    els.df.where(~cond.col.cast("boolean")),
+                    allowMissingColumns=True,
+                )
+            return _Frame(out)
+
+        # --- map-valued condition --------------------------------------
+        if els is None:
+            els = _Scalar(F.lit(None).cast("double"))
+        if node.relations is not None and set(node.relations) != {"equal"}:
+            return self._if_related(cond, then, els, node.relations)
         base = cond.df.withColumnRenamed("__val", "__cond")
 
         def attach(v, alias):
@@ -573,3 +920,37 @@ class TemporalAlgebra:
             "__val", F.when(F.col("__cond"), tcol).otherwise(ecol)
         ).drop("__cond")
         return _Frame(out.drop("__then", "__else"))
+
+    def _if_related(self, cond: _Frame, then, els, relations):
+        """``if({relations}, cond, then[, else])``
+        (temporal_algebra.py:3097-3128, 3171-3230): each branch granule
+        is kept according to the boolean fold over the condition
+        granules related to it — all related must be true
+        (``assign_bool_value``: ``all(condition_value_list)``;
+        granules with *no* related condition granule fold to True,
+        Python ``all([])``); the else branch takes the inverse rows."""
+        if not isinstance(then, _Frame):
+            raise ValueError("if({rel}, …) then-branch must be a dataset")
+
+        def flag(branch: DataFrame) -> DataFrame:
+            csel = cond.df.select(
+                *[F.col(k).alias(f"__b_{k}") for k in self.keys],
+                F.col("__time").alias("__b_time"),
+                self._end_of(cond.df).alias("__b_end"),
+                F.col("__val").alias("__cval"),
+            )
+            j = branch.join(csel, on=self._rel_cond(branch, relations), how="left")
+            ident = [*self.keys, "__time"] + (
+                ["__end"] if "__end" in branch.columns else []
+            )
+            return j.groupBy(*ident, F.col("__val")).agg(
+                F.coalesce(F.bool_and(F.col("__cval")), F.lit(True)).alias("__keep")
+            )
+
+        out = flag(then.df).where(F.col("__keep")).drop("__keep")
+        if isinstance(els, _Frame):
+            out = out.unionByName(
+                flag(els.df).where(~F.col("__keep")).drop("__keep"),
+                allowMissingColumns=True,
+            )
+        return _Frame(out)

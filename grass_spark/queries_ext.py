@@ -735,3 +735,60 @@ FROM events WHERE user_id IN {WHAT_USERS}
 
 EXT_QUERIES["what_long"] = q_what_long
 EXT_ORACLES["what_long"] = ORACLE_WHAT_LONG
+
+
+def q_algebra_hash(spark, sf_dir):
+    """t.rast.algebra round-2 grammar: the hash operator
+    ``D {#,contains} H`` (count of hourly granules strictly inside each
+    day granule — temporal_algebra.py:2726-2747, count_map branch at
+    :1609-1620) composed with an if/else conditional on a temporal
+    accessor (``p_expr_condition_elif``, :3130-3169): weekday days keep
+    the count, weekend days map to -1."""
+    from grass_spark.algebra import TemporalAlgebra
+
+    ev = _t(spark, sf_dir, "events")
+    usec = lambda c, s: F.timestamp_micros(F.unix_micros(c) + s * 1_000_000)  # noqa: E731
+    d = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("bucket_start"))
+        .agg(F.avg("value").alias("value"))
+        .withColumn("bucket_end", usec(F.col("bucket_start"), 86400))
+    )
+    h = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("bucket_end", usec(F.col("bucket_start"), 3600))
+    )
+    alg = TemporalAlgebra(keys=["user_id"])
+    out = alg.eval(
+        "if(start_dow() <= 5, D {#,contains} H, (D {#,contains} H) * 0 - 1)",
+        {"D": d, "H": h},
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket_start").alias("bucket"),
+        F.col("value").cast("bigint").alias("hash_cnt"),
+    )
+
+
+ORACLE_ALGEBRA_HASH = """
+WITH h AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h0
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT d.user_id, d.bucket, count(*) AS cnt
+  FROM d JOIN h ON d.user_id = h.user_id
+   AND h.h0 > d.bucket
+   AND h.h0 + INTERVAL 1 HOUR < d.bucket + INTERVAL 1 DAY
+  GROUP BY 1, 2
+)
+SELECT user_id, bucket,
+       CAST(CASE WHEN isodow(bucket) <= 5 THEN cnt ELSE -1 END AS BIGINT)
+         AS hash_cnt
+FROM c
+"""
+
+EXT_QUERIES["algebra_hash"] = q_algebra_hash
+EXT_ORACLES["algebra_hash"] = ORACLE_ALGEBRA_HASH

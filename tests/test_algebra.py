@@ -57,8 +57,8 @@ def test_relation_arithmetic_no_match_is_empty(alg, env):
 
 
 def test_unsupported_policy_raises(alg, env):
-    with pytest.raises(NotImplementedError):
-        alg.eval("A {+,equal,d} B", env)
+    with pytest.raises((NotImplementedError, SyntaxError)):
+        alg.eval("A {+,equal,x} B", env)
 
 
 def test_if_conditional(alg, env):
@@ -201,5 +201,214 @@ def test_relation_arithmetic_with_policies(alg, spark):
     assert (r["bucket_start"], r["bucket_end"]) == (
         datetime(2001, 1, 1), datetime(2001, 2, 1))        # union
 
-    with pytest.raises(NotImplementedError):
-        alg.eval("A {+,contains,d} B", env)
+    r = alg.eval("A {+,contains,d} B", env).collect()[0]
+    assert (r["bucket_start"], r["bucket_end"]) == (
+        datetime(2001, 1, 1), datetime(2001, 2, 1))        # disjoint union
+
+
+# ---------------------------------------------------------------------------
+# round-2 grammar: #, {&&,…}, buff_t/tsnap/tshift, elif/time-var if, d policy
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def rel_env(spark):
+    """A: two month-long intervals; B: day intervals, 3 inside A1, 1
+    inside A2, plus one unrelated."""
+    a = spark.createDataFrame(
+        [("c", datetime(2001, 1, 1), datetime(2001, 2, 1), 100.0),
+         ("c", datetime(2001, 3, 1), datetime(2001, 4, 1), 200.0),
+         ("c", datetime(2001, 6, 1), datetime(2001, 7, 1), 300.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    b = spark.createDataFrame(
+        [("c", datetime(2001, 1, 5), datetime(2001, 1, 6), 1.0),
+         ("c", datetime(2001, 1, 10), datetime(2001, 1, 11), 2.0),
+         ("c", datetime(2001, 1, 20), datetime(2001, 1, 21), 3.0),
+         ("c", datetime(2001, 3, 15), datetime(2001, 3, 16), 4.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    return {"A": a, "B": b}
+
+
+def test_hash_operator_relations(alg, rel_env):
+    """A {#,contains} B counts contained B granules per A granule;
+    A granules with no related B are dropped (temporal_algebra.py:
+    1609-1620 resultdict semantics)."""
+    out = alg.eval("A {#,contains} B", rel_env).orderBy("bucket_start").collect()
+    assert [(r["bucket_start"].month, r["value"]) for r in out] == [(1, 3), (3, 1)]
+    # extent stays left
+    assert out[0]["bucket_end"] == datetime(2001, 2, 1)
+
+
+def test_hash_operator_equal(alg, env):
+    out = alg.eval("A # B", env)
+    assert _vals(out) == [1, 1, 1, 1]
+
+
+def test_hash_in_comparison(alg, rel_env):
+    """if(A {#,contains} B > 1, …) — hash binds tighter than cmp."""
+    out = alg.eval("if(A {#,contains} B > 1, 1, 0)", rel_env)
+    got = [r["value"] for r in out.orderBy("bucket_start").collect()]
+    assert got == [1.0, 0.0]
+
+
+def test_disjoint_union_policy(alg, spark):
+    """{+,follows,d}: extents that don't touch still produce the
+    min-start..max-end span (temporal_extent.py:210-258); 'u' drops
+    strictly-disjoint pairs (union() returns None for before/after)."""
+    a = spark.createDataFrame(
+        [("c", datetime(2001, 1, 10), datetime(2001, 1, 12), 1.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    b = spark.createDataFrame(
+        [("c", datetime(2001, 1, 1), datetime(2001, 1, 5), 2.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    env = {"A": a, "B": b}
+    out = alg.eval("A {+,follows|precedes|after|before,d} B", env).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["bucket_start"], r["bucket_end"]) == (
+        datetime(2001, 1, 1), datetime(2001, 1, 12))
+    assert r["value"] == 3.0
+    # union policy drops the strictly-disjoint pair
+    assert alg.eval("A {+,after|before,u} B", env).count() == 0
+
+
+def test_comp_operator_parameterized(alg, spark):
+    """Boolean {&&,contains,|}: left bool && any(related bools)."""
+    a = spark.createDataFrame(
+        [("c", datetime(2001, 1, 1), datetime(2001, 2, 1), True),
+         ("c", datetime(2001, 3, 1), datetime(2001, 4, 1), True)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    b = spark.createDataFrame(
+        [("c", datetime(2001, 1, 5), datetime(2001, 1, 6), False),
+         ("c", datetime(2001, 1, 10), datetime(2001, 1, 11), True),
+         ("c", datetime(2001, 3, 15), datetime(2001, 3, 16), False)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    env = {"A": a, "B": b}
+    out = alg.eval("A {&&,contains,|} B", env).orderBy("bucket_start").collect()
+    # A1: true && (false | true) = true; A2: true && (false) = false
+    assert [r["value"] for r in out] == [True, False]
+    out = alg.eval("A {&&,contains,&} B", env).orderBy("bucket_start").collect()
+    assert [r["value"] for r in out] == [False, False]
+
+
+def test_buff_t_expression(alg, env):
+    """buff_t(A, "1 days"): start-1d, end+1d
+    (abstract_map_dataset.py:719-817)."""
+    out = alg.eval('buff_t(A, "1 days")', env).orderBy("bucket_start").collect()
+    assert out[0]["bucket_start"] == datetime(2000, 12, 31)
+    assert out[0]["bucket_end"] == datetime(2001, 1, 3)
+    assert out[0]["value"] == 100.0
+
+
+def test_buff_t_instant_becomes_interval(spark):
+    alg = TemporalAlgebra(end_col=None)
+    a = spark.createDataFrame(
+        [("c", datetime(2001, 1, 10), 5.0)],
+        ["conv_id", "bucket_start", "value"],
+    )
+    out = TemporalAlgebra(end_col="bucket_end").eval.__self__  # noqa: F841
+    alg2 = TemporalAlgebra(end_col="bucket_end")
+    res = alg2.eval('buff_t(A, "2 hours")', {"A": a}).collect()[0]
+    assert res["bucket_start"] == datetime(2001, 1, 9, 22)
+    assert res["bucket_end"] == datetime(2001, 1, 10, 2)
+
+
+def test_tshift_expression(alg, env):
+    out = alg.eval('tshift(A, "1 days")', env).orderBy("bucket_start").collect()
+    assert out[0]["bucket_start"] == datetime(2001, 1, 2)
+    assert out[0]["bucket_end"] == datetime(2001, 1, 3)
+    # numeric increment = seconds
+    out = alg.eval("tshift(A, 3600)", env).orderBy("bucket_start").collect()
+    assert out[0]["bucket_start"] == datetime(2001, 1, 1, 1)
+
+
+def test_tsnap_expression(alg, spark):
+    """tsnap closes gaps: end := next start; last keeps its end."""
+    a = spark.createDataFrame(
+        [("c", datetime(2001, 1, 1), datetime(2001, 1, 2), 1.0),
+         ("c", datetime(2001, 1, 5), datetime(2001, 1, 6), 2.0),
+         ("c", datetime(2001, 1, 9), datetime(2001, 1, 10), 3.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    out = alg.eval("tsnap(A)", {"A": a}).orderBy("bucket_start").collect()
+    assert [r["bucket_end"] for r in out] == [
+        datetime(2001, 1, 5), datetime(2001, 1, 9), datetime(2001, 1, 10)]
+
+
+def test_tsnap_equal_starts_inherit_next_end(alg, spark):
+    """Reference quirk (abstract_space_time_dataset.py:2182-2198): with
+    equal start stamps the earlier row inherits the *next* row's end
+    (the loop clobbers ``end`` with maps[i+1]'s end)."""
+    a = spark.createDataFrame(
+        [("c", datetime(2001, 1, 1), datetime(2001, 1, 2), 1.0),
+         ("c", datetime(2001, 1, 1), datetime(2001, 1, 3), 2.0),
+         ("c", datetime(2001, 1, 8), datetime(2001, 1, 9), 3.0)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    out = alg.eval("tsnap(A)", {"A": a}).orderBy("bucket_start", "value").collect()
+    # row1 (end 1/2) has equal-start twin -> inherits twin's end 1/3
+    assert out[0]["bucket_end"] == datetime(2001, 1, 3)
+    # row2 snaps to next start 1/8
+    assert out[1]["bucket_end"] == datetime(2001, 1, 8)
+    assert out[2]["bucket_end"] == datetime(2001, 1, 9)
+
+
+def test_if_time_variable_condition_else(alg, env):
+    """if(start_day() <= 2, A, B) — per-branch filter + inverse union
+    (temporal_algebra.py:3130-3169 'elif' production)."""
+    out = alg.eval("if(start_day() <= 2, A, B)", env)
+    got = _vals(out)
+    assert got == [100.0, 200.0, 30.0, 40.0]
+    # no-else variant filters only
+    out = alg.eval("if(start_day() <= 2, A)", env)
+    assert _vals(out) == [100.0, 200.0]
+
+
+def test_if_datetime_literal_condition(alg, env):
+    out = alg.eval('if(start_datetime() < "2001-01-03", A, B)', env)
+    assert _vals(out) == [100.0, 200.0, 30.0, 40.0]
+    out = alg.eval('if(start_date() == "2001-01-02", A)', env)
+    assert _vals(out) == [200.0]
+
+
+def test_end_accessors(alg, env):
+    got = _vals(alg.eval("A * 0 + end_day()", env))
+    assert got == [2.0, 3.0, 4.0, 5.0]
+    out = alg.eval('if(end_datetime() < "2001-01-03", A)', env)
+    assert _vals(out) == [100.0]
+
+
+def test_if_relation_parameterized(alg, rel_env, spark):
+    """if({during}, cond, then, else): branch granules keep/flip by the
+    fold over related condition granules; unrelated granules fold True
+    (assign_bool_value all([]) semantics)."""
+    cond = spark.createDataFrame(
+        [("c", datetime(2001, 1, 1), datetime(2001, 2, 1), True),
+         ("c", datetime(2001, 3, 1), datetime(2001, 4, 1), False)],
+        ["conv_id", "bucket_start", "bucket_end", "value"],
+    )
+    b = rel_env["B"]
+    out = alg.eval("if({during}, C, B)", {"C": cond, "B": b})
+    got = sorted(r["value"] for r in out.collect())
+    # Jan B-rows (1,2,3) are during C-true; Mar row (4) during C-false -> dropped
+    assert got == [1.0, 2.0, 3.0]
+    # with else: the Mar row comes from the else branch
+    out = alg.eval("if({during}, C, B, B)", {"C": cond, "B": b})
+    assert sorted(r["value"] for r in out.collect()) == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_nested_expression_with_new_ops(alg, rel_env):
+    """Compose: hash + arithmetic + conditional in one expression."""
+    out = alg.eval(
+        "if(A {#,contains} B >= 2, A {+,contains,l} B, null())", rel_env
+    )
+    rows = out.orderBy("bucket_start").collect()
+    # A1 has 3 contained B rows -> kept, values 100+{1,2,3}
+    vals = sorted(r["value"] for r in rows if r["value"] is not None)
+    assert vals == [101.0, 102.0, 103.0]
