@@ -239,16 +239,11 @@ def _is_after(start, prev_start, prev_end) -> bool:
     return start > (prev_end if prev_end is not None else prev_start)
 
 
-def infer_granularity_absolute(
-    times: list[tuple[datetime, datetime | None]],
-) -> str | None:
-    """GCD granularity of interval lengths + gap lengths, in the smallest
-    observed unit — ``temporal_granularity.py:339-529``.
-
-    ``times`` is ordered by start; ``end`` may be None (instant).
-    """
-    if not times:
-        return None
+def _granularity_from_deltas(deltas) -> str | None:
+    """Shared tail of the inference: unit-bucket the delta dicts
+    exactly like ``temporal_granularity.py:339-529`` (smallest observed
+    unit wins; ``max_days`` feeds the day GCD but never gets assigned),
+    then GCD within the assigned unit."""
     units: dict[str, set[int]] = {u: set() for u in _UNIT_ORDER}
 
     def add_delta(delta: dict[str, int]) -> None:
@@ -258,14 +253,8 @@ def infer_granularity_absolute(
                 if u != "max_days":
                     break
 
-    prev_start, prev_end = times[0]
-    for start, end in times:
-        if end is not None:
-            add_delta(compute_datetime_delta(start, end))
-        if _is_after(start, prev_start, prev_end):
-            origin = prev_end if prev_end is not None else prev_start
-            add_delta(compute_datetime_delta(origin, start))
-        prev_start, prev_end = start, end
+    for delta in deltas:
+        add_delta(delta)
 
     assigned = None
     for u in _UNIT_ORDER:
@@ -284,6 +273,28 @@ def infer_granularity_absolute(
         return None
     g = math.gcd(*dlist) if len(dlist) > 1 else dlist.pop()
     return format_granularity(g, assigned)
+
+
+def infer_granularity_absolute(
+    times: list[tuple[datetime, datetime | None]],
+) -> str | None:
+    """GCD granularity of interval lengths + gap lengths, in the smallest
+    observed unit — ``temporal_granularity.py:339-529``.
+
+    ``times`` is ordered by start; ``end`` may be None (instant).
+    """
+    if not times:
+        return None
+    deltas = []
+    prev_start, prev_end = times[0]
+    for start, end in times:
+        if end is not None:
+            deltas.append(compute_datetime_delta(start, end))
+        if _is_after(start, prev_start, prev_end):
+            origin = prev_end if prev_end is not None else prev_start
+            deltas.append(compute_datetime_delta(origin, start))
+        prev_start, prev_end = start, end
+    return _granularity_from_deltas(deltas)
 
 
 def infer_granularity_relative(
@@ -308,14 +319,197 @@ def infer_granularity_relative(
     return math.gcd(*dlist) if len(dlist) > 1 else dlist.pop()
 
 
+def delta_components_col(a: Column, b: Column) -> Column:
+    """``compute_datetime_delta`` as a pure column expression — the
+    unit-decomposed delta struct of an (a, b) timestamp pair, computed
+    JVM-side with the reference's exact mixed-unit accumulation rules
+    (``datetime_math.py:507-712``).  Whole-stage-codegen'd; no Python
+    per pair."""
+    a = a.cast("timestamp")
+    b = b.cast("timestamp")
+    us = F.unix_micros
+    zero = F.lit(0)
+    max_days = F.floor((us(b) - us(a)) / F.lit(86_400_000_000)).cast("int")
+
+    year = F.year(b) - F.year(a)
+
+    both_jan = (F.month(a) == 1) & (F.month(b) == 1)
+    both_day1 = (F.dayofmonth(a) == 1) & (F.dayofmonth(b) == 1)
+    mraw = F.month(b) - F.month(a)
+    month = (
+        F.when(both_jan, zero)
+        .when(
+            both_day1,
+            F.when(mraw < 0, mraw + 12 * year)
+            .when(mraw == 0, 12 * year)
+            .otherwise(mraw),
+        )
+        .otherwise(zero)
+    )
+
+    day = F.when(both_day1, zero).otherwise(max_days)
+
+    hraw = F.hour(b) - F.hour(a)
+    hour = F.when((F.hour(a) == 0) & (F.hour(b) == 0), zero).otherwise(
+        F.when(hraw < 0, hraw + 24 + 24 * max_days).otherwise(hraw + 24 * max_days)
+    )
+
+    mnraw = F.minute(b) - F.minute(a)
+    min_carry = F.when(hour != 0, 60 * hour).otherwise(24 * 60 * max_days)
+    minute = F.when((F.minute(a) == 0) & (F.minute(b) == 0), zero).otherwise(
+        F.when(mnraw != 0, mnraw + min_carry).otherwise(min_carry)
+    )
+
+    sraw = F.second(b) - F.second(a)
+    sec_carry = (
+        F.when(minute != 0, 60 * minute)
+        .when(hour != 0, 3600 * hour)
+        .otherwise(86400 * max_days)
+    )
+    second = F.when((F.second(a) == 0) & (F.second(b) == 0), zero).otherwise(
+        F.when(sraw != 0, sraw + sec_carry).otherwise(sec_carry)
+    )
+
+    return F.struct(
+        year.alias("year"), month.alias("month"), day.alias("day"),
+        hour.alias("hour"), minute.alias("minute"), second.alias("second"),
+        max_days.alias("max_days"),
+    )
+
+
+def _normalize_delta_struct(d: Column) -> Column:
+    """Project a delta struct down to exactly the components
+    ``add_delta`` consumes (the first >0 unit in second→minute→hour
+    order wins and masks everything above it; otherwise max_days plus
+    the first of day→month→year survive).  Rows that differ only in
+    masked components collapse to one distinct row — the distinct set
+    stays minimal."""
+    zero = F.lit(0)
+
+    def pick(cond, *fields):
+        return F.struct(*[
+            (d[f] if f in fields else zero).alias(f)
+            for f in ("year", "month", "day", "hour", "minute", "second", "max_days")
+        ])
+
+    return (
+        F.when(d["second"] > 0, pick(None, "second"))
+        .when(d["minute"] > 0, pick(None, "minute"))
+        .when(d["hour"] > 0, pick(None, "hour"))
+        .when(d["day"] > 0, pick(None, "day", "max_days"))
+        .when(d["month"] > 0, pick(None, "month", "max_days"))
+        .otherwise(pick(None, "year", "max_days"))
+    )
+
+
+def distinct_delta_components(
+    df,
+    ts_col: str = "ts",
+    end_col: str | None = None,
+    keys: list[str] | None = None,
+):
+    """DISTINCT unit-decomposed deltas (interval lengths + gaps) of a
+    possibly huge table, computed entirely JVM-side.
+
+    Replaces the driver-side distinct-timestamp collect (the round-1
+    scale-killer): on raw microsecond data distinct-ts ≈ row count, but
+    a *regular* series has a handful of distinct deltas — so we compute
+    consecutive-pair deltas with ``lag`` executor-side and only the
+    distinct component structs ever reach the driver.
+
+    With ``keys``, the lag window partitions by key (embarrassingly
+    parallel).  Without keys, the distinct timestamps are
+    range-repartitioned so each task lags within its range; the P-1
+    cross-partition boundary pairs are stitched from a P-row frame.
+    Returns a DataFrame of (keys..., year, month, day, hour, minute,
+    second, max_days), distinct.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys or [])
+    sel = [*keys, F.col(ts_col).cast("timestamp").alias("__s")]
+    has_end = end_col is not None and end_col in df.columns
+    if has_end:
+        sel.append(F.col(end_col).cast("timestamp").alias("__e"))
+    d = df.select(*sel).distinct()
+
+    order = ["__s", "__e"] if has_end else ["__s"]
+    e_col = F.col("__e") if has_end else F.lit(None).cast("timestamp")
+
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(*order)
+        d = d.withColumn("__prev_s", F.lag("__s").over(w))
+        d = d.withColumn("__prev_e", F.lag(e_col).over(w))
+        pairs = d
+    else:
+        npart = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+        d = d.repartitionByRange(npart, "__s").withColumn(
+            "__part", F.spark_partition_id()
+        )
+        w = Window.partitionBy("__part").orderBy(*order)
+        inpart = d.withColumn("__prev_s", F.lag("__s").over(w)).withColumn(
+            "__prev_e", F.lag(e_col).over(w)
+        )
+        # boundary pairs: (last row of partition k) -> (first row of k+1)
+        bounds = d.groupBy("__part").agg(
+            F.min_by(F.struct("__s", e_col.alias("__e")), F.struct(*order)).alias("__first"),
+            F.max_by(F.struct("__s", e_col.alias("__e")), F.struct(*order)).alias("__last"),
+        )
+        bw = Window.orderBy("__part")  # P rows — single tiny task by design
+        boundary = (
+            bounds.withColumn("__prev", F.lag("__last").over(bw))
+            .where(F.col("__prev").isNotNull())
+            .select(
+                F.col("__first.__s").alias("__s"),
+                F.col("__first.__e").alias("__e"),
+                F.col("__prev.__s").alias("__prev_s"),
+                F.col("__prev.__e").alias("__prev_e"),
+            )
+        )
+        pairs = inpart.select("__s", e_col.alias("__e"), "__prev_s", "__prev_e").unionByName(
+            boundary
+        )
+        e_col = F.col("__e")
+
+    origin = F.coalesce(F.col("__prev_e"), F.col("__prev_s"))
+    gap = pairs.where(
+        F.col("__prev_s").isNotNull() & (F.col("__s") > origin)
+    ).select(*keys, delta_components_col(origin, F.col("__s")).alias("__d"))
+    out = gap
+    if has_end:
+        lengths = pairs.where(e_col.isNotNull()).select(
+            *keys, delta_components_col(F.col("__s"), e_col).alias("__d")
+        )
+        out = out.unionByName(lengths)
+    out = out.select(*keys, _normalize_delta_struct(F.col("__d")).alias("__d"))
+    return out.select(*keys, "__d.*").distinct()
+
+
 def infer_granularity_from_df(df, ts_col: str = "ts", end_col: str | None = None) -> str | None:
-    """Infer granularity of a (possibly huge) table: aggregate distinct
-    timestamps JVM-side first (small result), GCD on the driver — the
-    same catalog-scale split the reference uses (its inference also runs
-    over catalog rows, not pixels)."""
-    rows = df.select(F.col(ts_col).alias("s")).distinct().orderBy("s").collect()
-    times = [(r["s"], None) for r in rows]
-    return infer_granularity_absolute(times)
+    """Infer granularity of a (possibly huge) table: consecutive-pair
+    deltas are decomposed JVM-side (``distinct_delta_components``) and
+    only the distinct delta structs — a handful of rows for any regular
+    series — are collected; the unit assignment + GCD run on the
+    driver, exactly as ``temporal_granularity.py:339-529``."""
+    rows = distinct_delta_components(df, ts_col=ts_col, end_col=end_col).collect()
+    return _granularity_from_deltas([r.asDict() for r in rows])
+
+
+def infer_granularity_grouped(
+    df, keys: list[str], ts_col: str = "ts", end_col: str | None = None
+) -> list[tuple]:
+    """Per-key granularity inference: one parallel lag window partitioned
+    by key; only (key, distinct delta struct) rows reach the driver.
+    Returns [(key..., granularity_string)] sorted by key."""
+    comp = distinct_delta_components(df, ts_col=ts_col, end_col=end_col, keys=keys)
+    per_key: dict[tuple, list[dict]] = {}
+    fields = ["year", "month", "day", "hour", "minute", "second", "max_days"]
+    for r in comp.collect():
+        k = tuple(r[c] for c in keys)
+        per_key.setdefault(k, []).append({f: r[f] for f in fields})
+    return sorted(
+        (*k, _granularity_from_deltas(deltas)) for k, deltas in per_key.items()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -192,7 +192,29 @@ WEIGHTED_KERNELS: dict[str, object] = {
         f"({_wf(f'sum({w} * {v} * {v})', v)} / {_wf(f'sum({w})', v)}) - "
         f"pow({_wf(f'sum({w} * {v})', v)} / {_wf(f'sum({w})', v)}, 2)"
     ),
+    # weighted skewness (lib/stats/c_skew.c:49-105):
+    #   S3 / (W * sdev³), sdev = sqrt(S2/W), via power sums
+    #   S2 = Σwx² − W·m², S3 = Σwx³ − 3m·Σwx² + 2W·m³, m = Σwx/W
+    "w_skew": lambda v, w: _wskew_kurt_sql(v, w, kurt=False),
+    # weighted kurtosis (lib/stats/c_kurt.c:47-101). NOTE: the reference
+    # accumulates d*d*d — the THIRD power, not the fourth (c_kurt.c:82,
+    # unlike the unweighted c_kurt.c:28 which uses d⁴) — so w_kurt is
+    # S3 / (W·var²) − 3.  Replicated verbatim for parity.
+    "w_kurt": lambda v, w: _wskew_kurt_sql(v, w, kurt=True),
 }
+
+
+def _wskew_kurt_sql(v: str, w: str, *, kurt: bool) -> str:
+    W = _wf(f"sum({w})", v)
+    s1 = _wf(f"sum({w} * {v})", v)
+    s2 = _wf(f"sum({w} * {v} * {v})", v)
+    s3 = _wf(f"sum({w} * {v} * {v} * {v})", v)
+    m = f"(({s1}) / ({W}))"
+    cs2 = f"(({s2}) - ({W}) * {m} * {m})"
+    cs3 = f"(({s3}) - 3 * {m} * ({s2}) + 2 * ({W}) * {m} * {m} * {m})"
+    if kurt:
+        return _nan_to_null(f"({cs3}) / (({W}) * pow({cs2} / ({W}), 2)) - 3")
+    return _nan_to_null(f"({cs3}) / (({W}) * pow(sqrt({cs2} / ({W})), 3))")
 
 
 def weighted_kernel_expr(method: str, value_col: str, weight_col: str, alias: str | None = None) -> Column:
@@ -206,7 +228,14 @@ def weighted_kernel_expr(method: str, value_col: str, weight_col: str, alias: st
 
 def _wreg_parts(v: str, i: str, w: str) -> dict[str, str]:
     """The exact aggregates of regression_w: count = Σw over non-null
-    values; x is the original input index weighted by w."""
+    values; x is the original input index weighted by w.
+
+    Deliberate deviation: GRASS regression_w accumulates the count into
+    a C ``int`` (c_reg.c:114-126), truncating *per addition* for
+    fractional weights; this engine keeps the exact Σw.  The formulas
+    agree for integer weights (the documented use); for fractional
+    weights this engine computes the mathematically intended weighted
+    regression rather than the truncated one."""
     flt = f"FILTER (WHERE {v} IS NOT NULL)"
     cnt = f"sum({w}) {flt}"
     xbar = f"(sum({i} * {w}) {flt}) / ({cnt})"

@@ -425,23 +425,16 @@ GROUP BY 1
 
 def q_infer_granularity(spark, sf_dir):
     """Granularity inference (GCD of deltas/gaps) over each user's daily
-    buckets — returns the inferred granularity string per user.  No SQL
+    buckets — returns the inferred granularity string per user.  The
+    consecutive-delta decomposition runs JVM-side (one lag window
+    partitioned by user); only (user, distinct delta struct) rows reach
+    the driver — O(users × distinct deltas), not O(distinct ts).  No SQL
     oracle (GCD aggregation is not portably expressible): rows-only check."""
-    from grass_spark.functions.granularity import infer_granularity_absolute
+    from grass_spark.functions.granularity import infer_granularity_grouped
 
     ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
-        .distinct()
-        .orderBy("user_id", "d")
-        .collect()
-    )
-    per_user: dict = {}
-    for r in daily:
-        per_user.setdefault(r["user_id"], []).append((r["d"], None))
-    rows = [
-        (u, infer_granularity_absolute(times)) for u, times in per_user.items()
-    ]
+    daily = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+    rows = infer_granularity_grouped(daily, keys=["user_id"], ts_col="d")
     return spark.createDataFrame(rows, "user_id bigint, granularity string")
 
 
@@ -792,3 +785,40 @@ FROM c
 
 EXT_QUERIES["algebra_hash"] = q_algebra_hash
 EXT_ORACLES["algebra_hash"] = ORACLE_ALGEBRA_HASH
+
+
+def q_weighted_skew_kurt(spark, sf_dir):
+    """r.series w_skew / w_kurt weighted kernels (lib/stats/c_skew.c:
+    49-105, c_kurt.c:47-101 — incl. the reference's d³ accumulation in
+    w_kurt) per day."""
+    ev = _with_w(_t(spark, sf_dir, "events"))
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    return ev.groupBy(day).agg(
+        F.round(weighted_kernel_expr("w_skew", "value", "w"), 6).alias("w_skew"),
+        F.round(weighted_kernel_expr("w_kurt", "value", "w"), 6).alias("w_kurt"),
+    )
+
+
+ORACLE_WEIGHTED_SKEW_KURT = """
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, value AS v,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS w
+  FROM events
+), s AS (
+  SELECT bucket, sum(w) AS W, sum(w * v) AS s1,
+         sum(w * v * v) AS s2, sum(w * v * v * v) AS s3
+  FROM e GROUP BY bucket
+), c AS (
+  SELECT bucket, W,
+         s2 - W * pow(s1 / W, 2) AS cs2,
+         s3 - 3 * (s1 / W) * s2 + 2 * W * pow(s1 / W, 3) AS cs3
+  FROM s
+)
+SELECT bucket,
+       round(cs3 / (W * pow(sqrt(cs2 / W), 3)), 6) AS w_skew,
+       round(cs3 / (W * pow(cs2 / W, 2)) - 3, 6) AS w_kurt
+FROM c
+"""
+
+EXT_QUERIES["weighted_skew_kurt"] = q_weighted_skew_kurt
+EXT_ORACLES["weighted_skew_kurt"] = ORACLE_WEIGHTED_SKEW_KURT

@@ -171,3 +171,101 @@ def test_parse_granularity():
     assert parse_granularity("30 seconds") == (30, "second")
     assert parse_granularity("1 day") == (1, "day")
     assert parse_granularity("minute") == (1, "minute")
+
+
+# ---------------------------------------------------------------------------
+# distributed inference (round 2): JVM-side delta decomposition
+# ---------------------------------------------------------------------------
+
+
+def _mk_ts_df(spark, times, end=False):
+    if end:
+        return spark.createDataFrame(
+            [(s, e) for s, e in times], "ts timestamp, te timestamp"
+        )
+    return spark.createDataFrame([(t,) for t in times], "ts timestamp")
+
+
+def test_from_df_matches_driver_path(spark):
+    """infer_granularity_from_df == infer_granularity_absolute on the
+    same series, for several shapes incl. the '1209600 seconds' quirk."""
+    from datetime import datetime, timedelta
+    from grass_spark.functions.granularity import (
+        infer_granularity_absolute, infer_granularity_from_df)
+
+    shapes = [
+        [datetime(2001, m, 1) for m in range(1, 13)],                 # months
+        [datetime(2001, 1, 1) + timedelta(days=14 * i, seconds=30)
+         for i in range(6)],                                          # 1209600 s quirk
+        [datetime(2001, 1, 1) + timedelta(hours=6 * i) for i in range(40)],
+        [datetime(2001, 1, 1), datetime(2001, 1, 4), datetime(2001, 1, 10)],
+    ]
+    for times in shapes:
+        want = infer_granularity_absolute([(t, None) for t in times])
+        got = infer_granularity_from_df(_mk_ts_df(spark, times), "ts")
+        assert got == want, times[:2]
+
+
+def test_from_df_interval_lengths(spark):
+    from datetime import datetime, timedelta
+    from grass_spark.functions.granularity import (
+        infer_granularity_absolute, infer_granularity_from_df)
+
+    times = [
+        (datetime(2001, 1, 1) + timedelta(days=3 * i),
+         datetime(2001, 1, 1) + timedelta(days=3 * i + 1))
+        for i in range(10)
+    ]
+    want = infer_granularity_absolute(times)
+    got = infer_granularity_from_df(_mk_ts_df(spark, times, end=True), "ts", "te")
+    assert got == want == "1 day"
+
+
+def test_collected_rows_are_o_of_distinct_deltas(spark):
+    """The scale contract (VERDICT round-1 #2): the frame that reaches
+    the driver has O(distinct deltas) rows, not O(distinct ts)."""
+    from datetime import datetime, timedelta
+    from grass_spark.functions.granularity import distinct_delta_components
+
+    times = [datetime(2020, 1, 1) + timedelta(minutes=5 * i) for i in range(5000)]
+    comp = distinct_delta_components(_mk_ts_df(spark, times), "ts")
+    assert comp.count() == 1   # one distinct 5-minute delta for 5000 ts
+
+
+def test_delta_components_col_matches_python(spark):
+    """Column decomposition == compute_datetime_delta on awkward pairs
+    (hour wrap, minute-only, month boundaries, multi-day)."""
+    from datetime import datetime
+    from grass_spark.functions.granularity import (
+        compute_datetime_delta, delta_components_col)
+    from pyspark.sql import functions as F
+
+    pairs = [
+        (datetime(2001, 1, 1), datetime(2001, 2, 1)),
+        (datetime(2001, 1, 1), datetime(2002, 1, 1)),
+        (datetime(2001, 1, 31, 23), datetime(2001, 2, 1, 5)),
+        (datetime(2001, 1, 1, 0, 30), datetime(2001, 1, 3, 0, 10)),
+        (datetime(2001, 1, 1, 0, 0, 30), datetime(2001, 1, 1, 0, 2, 15)),
+        (datetime(2001, 1, 1, 5), datetime(2001, 1, 9, 5)),
+        (datetime(2001, 1, 1), datetime(2001, 1, 15)),
+    ]
+    df = spark.createDataFrame(pairs, "a timestamp, b timestamp")
+    rows = df.select(delta_components_col(F.col("a"), F.col("b")).alias("d")).collect()
+    for (a, b), r in zip(pairs, rows):
+        want = compute_datetime_delta(a, b)
+        got = r["d"].asDict()
+        assert got == want, (a, b)
+
+
+def test_grouped_inference(spark):
+    from datetime import datetime, timedelta
+    from grass_spark.functions.granularity import infer_granularity_grouped
+
+    rows = []
+    for i in range(12):
+        rows.append((1, datetime(2001, 1, 1) + timedelta(days=i)))
+    for i in range(12):
+        rows.append((2, datetime(2001, 1, 1) + timedelta(hours=6 * i)))
+    df = spark.createDataFrame(rows, "k int, ts timestamp")
+    got = infer_granularity_grouped(df, keys=["k"], ts_col="ts")
+    assert got == [(1, "1 day"), (2, "6 hours")]

@@ -143,3 +143,35 @@ def test_weighted_regression_count_guard(spark):
         weighted_regression_expr("w_slope", "v", "i", "w")
     ).collect()[0]
     assert got["w_slope"] is None  # Σw = 0.5 < 2
+
+
+def test_weighted_skew_kurt_vs_numpy(spark):
+    """w_skew / w_kurt vs a literal NumPy transcription of
+    lib/stats/c_skew.c:49-105 and c_kurt.c:47-101 (including the
+    reference's d³ accumulation in w_kurt)."""
+    import numpy as np
+    from grass_spark.functions.kernels import weighted_kernel_expr
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(100, 25, 200)
+    w = rng.integers(1, 9, 200).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(v, w)], "v double, w double"
+    )
+    got = df.agg(
+        weighted_kernel_expr("w_skew", "v", "w"),
+        weighted_kernel_expr("w_kurt", "v", "w"),
+    ).collect()[0]
+
+    W = w.sum()
+    ave = (v * w).sum() / W
+    d = v - ave
+    sumsq = (d * d * w).sum()
+    sumcb = (d * d * d * w).sum()
+    sdev = np.sqrt(sumsq / W)
+    want_skew = sumcb / (W * sdev**3)
+    var = sumsq / W
+    want_kurt = sumcb / (W * var * var) - 3   # d³ quirk, c_kurt.c:82
+
+    assert got["w_skew"] == pytest.approx(want_skew, rel=1e-9)
+    assert got["w_kurt"] == pytest.approx(want_kurt, rel=1e-9)
