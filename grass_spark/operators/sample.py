@@ -155,26 +155,62 @@ def topology_census(
     start_col: str = "ts",
     end_col: str | None = None,
     id_col: str | None = None,
-    max_pairs_filter: str | None = None,
+    keys: list[str] | None = None,
+    band_seconds: int = 86400,
 ) -> DataFrame:
-    """``t.topology``: count Allen relations over all ordered pairs of
-    extents (abstract_space_time_dataset.py:536-554).  Self range join —
-    quadratic by definition, so callers at scale pass
-    ``max_pairs_filter`` (e.g. a key equality) to bound the pair space
-    the way the reference bounds it to one dataset."""
+    """``t.topology``: count Allen relations over ordered pairs of
+    extents (abstract_space_time_dataset.py:536-554).
+
+    The reference builds relations through an R*-tree probe
+    (``spatio_temporal_relationships.py:496-587``): each map's
+    [start, end] box is searched against the tree, so only pairs whose
+    extents *intersect or touch* ever get a relation — strictly
+    disjoint pairs are never recorded.  This operator reproduces that
+    bound distributively: extents are exploded into the ``band_seconds``
+    buckets they cover, candidates come from a bucket **equi-join**
+    (never a cross join), duplicates from multi-bucket overlap are
+    deduped, and strictly-disjoint same-bucket pairs are dropped —
+    exactly the R*-tree's candidate set.  ``keys`` adds an extra
+    equality to the join (the reference's one-dataset bound).
+
+    Scale shape: explode factor is ceil(extent/band) per row (pick a
+    band at least the typical extent length), one shuffle for the
+    bucket join, one for the pair dedup.  No CartesianProduct at any
+    size — enforced by a plan-contract test.
+    """
+    keys = list(keys or [])
+    width = F.lit(band_seconds * 1_000_000)
+    s = F.col(start_col).cast("timestamp")
+    e = (F.col(end_col) if end_col else F.col(start_col)).cast("timestamp")
     a = df.select(
-        F.col(start_col).alias("a_s"),
-        (F.col(end_col) if end_col else F.lit(None).cast("timestamp")).alias("a_e"),
-        *( [F.col(id_col).alias("a_id")] if id_col else [F.monotonically_increasing_id().alias("a_id")] ),
+        *keys,
+        s.alias("a_s"),
+        (F.col(end_col).cast("timestamp") if end_col else F.lit(None).cast("timestamp")).alias("a_e"),
+        *([F.col(id_col).alias("a_id")] if id_col else [F.monotonically_increasing_id().alias("a_id")]),
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(s) / width),
+                F.floor(F.unix_micros(F.coalesce(e, s)) / width),
+            )
+        ).alias("band"),
     )
     b = a.select(
-        F.col("a_s").alias("b_s"), F.col("a_e").alias("b_e"), F.col("a_id").alias("b_id")
+        *[F.col(k).alias(f"b_{k}") for k in keys],
+        F.col("a_s").alias("b_s"), F.col("a_e").alias("b_e"),
+        F.col("a_id").alias("b_id"), F.col("band").alias("b_band"),
     )
-    pairs = a.crossJoin(b).filter(F.col("a_id") != F.col("b_id"))
-    if max_pairs_filter:
-        pairs = pairs.filter(F.expr(max_pairs_filter))
+    cond = F.col("band") == F.col("b_band")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"b_{k}"))
+    pairs = (
+        a.join(b, on=cond, how="inner")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "a_s", "a_e", "b_s", "b_e")
+        .distinct()
+    )
     return (
         pairs.select(rel.relation_name("a_s", "a_e", "b_s", "b_e").alias("relation"))
+        .filter(~F.col("relation").isin("before", "after"))
         .groupBy("relation")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

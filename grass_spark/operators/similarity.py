@@ -194,8 +194,16 @@ def train_ivf_centroids(
 ) -> list[list[float]]:
     """Train the coarse quantizer: numpy k-means on a driver-side
     sample (the sample is tiny and bounded; the corpus never collects).
-    Deterministic for a given seed."""
-    rows = df.select(vec_col).limit(sample).collect()
+    Deterministic for a given seed — the sample is the ``sample``
+    smallest rows by ``xxhash64(vector, seed)``, which is invariant
+    under partition layout (a bare ``limit()`` is not: it takes
+    whichever rows arrive first)."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -822,3 +822,48 @@ FROM c
 
 EXT_QUERIES["weighted_skew_kurt"] = q_weighted_skew_kurt
 EXT_ORACLES["weighted_skew_kurt"] = ORACLE_WEIGHTED_SKEW_KURT
+
+
+def q_neighbors_rolling(spark, sf_dir):
+    """t.rast.neighbors temporal analog: rolling ±1-granule kernels
+    (average/median/sum/minimum/count) over each user's daily series
+    (temporal/t.rast.neighbors/t.rast.neighbors.py:57-71, size=3)."""
+    from grass_spark.operators.neighbors import neighbors
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(F.avg("value").alias("value"))
+    out = neighbors(
+        daily, keys=["user_id"], time_col="bucket", value_col="value",
+        size=3, methods=("average", "median", "sum", "minimum", "count"),
+    )
+    return out.select(
+        "user_id", "bucket",
+        F.round("average", 6).alias("n_avg"),
+        F.round("median", 6).alias("n_med"),
+        F.round("sum", 6).alias("n_sum"),
+        F.round("minimum", 6).alias("n_min"),
+        F.col("count").alias("n_cnt"),
+    )
+
+
+ORACLE_NEIGHBORS_ROLLING = """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, bucket,
+       round(avg(v) OVER w, 6)    AS n_avg,
+       round(median(v) OVER w, 6) AS n_med,
+       round(sum(v) OVER w, 6)    AS n_sum,
+       round(min(v) OVER w, 6)    AS n_min,
+       count(v) OVER w            AS n_cnt
+FROM d
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+"""
+
+EXT_QUERIES["neighbors_rolling"] = q_neighbors_rolling
+EXT_ORACLES["neighbors_rolling"] = ORACLE_NEIGHBORS_ROLLING

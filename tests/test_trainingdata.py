@@ -337,3 +337,62 @@ def test_near_dedup_on_testdata(spark):
     # every cluster head is the smallest member
     bad = out.filter("keep AND cluster_id <> doc_id").count()
     assert bad == 0
+
+
+def test_lsh_bucket_cap_adversarial_boilerplate(spark):
+    """1k identical-boilerplate docs (round-1 VERDICT #6): the hot band
+    bucket is dropped at max_bucket_size, so the pair join stays
+    sub-quadratic; distinct docs still pair up normally."""
+    from grass_spark.operators.dedup import (
+        minhash_candidates, minhash_signatures, simhash, simhash_candidates)
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(1000)]
+    long_a = ("the quick brown fox jumps over the lazy dog near the quiet "
+              "river bank every sunny morning in spring")
+    distinct = [(2000, long_a), (2001, long_a.replace("sunny", "rainy"))]
+    df = spark.createDataFrame(boiler + distinct, ["doc_id", "text"])
+
+    sigs = minhash_signatures(df, n_hashes=16, shingle_n=2)
+    pairs = minhash_candidates(sigs, bands=8, max_bucket_size=100)
+    got = pairs.select("id_a", "id_b").collect()
+    # the boilerplate bucket (1000 members) was dropped: no pair touches it
+    assert all(r["id_a"] >= 2000 for r in got)
+    # the near-dup pair outside the hot bucket survives
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(2000, 2001)}
+
+    # uncapped, the same corpus would build 1000*999/2 pairs; capped
+    # simhash also completes with only the distinct pair
+    fps = simhash(df, shingle_n=2)
+    spairs = simhash_candidates(fps, max_hamming=16, bands=8, max_bucket_size=100)
+    ids = {(r["id_a"], r["id_b"]) for r in spairs.collect()}
+    assert (2000, 2001) in ids
+    assert all(a >= 2000 for a, _ in ids)
+
+
+def test_dedup_clusters_warns_on_non_convergence(spark):
+    import warnings as _w
+    from grass_spark.operators.dedup import dedup_clusters
+
+    # a path graph 0-1-2-3-4-5 has diameter 5 > max_iters=1
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        dedup_clusters(pairs, max_iters=1)
+    assert any("did not converge" in str(r.message) for r in rec)
+
+
+def test_ivf_centroids_invariant_under_repartition(spark):
+    """VERDICT round-1 #9: the quantizer sample orders by a seeded hash,
+    so centroids don't change with partition layout."""
+    import numpy as np
+    from grass_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    c1 = train_ivf_centroids(df.repartition(1), 8, n_centroids=4, sample=64)
+    c2 = train_ivf_centroids(df.repartition(13, "id"), 8, n_centroids=4, sample=64)
+    assert c1 == c2
