@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from grass_spark.functions.granularity import (
     granularity_seconds,
-    infer_granularity_absolute,
     parse_granularity,
 )
 from grass_spark.manifest import CheckpointManifest, TierRecord
@@ -142,14 +141,13 @@ def dataset_info(
         aggs += [F.min(value_max_col).alias("max_min"), F.max(value_max_col).alias("max_max")]
     row = df.agg(*aggs).collect()[0]
 
-    times = [
-        (r["s"], r["e"] if has_end else None)
-        for r in df.select(
-            F.col(start_col).alias("s"),
-            (F.col(end_col) if has_end else F.lit(None)).alias("e"),
-        ).distinct().orderBy("s").collect()
-    ]
-    gran = infer_granularity_absolute(times)
+    # distributed: only distinct delta structs reach the driver
+    # (functions/granularity.py round-2 path), never the timestamp list
+    from grass_spark.functions.granularity import infer_granularity_from_df
+
+    gran = infer_granularity_from_df(
+        df, ts_col=start_col, end_col=end_col if has_end else None
+    )
     map_time = (
         "interval" if has_end and row["n_interval"] == row["n"]
         else ("mixed" if has_end and row["n_interval"] > 0 else "point")
@@ -170,6 +168,33 @@ def dataset_info(
     )
 
 
+def _delta_day_cols(out: DataFrame, *, start_col: str, end_col: str | None,
+                    keys: list[str]) -> DataFrame:
+    """interval_length + distance_from_begin in DAYS (float), the
+    reference's listing unit (``time_delta_to_relative_time``,
+    datetime_math.py:40-42; list_stds.py:307-325)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy(start_col)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    first = F.first(start_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    length = (
+        (us(end_col) - us(start_col)) / F.lit(86_400_000_000.0)
+        if end_col and end_col in out.columns
+        else F.lit(None).cast("double")
+    )
+    dist = (us(start_col) - F.unix_micros(first.cast("timestamp"))) / F.lit(
+        86_400_000_000.0
+    )
+    return out.withColumn("interval_length", length).withColumn(
+        "distance_from_begin", dist
+    )
+
+
 def list_maps(
     df: DataFrame,
     *,
@@ -177,13 +202,99 @@ def list_maps(
     where: str | None = None,
     order: str = "start_time",
     fmt: str = "df",
+    method: str = "cols",
+    gran: str | None = None,
+    keys: list[str] | None = None,
+    id_col: str = "id",
+    start_col: str = "start_time",
+    end_col: str | None = "end_time",
+    separator: str | None = None,
 ) -> DataFrame | str:
-    """``t.rast.list``: SELECT columns WHERE ... ORDER BY ... with
-    plain/csv/json writers (the reference's single catalog query shape,
-    abstract_space_time_dataset.py:1919-1932)."""
+    """``t.rast.list``: the full listing surface of ``list_stds.py``.
+
+    * ``method``: ``cols`` (plain SELECT), ``delta`` (adds
+      interval_length + distance_from_begin in days —
+      list_stds.py:289-325), ``deltagaps`` (same plus gap rows with
+      NULL id), ``gran`` (one row per ``gran`` granule chosen by the
+      resample priority — list_stds.py:282-285 via
+      ``get_registered_maps_as_objects_by_granularity``).
+    * ``fmt``: ``df`` | ``json`` | ``csv`` | ``plain`` | ``yaml`` |
+      ``line`` (ids joined by the separator on one line; exactly one
+      column, matching the reference's check at list_stds.py:380-385).
+    """
+    keys = list(keys or [])
     out = df
     if where:
         out = out.filter(F.expr(where))
+
+    if method in ("delta", "deltagaps"):
+        if method == "deltagaps":
+            # gap rows between end and next start, id NULL
+            # (list_stds.py deltagaps via *_with_gaps)
+            from pyspark.sql import Window
+
+            w = (
+                Window.partitionBy(*keys) if keys else Window.partitionBy()
+            ).orderBy(start_col)
+            nxt = F.lead(start_col).over(w)
+            has_end = end_col and end_col in out.columns
+            e = F.col(end_col) if has_end else F.col(start_col)
+            gaps = (
+                out.withColumn("_nxt", nxt)
+                .filter(F.col("_nxt").isNotNull() & (F.col("_nxt") > e))
+                .select(
+                    *keys,
+                    F.lit(None).cast("string").alias(id_col),
+                    e.alias(start_col),
+                    F.col("_nxt").alias(end_col if has_end else "end_time"),
+                )
+            )
+            base = out.select(
+                *keys, F.col(id_col).cast("string").alias(id_col),
+                F.col(start_col),
+                (F.col(end_col) if has_end else F.lit(None).cast("timestamp")).alias(
+                    end_col or "end_time"
+                ),
+            )
+            out = base.unionByName(gaps)
+            end_col = end_col or "end_time"
+        else:
+            out = out.select(
+                *keys, F.col(id_col).cast("string").alias(id_col), start_col,
+                *([end_col] if end_col and end_col in out.columns else []),
+            )
+        out = _delta_day_cols(out, start_col=start_col, end_col=end_col, keys=keys)
+    elif method == "gran":
+        if gran is None:
+            raise ValueError("method='gran' requires gran=")
+        from grass_spark.functions.granularity import granule_series
+        from grass_spark.operators.sample import resample_by_granularity
+
+        has_end = end_col and end_col in out.columns
+        bounds = out.agg(
+            F.min(start_col).alias("s"),
+            F.max(
+                F.coalesce(F.col(end_col), F.col(start_col)) if has_end
+                else F.col(start_col)
+            ).alias("e"),
+        ).collect()[0]
+        rows = granule_series(bounds["s"], bounds["e"], gran,
+                              include_end_equal=not has_end)
+        granules = df.sparkSession.createDataFrame(
+            rows, ["bucket_start", "bucket_end"]
+        )
+        out = resample_by_granularity(
+            out, granules, map_id=id_col, map_start=start_col,
+            map_end=end_col if has_end else None,
+        ).select(
+            F.col("map_id").alias(id_col),
+            F.col("granule_start").alias(start_col),
+            F.col("granule_end").alias("end_time"),
+        )
+        out = _delta_day_cols(out, start_col=start_col, end_col="end_time", keys=[])
+    elif method != "cols":
+        raise ValueError(f"unknown method {method!r}")
+
     if columns:
         out = out.select(*columns)
     out = out.orderBy(*[c.strip() for c in order.split(",")])
@@ -199,7 +310,60 @@ def list_maps(
         return "\n".join(lines)
     if fmt == "plain":
         return "\n".join("|".join(str(r[c]) for c in cols) for r in rows)
+    if fmt == "yaml":
+        # the reference's yaml writer shape (list_stds.py:193-230):
+        # data: list of column->value dicts, metadata: column_names.
+        # Hand-rolled flat-scalar YAML — no dependency needed.
+        def yval(v):
+            return "null" if v is None else str(v)
+
+        lines = ["data:"]
+        for r in rows:
+            for i, c in enumerate(cols):
+                lines.append(("- " if i == 0 else "  ") + f"{c}: {yval(r[c])}")
+        lines.append("metadata:")
+        lines.append("  column_names:")
+        lines.extend(f"  - {c}" for c in cols)
+        return "\n".join(lines) + "\n"
+    if fmt == "line":
+        if len(cols) != 1:
+            raise ValueError(
+                f"'line' output_format can have only 1 column, not {len(cols)}"
+            )
+        return (separator or ",").join(str(r[cols[0]]) for r in rows)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def group_maps(
+    df: DataFrame,
+    group: str,
+    *,
+    columns: list[str] | None = None,
+    order_col: str = "start_time",
+) -> DataFrame:
+    """``group=`` granule grouping: one row per group value with every
+    listed column as a comma-joined string, ordered within the group —
+    ``group_concat(col, ',')`` per
+    ``abstract_space_time_dataset.py:1889-1904``."""
+    columns = columns or ["id"]
+    aggs = [
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(order_col).alias("o"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+        ).alias(c)
+        for c in columns
+    ]
+    return df.groupBy(group).agg(*aggs)
 
 
 class TierCatalog:

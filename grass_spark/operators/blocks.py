@@ -132,10 +132,14 @@ def decompress_blocks(
                     vals = np.where(valid, vals, np.nan)
                     d[m] = vals
                 for m in int_cols:
-                    vals = C.decode_ints(r[f"{m}_blob"]).astype("float64")
+                    # pandas nullable Int64 (masked), NOT float64+NaN:
+                    # values above 2^53 would silently lose precision in
+                    # a float carrier, breaking the bit-exact contract
+                    vals = C.decode_ints(r[f"{m}_blob"])
                     valid = C.decode_validity(r[f"{m}_valid"], n)
-                    vals = np.where(valid, vals, np.nan)
-                    d[m] = vals
+                    d[m] = pd.arrays.IntegerArray(
+                        vals.astype("int64"), mask=~valid
+                    )
                 frames.append(pd.DataFrame(d))
             if frames:
                 yield pd.concat(frames, ignore_index=True)

@@ -58,17 +58,31 @@ def snap(
     gran: str | None = None,
 ) -> DataFrame:
     """end := next start; last row keeps its end, else start + gran
-    (when ``gran`` given), else stays NULL."""
+    (when ``gran`` given), else stays NULL.
+
+    Equal start stamps are "not snapped" per the reference comment, but
+    the reference loop has already clobbered ``end`` with the *next*
+    map's end when it takes that branch
+    (abstract_space_time_dataset.py:2180-2198: ``start_next, end =
+    maps[i+1]...``), so a duplicate-start row inherits its twin's end —
+    reproduced here for parity.  The window orders by (start, end) so
+    ties are deterministic."""
     keys = [] if keys is None else list(keys)
-    w = Window.partitionBy(*keys).orderBy(start_col) if keys else Window.orderBy(start_col)
-    nxt = F.lead(start_col).over(w)
     has_end = end_col in df.columns
-    last_end = (
-        F.col(end_col) if has_end else F.lit(None).cast("timestamp")
-    )
+    order = [start_col, *( [F.col(end_col).asc_nulls_last()] if has_end else [] )]
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    nxt = F.lead(start_col).over(w)
+    own_end = F.col(end_col) if has_end else F.lit(None).cast("timestamp")
+    nxt_end = F.lead(own_end).over(w)
+    last_end = own_end
     if gran is not None:
         last_end = F.coalesce(last_end, _shift_col(F.col(start_col), gran))
-    return df.withColumn(end_col, F.coalesce(nxt, last_end))
+    snapped = (
+        F.when(nxt.isNull(), last_end)
+        .when(nxt != F.col(start_col), nxt)
+        .otherwise(nxt_end)
+    )
+    return df.withColumn(end_col, snapped)
 
 
 def list_deltas(

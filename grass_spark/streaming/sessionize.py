@@ -10,6 +10,17 @@ custom stateful operator (GRASS has no analog — batch-only reference).
 State per key: (last_ts_us, session_idx).  A batch's rows are sorted by
 event time inside the group (Arrow batch = whole group per trigger),
 boundaries assigned against the carried state, and the state updated.
+
+**Ingestion-order contract**: event-time order must hold ACROSS
+micro-batches per key (within a batch the group is sorted here).  A
+late row whose ts precedes the carried ``last_ts_us`` produces a
+negative gap and is folded into the current session, diverging from the
+batch ``sessionize`` result — no watermark bounds this operator because
+``applyInPandasWithState`` exposes no per-row late-data drop.  Sources
+that preserve per-key order (Kafka per-partition keyed by conv_id, the
+file tailer this engine ships) satisfy the contract; for unordered
+sources, buffer/reorder within a watermark horizon upstream
+(window + sort per trigger) before this operator.
 State TTL: production deployments would use an event-time timeout tied
 to the watermark to expire idle keys; under Trigger.AvailableNow a
 processing-time timeout schedules an extra never-draining timeout batch

@@ -150,3 +150,89 @@ def test_import_schema_mismatch_rejected(spark, tmp_path, maps7):
     _json.dump(meta, open(mp, "w"))
     with pytest.raises(ValueError, match="schema mismatch"):
         import_dataset(spark, p)
+
+
+# ---------------------------------------------------------------------------
+# round-2 listing surface: delta/deltagaps/gran methods, yaml/line, group=
+# ---------------------------------------------------------------------------
+
+
+def test_list_maps_delta_days(spark, maps7):
+    out = list_maps(
+        maps7, method="delta", id_col="map_id", order="start_time"
+    ).collect()
+    # 14-day intervals: interval_length 14.0 days, distances 0,14,28,...
+    assert [r["interval_length"] for r in out] == [14.0] * 7
+    assert [r["distance_from_begin"] for r in out] == [14.0 * i for i in range(7)]
+
+
+def test_list_maps_deltagaps_inserts_gap_rows(spark):
+    from grass_spark.catalog import register_maps
+
+    df = spark.createDataFrame(
+        [("m1", datetime(2001, 1, 1)), ("m2", datetime(2001, 1, 2)),
+         ("m3", datetime(2001, 1, 5))],
+        "map_id string, t timestamp",
+    )
+    maps = register_maps(df, ts_col="t").withColumn(
+        "end_time", F.col("start_time") + F.expr("INTERVAL 1 DAY")
+    )
+    out = list_maps(
+        maps, method="deltagaps", id_col="map_id", order="start_time"
+    ).collect()
+    # m1[1..2), m2[2..3), GAP[3..5), m3[5..6)
+    ids = [r["map_id"] for r in out]
+    assert ids == ["m1", "m2", None, "m3"]
+    gap = out[2]
+    assert gap["start_time"] == datetime(2001, 1, 3)
+    assert gap["end_time"] == datetime(2001, 1, 5)
+    assert gap["interval_length"] == 2.0
+
+
+def test_list_maps_gran_method(spark):
+    from grass_spark.catalog import register_maps
+
+    # maps strictly inside their granules (the reference's 'during'
+    # is strict for intervals — temporal_extent.py:713-749; maps that
+    # merely start/finish a granule are gaps there too)
+    df = spark.createDataFrame(
+        [("m1", datetime(2001, 1, 1, 6)), ("m2", datetime(2001, 1, 3, 6))],
+        "map_id string, t timestamp",
+    )
+    maps = register_maps(df, ts_col="t").withColumn(
+        "end_time", F.col("start_time") + F.expr("INTERVAL 12 HOURS")
+    )
+    out = list_maps(
+        maps, method="gran", gran="1 day", id_col="map_id",
+        order="start_time",
+    ).collect()
+    # granules Jan1/Jan2/Jan3: m1 during Jan1, Jan2 gap, m2 during Jan3
+    assert [r["map_id"] for r in out] == ["m1", None, "m2"]
+    assert [r["interval_length"] for r in out] == [1.0] * len(out)
+
+
+def test_list_maps_yaml_and_line(spark, maps7):
+    y = list_maps(maps7, columns=["map_id"], order="map_id", fmt="yaml")
+    assert y.startswith("data:\n- map_id: a1\n")
+    assert "metadata:\n  column_names:\n  - map_id" in y
+    line = list_maps(maps7, columns=["map_id"], order="map_id", fmt="line")
+    assert line == "a1,a2,a3,a4,a5,a6,a7"
+    line2 = list_maps(maps7, columns=["map_id"], order="map_id", fmt="line",
+                      separator="|")
+    assert line2 == "a1|a2|a3|a4|a5|a6|a7"
+    with pytest.raises(ValueError):
+        list_maps(maps7, columns=["map_id", "v"], order="map_id", fmt="line")
+
+
+def test_group_maps(spark):
+    from grass_spark.catalog import group_maps
+
+    df = spark.createDataFrame(
+        [("g1", "b", datetime(2001, 1, 2)), ("g1", "a", datetime(2001, 1, 1)),
+         ("g2", "c", datetime(2001, 1, 3))],
+        "grp string, id string, start_time timestamp",
+    )
+    out = {r["grp"]: r["id"] for r in group_maps(df, "grp").collect()}
+    # joined in start_time order (group_concat analog,
+    # abstract_space_time_dataset.py:1889-1904)
+    assert out == {"g1": "a,b", "g2": "c"}

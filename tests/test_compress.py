@@ -137,3 +137,22 @@ def test_block_one_per_conv_day(spark, tier):
         blocks.groupBy("conv_id", "block_start").count().filter("count > 1").count()
     )
     assert dup == 0
+
+
+def test_int_decode_exact_above_2_53(spark):
+    """ADVICE round-1: int64 values above 2^53 must restore bit-exactly
+    (the decode path uses a masked Int64 carrier, not float64+NaN)."""
+    from datetime import datetime, timedelta
+
+    big = 2**60 + 12345
+    rows = [
+        ("c", datetime(2024, 1, 1) + timedelta(minutes=i), big + i)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_start timestamp, v bigint"
+    )
+    blocks = compress_blocks(df, ts_col="bucket_start", int_cols=["v"])
+    back = decompress_blocks(blocks, ts_col="bucket_start", int_cols=["v"])
+    got = sorted(r["v"] for r in back.collect())
+    assert got == [big + i for i in range(5)]

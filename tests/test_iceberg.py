@@ -1,0 +1,87 @@
+"""Iceberg tier-table dry-run harness (VERDICT round-1 #10).
+
+This container ships no Iceberg runtime jar, so the whole module
+skips cleanly (``iceberg_available`` probes the classpath).  Where the
+runtime exists — ``spark-submit --packages
+org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver>`` with a
+``local`` hadoop catalog configured — the same tests exercise the
+documented PLANS.md mapping for real: days(ts) partition transform,
+overwritePartitions idempotent re-materialization, snapshot-id
+fingerprints.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from grass_spark.operators.iceberg import (
+    IcebergUnavailable,
+    create_tier_table,
+    current_snapshot_id,
+    iceberg_available,
+    overwrite_tier_partitions,
+    read_tier,
+)
+
+
+@pytest.fixture()
+def tier_df(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, h), float(h)) for h in range(4)
+    ] + [
+        (1, datetime(2024, 1, 2, h), 10.0 + h) for h in range(4)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, bucket_start timestamp, value double"
+    )
+
+
+def test_unavailable_raises_cleanly(spark, tier_df):
+    """Without the runtime the entry points fail with the documented
+    parquet-fallback message, never a Py4J stack."""
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present — covered by the real tests")
+    with pytest.raises(IcebergUnavailable, match="parquet"):
+        create_tier_table(spark, "local.db.t1h", tier_df)
+
+
+def _skip_unless_available(spark):
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg Spark runtime not on the classpath")
+
+
+def test_days_partition_roundtrip(spark, tier_df):
+    _skip_unless_available(spark)
+    create_tier_table(spark, "local.db.t1h", tier_df)
+    overwrite_tier_partitions(tier_df, "local.db.t1h")
+    got = read_tier(spark, "local.db.t1h")
+    assert got.count() == 8
+    # partition pruning: a one-day filter must prune to one partition
+    plan = got.filter(
+        "bucket_start >= TIMESTAMP '2024-01-02'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "bucket_start_day" in plan or "days(bucket_start)" in plan
+
+
+def test_overwrite_partitions_is_idempotent(spark, tier_df):
+    _skip_unless_available(spark)
+    create_tier_table(spark, "local.db.t1h_b", tier_df)
+    overwrite_tier_partitions(tier_df, "local.db.t1h_b")
+    overwrite_tier_partitions(tier_df, "local.db.t1h_b")  # re-run same day set
+    assert read_tier(spark, "local.db.t1h_b").count() == 8
+    # replacing one day's data touches only that partition
+    day2 = tier_df.filter("bucket_start >= TIMESTAMP '2024-01-02'")
+    overwrite_tier_partitions(day2.limit(2), "local.db.t1h_b")
+    assert read_tier(spark, "local.db.t1h_b").count() == 6
+
+
+def test_snapshot_id_advances(spark, tier_df):
+    _skip_unless_available(spark)
+    create_tier_table(spark, "local.db.t1h_c", tier_df)
+    overwrite_tier_partitions(tier_df, "local.db.t1h_c")
+    s1 = current_snapshot_id(spark, "local.db.t1h_c")
+    overwrite_tier_partitions(tier_df, "local.db.t1h_c")
+    s2 = current_snapshot_id(spark, "local.db.t1h_c")
+    assert s1 is not None and s2 is not None and s2 != s1

@@ -324,3 +324,26 @@ def test_neighbors_quantile_and_per_key_isolation(spark):
     # windows never cross keys
     assert got[("a", 4)] == 30.0
     assert got[("b", 1)] == 1010.0
+
+
+def test_snap_equal_starts_inherit_next_end(spark):
+    """ADVICE round-1: duplicate-start rows inherit the next row's end
+    (the reference's clobbered-``end`` branch,
+    abstract_space_time_dataset.py:2180-2198), deterministically."""
+    from grass_spark.operators.timeshift import snap
+
+    df = spark.createDataFrame(
+        [
+            ("k", datetime(2001, 1, 1), datetime(2001, 1, 2)),
+            ("k", datetime(2001, 1, 1), datetime(2001, 1, 3)),
+            ("k", datetime(2001, 1, 8), datetime(2001, 1, 9)),
+        ],
+        ["k", "start_time", "end_time"],
+    )
+    out = snap(df, keys=["k"]).orderBy("start_time", "end_time").collect()
+    # duplicate-start row (sorted first by end) inherits twin's end 1/3
+    assert out[0]["end_time"] == datetime(2001, 1, 3)
+    # its twin snaps to the next distinct start
+    assert out[1]["end_time"] == datetime(2001, 1, 8)
+    # last row keeps its own end
+    assert out[2]["end_time"] == datetime(2001, 1, 9)
