@@ -789,6 +789,12 @@ class TemporalAlgebra:
         if name == "null":
             return _Scalar(F.lit(None).cast("double"))
         if name in _TIME_FNS:
+            if len(node.args) == 2:
+                # neighbour indexing: start_doy(A, -1) = the accessor of
+                # the t-th neighbouring granule in A's series, attached
+                # to the current granule's extent; out-of-range granules
+                # drop (p_expr_time_const, temporal_algebra.py:3330-3369)
+                return self._time_const(name, node.args, env)
             # td()/end_*() resolve __end at join time — interval datasets only
             return _Scalar(
                 _TIME_FNS[name](F.col("__time"), F.col("__end")), time_dep=True
@@ -846,6 +852,40 @@ class TemporalAlgebra:
             vals = [self._eval(a, env) for a in node.args]
             return self._nary(lambda *cols: mapcalc_fn(name, *cols), vals)
         raise KeyError(f"unknown function {name!r}")
+
+    def _time_const(self, name: str, args, env):
+        from pyspark.sql import Window
+
+        def as_int(node) -> int:
+            if isinstance(node, Num):
+                return int(node.v)
+            if isinstance(node, Bin) and node.op == "-" and isinstance(node.a, Num) \
+                    and node.a.v == 0 and isinstance(node.b, Num):
+                return -int(node.b.v)
+            raise ValueError(f"{name}(A, t): t must be an integer literal")
+
+        frame = self._eval(args[0], env)
+        if not isinstance(frame, _Frame):
+            raise ValueError(f"{name}(A, t) takes a dataset")
+        t = as_int(args[1])
+        df = frame.df
+        has_end = "__end" in df.columns
+        w = Window.partitionBy(*self.keys).orderBy("__time")
+        shift = (lambda c: F.lag(c, -t).over(w)) if t < 0 else (
+            lambda c: F.lead(c, t).over(w))
+        n_time = shift(F.col("__time"))
+        n_end = shift(F.col("__end")) if has_end else F.lit(None).cast("timestamp")
+        out = (
+            df.withColumn("__n_time", n_time)
+            .withColumn("__n_end", n_end)
+            .where(F.col("__n_time").isNotNull())
+            .withColumn(
+                "__val",
+                _TIME_FNS[name](F.col("__n_time"), F.col("__n_end")).cast("double"),
+            )
+            .drop("__n_time", "__n_end")
+        )
+        return _Frame(out)
 
     def _nary(self, fn, vals):
         frames = [v for v in vals if isinstance(v, _Frame)]

@@ -412,3 +412,19 @@ def test_nested_expression_with_new_ops(alg, rel_env):
     # A1 has 3 contained B rows -> kept, values 100+{1,2,3}
     vals = sorted(r["value"] for r in rows if r["value"] is not None)
     assert vals == [101.0, 102.0, 103.0]
+
+
+def test_time_const_neighbour_indexing(alg, env):
+    """start_day(A, -1): previous granule's start-day as the value,
+    current granule's extent; first granule drops (out of range) —
+    p_expr_time_const, temporal_algebra.py:3330-3369."""
+    out = alg.eval("start_day(A, -1)", env).orderBy("bucket_start").collect()
+    # A granules start Jan 1..4; row i carries previous row's day
+    assert [r["bucket_start"].day for r in out] == [2, 3, 4]
+    assert [r["value"] for r in out] == [1.0, 2.0, 3.0]
+    # forward neighbour
+    out = alg.eval("start_day(A, 1)", env).orderBy("bucket_start").collect()
+    assert [r["value"] for r in out] == [2.0, 3.0, 4.0]
+    # composes with arithmetic: day-over-day delta of start days
+    got = _vals(alg.eval("A * 0 + start_day() - start_day(A, -1)", env))
+    assert got == [1.0, 1.0, 1.0]
