@@ -799,6 +799,18 @@ class TemporalAlgebra:
             return _Scalar(
                 _TIME_FNS[name](F.col("__time"), F.col("__end")), time_dep=True
             )
+        if name in ("tmap", "strds"):
+            # typed dataset constructors (conditional_functions table,
+            # temporal_algebra.py:486-496; p_expr_tmap_function :2610,
+            # p_expr_strds_function :2569): in the PLY grammar they
+            # disambiguate map-vs-dataset names; here every env entry is
+            # a frame, so they validate and pass through
+            if len(node.args) != 1:
+                raise ValueError(f"{name}(A) takes one dataset")
+            frame = self._eval(node.args[0], env)
+            if not isinstance(frame, _Frame):
+                raise ValueError(f"{name}() takes a dataset")
+            return frame
         if name == "merge":
             frames = [self._eval(a, env) for a in node.args]
             if not all(isinstance(f, _Frame) for f in frames):
