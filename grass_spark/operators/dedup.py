@@ -90,18 +90,29 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig array<long>) — sig[i] = min over shingles of
-    xxhash64(shingle, seed=i)."""
-    exploded = with_shingles(df, text_col, shingle_n).select(
-        F.col(id_col), F.explode("sh_arr").alias("sh")
+    xxhash64(shingle, i).
+
+    Shape: a pure per-row fold — per shingle the k hashes
+    (``transform``), then an element-wise-min ``aggregate`` with a
+    ``zip_with(least)`` merge.  NO explode and NO groupBy: the round-1
+    version shuffled the exploded shingle set (~20x the doc rows) back
+    into k ``min()`` aggregates; the fold computes the same signature
+    map-side, so the dedup pipeline's first shuffle is now the (band,
+    hash) candidate join itself.  Inlining-proof per PLANS.md: the
+    shingle array only ever appears as a top-level HOF argument
+    (evaluated once per row), every lambda touches only its bound
+    element."""
+    sh = with_shingles(df, text_col, shingle_n)
+    per_shingle = F.transform(
+        F.col("sh_arr"),
+        lambda s: F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)]),
     )
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = exploded.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), n_hashes)
+    sig = F.aggregate(
+        per_shingle, init,
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
     )
+    return sh.select(F.col(id_col), sig.alias("sig"))
 
 
 def _cap_buckets(banded: DataFrame, bucket_cols: list[str], cap: int | None) -> DataFrame:
