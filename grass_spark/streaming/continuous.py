@@ -75,6 +75,78 @@ def stream_minute_tier(
     )
 
 
+def run_stream_cascade(
+    spark: SparkSession,
+    input_path: str,
+    base_dir: str,
+    checkpoint: str,
+    *,
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+) -> None:
+    """The full continuous cascade the module docstring describes:
+    the minute tier streams (windowed agg + watermark, append mode);
+    each epoch's ``foreachBatch`` upserts the emitted minute windows
+    and re-aggregates ONLY the touched days into the hour and day
+    tiers with the same batch kernels.
+
+    Exactly-once per epoch: minute output lands under a
+    ``(d, epoch)`` partition (a replayed epoch dynamically overwrites
+    itself), and the hour/day tiers are recomputed deterministically
+    from the full minute state of the touched days — so replays
+    converge to the same bytes.  Hour/day granules are calendar-aligned
+    (unit-boundary origins), so per-epoch alignment is globally
+    consistent."""
+    import os
+
+    from grass_spark.functions.granularity import (
+        adjust_datetime_to_granularity,
+    )
+    from grass_spark.operators.rollup import rollup_from_tier
+
+    keys = ["conv_id"] if keys is None else list(keys)
+    minute_path = os.path.join(base_dir, "t1m")
+    hour_path = os.path.join(base_dir, "t1h")
+    day_path = os.path.join(base_dir, "t1d")
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        b = batch.withColumn(
+            "d", F.date_format("bucket_start", "yyyy-MM-dd")
+        ).withColumn("epoch", F.lit(int(epoch_id)))
+        if b.isEmpty():
+            return
+        b.write.mode("overwrite").partitionBy("d", "epoch").parquet(minute_path)
+        days = [r["d"] for r in b.select("d").distinct().collect()]
+
+        sess = batch.sparkSession
+        minute = sess.read.parquet(minute_path).filter(
+            F.col("d").cast("string").isin(days)
+        )
+        t0 = minute.agg(F.min("bucket_start")).collect()[0][0]
+        hour = rollup_from_tier(
+            minute, "1 hour", adjust_datetime_to_granularity(t0, "1 hour"), keys
+        ).withColumn("d", F.date_format("bucket_start", "yyyy-MM-dd"))
+        hour.write.mode("overwrite").partitionBy("d").parquet(hour_path)
+
+        hour_all = sess.read.parquet(hour_path).filter(
+            F.col("d").cast("string").isin(days)
+        )
+        day = rollup_from_tier(
+            hour_all, "1 day", adjust_datetime_to_granularity(t0, "1 day"), keys
+        ).withColumn("d", F.date_format("bucket_start", "yyyy-MM-dd"))
+        day.write.mode("overwrite").partitionBy("d").parquet(day_path)
+
+    tier = stream_minute_tier(spark, input_path, watermark=watermark, keys=keys)
+    q = (
+        tier.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .foreachBatch(upsert)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_once(
     spark: SparkSession,
     input_path: str,
