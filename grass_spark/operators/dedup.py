@@ -21,6 +21,8 @@ same-bucket candidates are compared, which is the whole point of LSH at
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -227,21 +229,29 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 2,
+    hash_fn: Callable[[Column], Column] | None = None,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """Charikar 64-bit SimHash per doc: majority vote of shingle-hash
-    bits (sum +1/-1 per bit position, sign -> bit)."""
+    """Charikar SimHash per doc: majority vote of shingle-hash bits
+    (sum +1/-1 per bit position, sign -> bit).
+
+    ``hash_fn`` maps the shingle Column to an integer hash (default
+    xxhash64 — the fast JVM path); ``n_bits`` is the fingerprint width
+    (use < 64 with hash functions that populate fewer bits, e.g. the
+    md5-substring hash the DuckDB oracle can reproduce)."""
+    h = (hash_fn or F.xxhash64)(F.col("sh"))
     exploded = with_shingles(df, text_col, shingle_n).select(
         F.col(id_col), F.explode("sh_arr").alias("sh")
-    ).withColumn("h", F.xxhash64("sh"))
+    ).withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = exploded.groupBy(id_col).agg(*bit_sums)
     fp = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)

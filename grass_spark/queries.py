@@ -804,3 +804,11 @@ from grass_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 ORACLES.update(EXT_ORACLES)
+
+# third wave (t.shift, relative aggregation, t.sample, topology census,
+# Jaccard verify, portable SimHash, group=, algebra select/merge) —
+# grass_spark.queries_ext3
+from grass_spark.queries_ext3 import EXT3_ORACLES, EXT3_QUERIES  # noqa: E402
+
+QUERIES.update(EXT3_QUERIES)
+ORACLES.update(EXT3_ORACLES)

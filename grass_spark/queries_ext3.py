@@ -1,0 +1,466 @@
+"""Third wave of driver-contract queries: the operators that round 1
+left unit-only now get full Spark-vs-DuckDB oracle gates — t.shift,
+relative-time aggregation, t.sample granule tagging, the banded
+t.topology census, exact n-gram Jaccard verification over LSH
+candidates, a DuckDB-portable SimHash, ``group=`` granule listing, the
+algebra's relation-parameterized select, and ``merge()``.
+
+Merged into the main registries by :mod:`grass_spark.queries`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grass_spark.queries_ext import N_BANDS, N_SIG, _SQL_SHINGLES, _sig_df, _t
+
+EXT3_QUERIES: dict = {}
+EXT3_ORACLES: dict = {}
+
+
+def _usec(c, s):
+    """c + s seconds, microsecond-exact (no calendar arithmetic).
+    Casts TIMESTAMP_NTZ parquet columns to session-UTC TIMESTAMP first
+    (unix_micros rejects NTZ; session tz is pinned to UTC)."""
+    return F.timestamp_micros(F.unix_micros(c.cast("timestamp")) + int(s) * 1_000_000)
+
+
+# ---------------------------------------------------------------------
+# t.shift (SURVEY §2.5 — abstract_space_time_dataset.py:1953-2097)
+# ---------------------------------------------------------------------
+
+
+def q_shift_extents(spark, sf_dir):
+    """t.shift by a fixed granularity: every extent's start AND end move
+    by 26 hours; NULL ends stay NULL (instant maps stay instants)."""
+    from grass_spark.operators.timeshift import shift
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("start_time"),
+        # interval maps for even ids, instants (NULL end) for odd ids
+        F.when(F.col("event_id") % 2 == 0, _usec(F.col("ts"), 1800))
+        .alias("end_time"),
+    )
+    return shift(ev, "26 hours")
+
+
+ORACLE_SHIFT_EXTENTS = """
+SELECT event_id,
+       ts + INTERVAL 26 HOUR AS start_time,
+       CASE WHEN event_id % 2 = 0
+            THEN ts + INTERVAL '1800 seconds' + INTERVAL 26 HOUR
+       END AS end_time
+FROM events
+"""
+
+EXT3_QUERIES["shift_extents"] = q_shift_extents
+EXT3_ORACLES["shift_extents"] = ORACLE_SHIFT_EXTENTS
+
+
+# ---------------------------------------------------------------------
+# relative-time aggregation (SURVEY §1.4 — integer time + unit;
+# map_tables_template.sql:28-34)
+# ---------------------------------------------------------------------
+
+
+def q_agg_relative(spark, sf_dir):
+    """Relative-time aggregation: time is a plain integer (seconds id),
+    granularity 604800 relative units, origin 0 — bucketing is integer
+    floor division, no calendar arithmetic."""
+    from grass_spark.operators.aggregate import aggregate_relative
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "rel_t", F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
+    )
+    out = aggregate_relative(
+        ev, 604800, ["average", "count", "sum"],
+        keys=["user_id"], ts_col="rel_t", origin=0,
+    )
+    return out.select(
+        "user_id", "bucket_start", "bucket_end",
+        F.round("average", 6).alias("avg_v"),
+        F.col("count").alias("cnt_v"),
+        F.round("sum", 6).alias("sum_v"),
+    )
+
+
+ORACLE_AGG_RELATIVE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS rel_t,
+         value AS v
+  FROM events
+)
+SELECT user_id,
+       CAST(floor(rel_t / 604800) * 604800 AS BIGINT) AS bucket_start,
+       CAST(floor(rel_t / 604800) * 604800 + 604800 AS BIGINT) AS bucket_end,
+       round(avg(v), 6) AS avg_v,
+       CAST(count(v) AS BIGINT) AS cnt_v,
+       round(sum(v), 6) AS sum_v
+FROM e GROUP BY 1, 2, 3
+"""
+
+EXT3_QUERIES["agg_relative"] = q_agg_relative
+EXT3_ORACLES["agg_relative"] = ORACLE_AGG_RELATIVE
+
+
+# ---------------------------------------------------------------------
+# t.sample — tag maps with the granules they fall in (SURVEY §2.5)
+# ---------------------------------------------------------------------
+
+
+def q_sample_granules(spark, sf_dir):
+    """t.sample: every event (instant map) tagged with the 6-hour
+    granule of a sampler dataset (granules derived from purchase
+    activity) it is ``during``."""
+    from grass_spark.operators.sample import sample_by_dataset
+
+    ev = _t(spark, sf_dir, "events")
+    g6 = F.timestamp_micros(
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / (21600 * 1_000_000)).cast("long")
+        * (21600 * 1_000_000)
+    )
+    granules = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(g6.alias("bucket_start"))
+        .distinct()
+        .withColumn("bucket_end", _usec(F.col("bucket_start"), 21600))
+    )
+    out = sample_by_dataset(ev, granules, ["during"], map_start="ts")
+    return out.select("event_id", "granule_start", "granule_end")
+
+
+ORACLE_SAMPLE_GRANULES = """
+WITH g AS (
+  SELECT DISTINCT
+         make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000
+                             AS BIGINT)) AS gs
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id,
+       g.gs AS granule_start,
+       g.gs + to_seconds(CAST(21600 AS BIGINT)) AS granule_end
+FROM events e
+JOIN g ON e.ts >= g.gs AND e.ts < g.gs + to_seconds(CAST(21600 AS BIGINT))
+"""
+
+EXT3_QUERIES["sample_granules"] = q_sample_granules
+EXT3_ORACLES["sample_granules"] = ORACLE_SAMPLE_GRANULES
+
+
+# ---------------------------------------------------------------------
+# t.topology census (SURVEY §2.5) — banded equi-join, R*-tree-faithful
+# ---------------------------------------------------------------------
+
+
+def q_topology_census(spark, sf_dir):
+    """Counts of each Allen relation over ordered pairs of extents that
+    intersect or touch (the R*-tree candidate bound) — users <= 15,
+    extent length = max(1, round(value)) seconds."""
+    from grass_spark.operators.sample import topology_census
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 15)
+        .select(
+            "event_id",
+            F.col("ts"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.greatest(F.lit(1.0), F.round("value", 0)).cast("long")
+                * 1_000_000
+            ).alias("end_t"),
+        )
+    )
+    return topology_census(
+        ev, start_col="ts", end_col="end_t", id_col="event_id",
+        band_seconds=3600,
+    )
+
+
+# Interval-only CASE chain in the reference dispatcher's priority order
+# (temporal_extent.py:903-968; instant branches vanish — every extent
+# here has a non-NULL end).  before/after can't occur: the join bound
+# (a_e >= b_s AND b_e >= a_s) IS the census's "intersect or touch" rule.
+ORACLE_TOPOLOGY_CENSUS = """
+WITH e AS (
+  SELECT event_id AS id, ts AS s,
+         ts + to_seconds(CAST(greatest(1.0, round(value, 0)) AS BIGINT)) AS en
+  FROM events WHERE user_id <= 15
+), p AS (
+  SELECT a.s AS a_s, a.en AS a_e, b.s AS b_s, b.en AS b_e
+  FROM e a JOIN e b
+    ON a.id <> b.id AND a.en >= b.s AND b.en >= a.s
+), r AS (
+  SELECT CASE
+    WHEN a_s = b_s AND a_e = b_e THEN 'equal'
+    WHEN a_s > b_s AND a_e < b_e THEN 'during'
+    WHEN b_s > a_s AND b_e < a_e THEN 'contains'
+    WHEN a_s < b_s AND a_e < b_e AND a_e > b_s THEN 'overlaps'
+    WHEN b_s < a_s AND b_e < a_e AND b_e > a_s THEN 'overlapped'
+    WHEN a_s > b_e THEN 'after'
+    WHEN a_e < b_s THEN 'before'
+    WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+    WHEN a_e = b_e AND a_s > b_s THEN 'finishes'
+    WHEN a_s = b_s AND b_e < a_e THEN 'started'
+    WHEN a_e = b_e AND b_s > a_s THEN 'finished'
+    WHEN a_s = b_e THEN 'follows'
+    WHEN a_e = b_s THEN 'precedes'
+  END AS relation
+  FROM p
+)
+SELECT relation, CAST(count(*) AS BIGINT) AS cnt
+FROM r WHERE relation NOT IN ('before', 'after')
+GROUP BY relation
+"""
+
+EXT3_QUERIES["topology_census"] = q_topology_census
+EXT3_ORACLES["topology_census"] = ORACLE_TOPOLOGY_CENSUS
+
+
+# ---------------------------------------------------------------------
+# exact n-gram Jaccard verification over the md5-LSH candidate pairs
+# (the verify pass of near_dedup — fully portable: DuckDB runs the
+# identical shingle/minhash/band algorithm)
+# ---------------------------------------------------------------------
+
+
+def q_jaccard_verify(spark, sf_dir):
+    """Exact word-3-gram Jaccard for every banded-LSH candidate pair."""
+    from grass_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sig = _sig_df(spark, sf_dir).localCheckpoint()
+    bands = F.array(*[
+        F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+        for b in range(N_BANDS)
+    ])
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "bh"))
+    a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "bh")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "bh")
+    cands = (
+        a.join(b, on=["band_idx", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    out = ngram_jaccard_pairs(d, cands, shingle_n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_JACCARD_VERIFY = f"""
+WITH {_SQL_SHINGLES},
+{{SIG}},
+band AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {N_BANDS - 1})) AS band_idx,
+         unnest(list_transform(generate_series(0, {N_BANDS - 1}),
+                b -> md5(sig[2*b + 1] || sig[2*b + 2]))) AS bh
+  FROM sig2
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b USING (band_idx, bh)
+  WHERE a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(list(s)) AS ls FROM sh GROUP BY doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.ls, sb.ls)) AS DOUBLE)
+             / (len(sa.ls) + len(sb.ls) - len(list_intersect(sa.ls, sb.ls))),
+             6) AS jaccard
+FROM cands c
+JOIN sets sa ON sa.doc_id = c.id_a
+JOIN sets sb ON sb.doc_id = c.id_b
+""".replace(
+    "{SIG}",
+    "sig2 AS (SELECT doc_id, ["
+    + ", ".join(f"min(md5(s || '#{i}'))" for i in range(N_SIG))
+    + "] AS sig FROM sh GROUP BY doc_id)",
+)
+
+EXT3_QUERIES["jaccard_verify"] = q_jaccard_verify
+EXT3_ORACLES["jaccard_verify"] = ORACLE_JACCARD_VERIFY
+
+
+# ---------------------------------------------------------------------
+# portable SimHash (Charikar bit-majority) — md5-substring 60-bit hash
+# so the DuckDB oracle computes the identical fingerprint
+# ---------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+
+
+def q_simhash_portable(spark, sf_dir):
+    """60-bit SimHash per document over word-3-gram shingles; the token
+    hash is the low 60 bits of md5 (hex substring), reproducible in any
+    engine — the xxhash64 fast path is exercised by the unit suite."""
+    from grass_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    md5_60 = lambda c: F.conv(F.substring(F.md5(c), 18, 15), 16, 10).cast("long")  # noqa: E731
+    return simhash(
+        d, shingle_n=3, hash_fn=md5_60, n_bits=_SIMHASH_BITS
+    )
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS sb{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN sb{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+hs AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(s), 18, 15)) AS BIGINT) AS h
+  FROM sh
+), bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM hs GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash
+FROM bits
+"""
+
+
+EXT3_QUERIES["simhash_portable"] = q_simhash_portable
+EXT3_ORACLES["simhash_portable"] = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------
+# group= granule grouping (SURVEY §2.6 —
+# abstract_space_time_dataset.py:1889-1904 group_concat branch)
+# ---------------------------------------------------------------------
+
+
+def q_group_granules(spark, sf_dir):
+    """t.rast.list group=day: one row per day with the comma-joined
+    purchase event ids, ordered by (start time, id-string)."""
+    from grass_spark.catalog import group_maps
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    )
+    out = group_maps(ev, "day", columns=["event_id"], order_col="ts")
+    return out.select(F.col("day").alias("bucket"), F.col("event_id").alias("ids"))
+
+
+ORACLE_GROUP_GRANULES = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       string_agg(CAST(event_id AS VARCHAR), ','
+                  ORDER BY ts, CAST(event_id AS VARCHAR)) AS ids
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+EXT3_QUERIES["group_granules"] = q_group_granules
+EXT3_ORACLES["group_granules"] = ORACLE_GROUP_GRANULES
+
+
+# ---------------------------------------------------------------------
+# algebra relation-parameterized select: A {:,during} B (SURVEY §2.7 —
+# temporal_algebra.py select evaluation; strict `during`)
+# ---------------------------------------------------------------------
+
+
+def q_algebra_select(spark, sf_dir):
+    """Keep hourly granules strictly inside a high-activity day
+    (daily sum > 300): ``A {:,during} B`` through the algebra
+    front-end — a left-semi relation join, keys equi-joined."""
+    from grass_spark.algebra import TemporalAlgebra
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.avg("value").alias("value"))
+        .withColumn("bucket_end", _usec(F.col("bucket_start"), 3600))
+    )
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("bucket_start"))
+        .agg(F.sum("value").alias("value"))
+        .filter(F.col("value") > 300)
+        .withColumn("bucket_end", _usec(F.col("bucket_start"), 86400))
+    )
+    alg = TemporalAlgebra(keys=["user_id"])
+    out = alg.eval("A {:,during} B", {"A": hourly, "B": daily})
+    return out.select(
+        "user_id",
+        F.col("bucket_start").alias("bucket"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+# strict `during` (temporal_extent.py:713-749): a_s > b_s AND a_e < b_e —
+# the 00:00 hour of a qualifying day is `starts`, not `during`, and the
+# 23:00 hour is `finishes`; both are excluded.
+ORACLE_ALGEBRA_SELECT = """
+WITH h AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bs,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bs
+  FROM events GROUP BY 1, 2 HAVING sum(value) > 300
+)
+SELECT h.user_id, h.bs AS bucket, round(h.v, 6) AS value
+FROM h
+WHERE EXISTS (
+  SELECT 1 FROM d
+  WHERE d.user_id = h.user_id
+    AND h.bs > d.bs
+    AND h.bs + INTERVAL 1 HOUR < d.bs + INTERVAL 1 DAY
+)
+"""
+
+EXT3_QUERIES["algebra_select"] = q_algebra_select
+EXT3_ORACLES["algebra_select"] = ORACLE_ALGEBRA_SELECT
+
+
+# ---------------------------------------------------------------------
+# algebra merge(A, B) — dataset union (temporal_algebra.py:2651-2709)
+# ---------------------------------------------------------------------
+
+
+def q_merge_extract(spark, sf_dir):
+    """merge() of two extracted datasets (click-day and purchase-day
+    averages) — the t.merge analog; map lists are disjoint by
+    construction so the union is the reference's registered-maps set."""
+    from grass_spark.algebra import TemporalAlgebra
+
+    ev = _t(spark, sf_dir, "events")
+
+    def _daily(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("bucket_start"))
+            .agg(F.avg("value").alias("value"))
+        )
+
+    alg = TemporalAlgebra(keys=["user_id"], end_col=None)
+    out = alg.eval("merge(A, B)", {"A": _daily("click"), "B": _daily("purchase")})
+    return out.select(
+        "user_id",
+        F.col("bucket_start").alias("bucket"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_MERGE_EXTRACT = """
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       round(avg(value), 6) AS value
+FROM events WHERE event_type = 'click' GROUP BY 1, 2
+UNION ALL
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       round(avg(value), 6) AS value
+FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+"""
+
+EXT3_QUERIES["merge_extract"] = q_merge_extract
+EXT3_ORACLES["merge_extract"] = ORACLE_MERGE_EXTRACT
