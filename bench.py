@@ -68,6 +68,10 @@ HEADLINE = [
     "neighbors_rolling",
     "weighted_skew_kurt",
     "infer_granularity",
+    # round 2 third wave
+    "topology_census",
+    "jaccard_verify",
+    "sample_granules",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -64,6 +64,7 @@ def register_maps(
     interval: bool = False,
     ts_col: str | None = None,
     order_col: str = "map_id",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """``t.register``: stamp rows with temporal extents.
 
@@ -73,6 +74,14 @@ def register_maps(
       * ``start`` + ``increment`` — map i gets start + i*increment
         (ordered by ``order_col``); with ``interval=True`` the extent
         is [start_i, start_{i+1}).
+
+    Scale bound: increment mode numbers rows with a window sort.  With
+    ``keys`` the sort is partitioned per dataset; without, it is a
+    single-task global sort — fine at the reference's catalog scale
+    (map *lists*, thousands of rows; register.py walks them serially
+    too), but do NOT call it on raw data-scale rows.  Data-scale
+    timestamping belongs to ``ts_col`` mode, which is a pure column
+    cast with no shuffle at all.
     """
     if ts_col is not None:
         out = df.withColumn("start_time", F.col(ts_col).cast("timestamp"))
@@ -80,7 +89,11 @@ def register_maps(
         num, unit = parse_granularity(increment)
         from pyspark.sql import Window
 
-        idx = F.row_number().over(Window.orderBy(order_col)) - 1
+        w = (
+            Window.partitionBy(*keys).orderBy(order_col)
+            if keys else Window.orderBy(order_col)
+        )
+        idx = F.row_number().over(w) - 1
         if unit in ("month", "year"):
             months = num * (12 if unit == "year" else 1)
             out = df.withColumn(

@@ -10,7 +10,7 @@ starts with non-zero seconds), interval map_time.
 from __future__ import annotations
 
 import json
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 from pyspark.sql import functions as F
@@ -268,3 +268,22 @@ def test_copy_rename_support_unregister(spark, tmp_path):
     # reopened manifest sees the same state (persisted)
     cat2 = TierCatalog(str(tmp_path))
     assert cat2.manifest.done_parts("t1h") == {"2024-01-02"}
+
+
+def test_register_increment_partitioned_by_dataset(spark):
+    """keys= partitions the increment numbering per dataset — each
+    dataset restarts at `start`, and the window sort distributes."""
+    df = spark.createDataFrame(
+        [(ds, f"m{i}") for ds in ("A", "B") for i in range(3)],
+        "ds string, map_id string",
+    )
+    out = register_maps(
+        df, start=START, increment="1 day", interval=False, keys=["ds"]
+    )
+    per_ds = {}
+    for r in out.collect():
+        per_ds.setdefault(r["ds"], []).append(r["start_time"])
+    for ds in ("A", "B"):
+        assert sorted(per_ds[ds]) == [
+            START + timedelta(days=i) for i in range(3)
+        ]
