@@ -491,3 +491,77 @@ def test_sample_frames_real_video(spark):
         assert img.shape == (4, 4, 3)
     # 5 source frames, 4 samples: indices 0,1,2,3 -> distinct frames
     assert len({bytes(r["frame"]) for r in out}) == 4
+
+
+# ---------------------------------------------------------------------
+# ANN recall on the REAL testdata embeddings (500 vectors, 10 labelled
+# clusters, dim 64) — the recall story on clustered data, vs the
+# documented ~10% SRP recall on *random* near-orthogonal vectors
+# ---------------------------------------------------------------------
+
+EMB_SF = "/root/testdata/sf0.001"
+
+
+def _recall_at_k(approx_rows, brute_rows, k=10):
+    def topsets(rows):
+        per = {}
+        for r in rows:
+            per.setdefault(r["q_id"], []).append((r["rank"], r["neighbor_id"]))
+        return {
+            q: {nid for _, nid in sorted(v)[:k]} for q, v in per.items()
+        }
+
+    a, b = topsets(approx_rows), topsets(brute_rows)
+    hits = sum(len(a.get(q, set()) & nb) for q, nb in b.items())
+    return hits / sum(len(nb) for nb in b.values())
+
+
+def test_ivf_recall_on_testdata_embeddings(spark):
+    """The testdata embeddings are near-random (only ~13% of true
+    top-10 neighbours share the query's label), i.e. the hard case for
+    any space-partitioning index.  The honest property to pin is the
+    recall/nprobe curve: monotone non-decreasing, and near-exhaustive
+    probing recovers almost everything."""
+    from grass_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{EMB_SF}/embeddings.parquet").cache()
+    cents = train_ivf_centroids(
+        emb, dims=64, n_centroids=10, sample=500, seed=7
+    )
+    q = emb.filter("vec_id < 20")
+    brute = cosine_topk(emb, q, k=10).collect()
+    recalls = [
+        _recall_at_k(
+            ivf_topk(emb, q, cents, k=10, nprobe=npb).collect(), brute, k=10
+        )
+        for npb in (1, 3, 8)
+    ]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    # measured on this table: ~0.59 @ nprobe=3, ~0.98 @ nprobe=8
+    assert recalls[-1] >= 0.9, f"IVF recall@10 (nprobe=8) = {recalls[-1]:.3f}"
+
+
+def test_srp_lsh_recall_on_testdata_embeddings(spark):
+    """Same data property: SRP-LSH recall on near-orthogonal vectors is
+    inherently low (CLAUDE.md) — pin the tuning direction instead of an
+    absolute: fewer planes per table x more tables => wider buckets =>
+    strictly better recall (measured 0.12 @ 8x6 -> 0.34 @ 6x8)."""
+    from grass_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{EMB_SF}/embeddings.parquet").cache()
+    q = emb.filter("vec_id < 20")
+    brute = cosine_topk(emb, q, k=10).collect()
+    narrow = _recall_at_k(
+        lsh_topk(emb, q, dims=64, k=10, n_planes=8, n_tables=6, seed=3).collect(),
+        brute, k=10,
+    )
+    wide = _recall_at_k(
+        lsh_topk(emb, q, dims=64, k=10, n_planes=6, n_tables=8, seed=3).collect(),
+        brute, k=10,
+    )
+    assert wide > narrow, f"wide={wide:.3f} narrow={narrow:.3f}"
+    assert wide >= 0.25
