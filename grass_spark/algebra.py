@@ -62,7 +62,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -75,7 +75,7 @@ _TOKEN_RE = re.compile(
     r"|(?P<str>\"[^\"]*\"|'[^']*')"
     r"|(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
     r"|(?P<topr>\{[^}]*\})"
-    r"|(?P<op>!:|&&|\|\||==|!=|<=|>=|[-+*/%():,<>#])"
+    r"|(?P<op>!:|&&|\|\||==|!=|<=|>=|[-+*/%():,<>#\[\]])"
     r")"
 )
 
@@ -178,6 +178,19 @@ class Call:
     fn: str
     args: list
     relations: tuple[str, ...] | None = None  # if({relations}, …) form
+
+
+@dataclass
+class TIndex:
+    """``A[t]`` / ``A[0,0,t]`` temporal map indexing
+    (temporal_raster_base_algebra map-offset operator): the value of
+    the t-th neighbouring granule in A's per-key series, attached to
+    the current granule's extent; out-of-range granules drop.  The
+    leading row/col offsets of the 3-component form must be 0 — the
+    transcript domain has no spatial grid."""
+
+    a: object
+    t: int
 
 
 @dataclass
@@ -314,6 +327,35 @@ class Parser:
         return self.atom()
 
     def atom(self):
+        e = self._atom_base()
+        while self.peek() == ("op", "["):
+            self.eat()
+            idx = [self._signed_int()]
+            while self.peek() == ("op", ","):
+                self.eat()
+                idx.append(self._signed_int())
+            self.eat("op", "]")
+            if len(idx) not in (1, 3):
+                raise SyntaxError("map index takes [t] or [row,col,t]")
+            if len(idx) == 3:
+                if idx[0] != 0 or idx[1] != 0:
+                    raise ValueError(
+                        "spatial map offsets are unmapped in the "
+                        "transcript domain (use [0,0,t])"
+                    )
+                idx = idx[2:]
+            e = TIndex(e, idx[0])
+        return e
+
+    def _signed_int(self) -> int:
+        neg = False
+        while self.peek() == ("op", "-"):
+            self.eat()
+            neg = not neg
+        v = self.eat("num")
+        return -int(float(v)) if neg else int(float(v))
+
+    def _atom_base(self):
         k, v = self.peek()
         if k == "num":
             self.eat()
@@ -397,7 +439,9 @@ _TIME_FNS = {
     "end_hour": lambda t, e: F.hour(e),
     "end_minute": lambda t, e: F.minute(e),
     "end_second": lambda t, e: F.second(e),
-    "td": lambda t, e: (F.unix_micros(e) - F.unix_micros(t)) / 1e6,
+    # td() = interval length in DAYS for absolute time (the reference
+    # converts via time_delta_to_relative_time, datetime_math.py:40-42)
+    "td": lambda t, e: (F.unix_micros(e) - F.unix_micros(t)) / 86400e6,
 }
 
 _BIN_COL = {
@@ -437,11 +481,22 @@ class TemporalAlgebra:
         time_col: str = "bucket_start",
         end_col: str | None = "bucket_end",
         value_col: str = "value",
+        flavor: str = "temporal",
     ):
+        """``flavor`` picks the reference parser being mirrored for
+        map-valued conditionals: ``temporal`` = TemporalAlgebraParser
+        (if() SELECTS branch maps via branch-{rel}-cond boolean folds);
+        ``raster`` = TemporalRasterAlgebraParser (if() computes VALUES
+        over then/else granules related by cond-{rel}-conclusion,
+        build_condition_cmd_list, temporal_raster_base_algebra.py:
+        641-747).  Everything else is identical between the two."""
+        if flavor not in ("temporal", "raster"):
+            raise ValueError("flavor must be 'temporal' or 'raster'")
         self.keys = ["conv_id"] if keys is None else list(keys)
         self.time_col = time_col
         self.end_col = end_col
         self.value_col = value_col
+        self.flavor = flavor
 
     # -- frame normalization ------------------------------------------
     def _norm(self, df: DataFrame) -> DataFrame:
@@ -464,7 +519,11 @@ class TemporalAlgebra:
     # -- public ---------------------------------------------------------
     def eval(self, expr: str, env: dict[str, DataFrame]) -> DataFrame:
         ast = parse(expr)
-        res = self._eval(ast, {k: self._norm(v) for k, v in env.items()})
+        norm = {
+            k: self._norm(v) if isinstance(v, DataFrame) else v
+            for k, v in env.items()
+        }
+        res = self._eval(ast, norm)
         if isinstance(res, _Scalar):
             raise ValueError("expression has no dataset reference")
         return self._denorm(res.df)
@@ -490,9 +549,15 @@ class TemporalAlgebra:
         )
 
     def _rel_cond(self, a: DataFrame, relations) -> Column:
+        # builder-list semantics, NOT the strict dispatcher: the algebra's
+        # topolists come from SpatioTemporalTopologyBuilder, whose DURING/
+        # CONTAINS lists also hold starts/finishes resp. started/finished
+        # pairs (spatio_temporal_relationships.py:608-672) — verified by
+        # the reference's own suite (A {:,during} C selects the map that
+        # merely *starts* C; unittests_temporal_algebra.py:185-205)
         from grass_spark.functions import relations as _rel
 
-        cond = _rel.any_relation(
+        cond = _rel.topo_any(
             list(relations), F.col("__time"), self._end_of(a),
             F.col("__b_time"), F.col("__b_end"),
         )
@@ -508,7 +573,13 @@ class TemporalAlgebra:
         if isinstance(node, Ref):
             if node.name not in env:
                 raise KeyError(f"unknown dataset {node.name!r}")
-            return _Frame(env[node.name])
+            v = env[node.name]
+            # numeric env entries model timeless single maps (map())
+            if isinstance(v, (int, float)):
+                return _Scalar(F.lit(float(v)))
+            return _Frame(v)
+        if isinstance(node, TIndex):
+            return self._tindex(node, env)
         if isinstance(node, Select):
             return self._select(node, env)
         if isinstance(node, Hash):
@@ -519,18 +590,32 @@ class TemporalAlgebra:
             return self._bin(node, env)
         raise TypeError(node)
 
+    def _equal_cols(self, a_df: DataFrame, b_df: DataFrame):
+        """Join columns for the EQUAL fast path: keys + start + end.
+        Equality is full-extent (temporal_extent.py equal: both starts
+        AND both ends match — a 1-day and a 2-day map sharing a start
+        are NOT equal, pinned by unittests_temporal_raster_algebra
+        test_temporal_intersection_1).  Returns None for mixed
+        instant/interval frames — callers fall back to the generic
+        relation join, whose equal predicate handles NULL ends."""
+        cols = self._join_cols(a_df)
+        a_has, b_has = "__end" in a_df.columns, "__end" in b_df.columns
+        if a_has and b_has:
+            return [*cols, "__end"]
+        if a_has != b_has:
+            return None
+        return cols
+
     def _select(self, node: Select, env):
         a = self._eval(node.a, env)
         b = self._eval(node.b, env)
         if not isinstance(a, _Frame) or not isinstance(b, _Frame):
             raise ValueError("':' operands must be datasets")
         how = "left_anti" if node.negate else "left_semi"
-        if set(node.relations) == {"equal"}:
+        eq_cols = self._equal_cols(a.df, b.df)
+        if set(node.relations) == {"equal"} and eq_cols is not None:
             return _Frame(
-                a.df.join(
-                    b.df.select(*self._join_cols(b.df)),
-                    on=self._join_cols(a.df), how=how,
-                )
+                a.df.join(b.df.select(*eq_cols), on=eq_cols, how=how)
             )
         # relation-parameterized select: semi/anti join on the Allen
         # predicates over the extent columns (keys still equi-joined)
@@ -552,11 +637,12 @@ class TemporalAlgebra:
         if not isinstance(a, _Frame) or not isinstance(b, _Frame):
             raise ValueError("'#' operands must be datasets")
         ident = [*self.keys, "__time"] + (["__end"] if "__end" in a.df.columns else [])
-        if set(node.relations) == {"equal"}:
-            bb = b.df.groupBy(*self._join_cols(b.df)).agg(
+        eq_cols = self._equal_cols(a.df, b.df)
+        if set(node.relations) == {"equal"} and eq_cols is not None:
+            bb = b.df.groupBy(*eq_cols).agg(
                 F.count(F.lit(1)).alias("__cnt")
             )
-            joined = a.df.drop("__val").join(bb, on=self._join_cols(a.df), how="inner")
+            joined = a.df.drop("__val").join(bb, on=eq_cols, how="inner")
             return _Frame(joined.withColumnRenamed("__cnt", "__val"))
         bsel = self._b_side(b.df).drop("__val_r")
         joined = a.df.drop("__val").join(
@@ -577,11 +663,12 @@ class TemporalAlgebra:
         if isinstance(a, _Frame) and isinstance(b, _Frame):
             if node.op in ("&&", "||") and set(node.relations) != {"equal"}:
                 return self._comp_join(a, b, node)
-            if set(node.relations) == {"equal"}:
+            eq_cols = self._equal_cols(a.df, b.df)
+            if set(node.relations) == {"equal"} and eq_cols is not None:
                 bb = b.df.select(
-                    *self._join_cols(b.df), F.col("__val").alias("__val_r")
+                    *eq_cols, F.col("__val").alias("__val_r")
                 )
-                joined = a.df.join(bb, on=self._join_cols(a.df), how="inner")
+                joined = a.df.join(bb, on=eq_cols, how="inner")
                 return _Frame(
                     joined.withColumn(
                         "__val", fn(F.col("__val"), F.col("__val_r"))
@@ -639,19 +726,89 @@ class TemporalAlgebra:
         """Arithmetic across datasets related by arbitrary Allen
         relations (``A {+,during,u} B`` — temporal_raster_base_algebra
         spatio-temporal operators).  Keys stay equi-joined; extents join
-        on the relation predicates; the result extent follows the
-        policy: l=left, r=right, u=union, i=intersection, d=disjoint
-        union (temporal_operator.py doctests)."""
+        on the relation predicates (builder-widened).
+
+        The reference FOLDS the operation over every related right map
+        in (topolist-index, start-time) order — ``B {+,contains,l} A``
+        over b1⊃{a1,a2} yields ONE map b1+a1+a2, not two pairs
+        (unittests_temporal_raster_algebra test_raster_arithmetic_
+        relation_1: min 5+1+2=8, max 6+3+4=13).  Extent policy:
+        l=left, u/d=union, i=intersection — one row per left map;
+        r=ONE ROW PER RELATED RIGHT map (its extent), all carrying the
+        folded value (set_temporal_extent_list regenerates under 'r',
+        relation_4: n=4, values {8,8,13,13})."""
+        from grass_spark.functions import relations as _rel
+
         bsel = self._b_side(b.df)
         joined = a.df.join(bsel, on=self._rel_cond(a.df, relations), how="inner")
-        t, e, keep = self._policy_extent(a.df, policy)
+        # fold order: first-matching topolist index, then right start
+        tidx = F.lit(len(relations)).cast("int")
+        a_t, a_e = F.col("__time"), self._end_of(a.df)
+        for i, name in reversed(list(enumerate(relations))):
+            tidx = F.when(
+                _rel.topo_relation(
+                    name, a_t, a_e, F.col("__b_time"), F.col("__b_end")
+                ),
+                F.lit(i).cast("int"),
+            ).otherwise(tidx)
+        joined = joined.withColumn("__tidx", tidx)
+        if policy == "u":
+            # union of STRICTLY disjoint extents is undefined — the pair
+            # drops (temporal_extent.py union returns None; overlay_map_
+            # extent returncode 0).  'd' (disjoint union) keeps them.
+            a_hi0 = F.coalesce(self._end_of(a.df), F.col("__time"))
+            b_hi0 = F.coalesce(F.col("__b_end"), F.col("__b_time"))
+            joined = joined.where(
+                ~((a_hi0 < F.col("__b_time")) | (b_hi0 < F.col("__time")))
+            )
+        ident = [*self.keys, "__time"] + (["__end"] if "__end" in a.df.columns else [])
+        elem = F.struct(
+            F.col("__tidx"), F.col("__b_time").alias("__bt"),
+            F.col("__val_r").alias("__v"),
+        )
+
+        def fold(arr):
+            return F.aggregate(
+                F.array_sort(arr),
+                F.col("__val").cast("double"),
+                lambda acc, s: fn(acc, s["__v"]),
+            )
+
+        if policy == "r":
+            w = Window.partitionBy(*ident, "__val")
+            folded = fold(F.collect_list(elem).over(w))
+            out = (
+                joined.withColumn("__new_val", folded)
+                .withColumn("__new_time", F.col("__b_time"))
+                .withColumn("__new_end", F.col("__b_end"))
+                .drop("__time", "__end", "__val", "__val_r", "__tidx",
+                      "__b_time", "__b_end", *[f"__b_{k}" for k in self.keys])
+                .withColumnRenamed("__new_val", "__val")
+                .withColumnRenamed("__new_time", "__time")
+                .withColumnRenamed("__new_end", "__end")
+            )
+            return _Frame(out)
+        b_hi = F.coalesce(F.col("__b_end"), F.col("__b_time"))
+        a_hi = F.coalesce(a_e, a_t)
+        grouped = joined.groupBy(*ident, F.col("__val")).agg(
+            F.collect_list(elem).alias("__arr"),
+            F.min(F.col("__b_time")).alias("__b_lo"),
+            F.max(b_hi).alias("__b_hi"),
+        )
+        grouped = grouped.withColumn("__new_val", fold(F.col("__arr")))
+        if policy == "l":
+            t, e = F.col("__time"), self._end_of(a.df)
+        elif policy in ("u", "d"):
+            t = F.least(F.col("__time"), F.col("__b_lo"))
+            e = F.greatest(F.coalesce(self._end_of(a.df), F.col("__time")), F.col("__b_hi"))
+        else:  # "i"
+            t = F.greatest(F.col("__time"), F.col("__b_lo"))
+            e = F.least(F.coalesce(self._end_of(a.df), F.col("__time")), F.col("__b_hi"))
         out = (
-            joined.where(keep)
-            .withColumn("__val", fn(F.col("__val"), F.col("__val_r")))
-            .withColumn("__new_time", t)
+            grouped.withColumn("__new_time", t)
             .withColumn("__new_end", e)
-            .drop("__time", "__end", "__val_r", "__b_time", "__b_end",
-                  *[f"__b_{k}" for k in self.keys])
+            .drop("__time", "__end", "__val", "__arr", "__b_lo", "__b_hi")
+            .withColumnRenamed("__new_val", "__val")
             .withColumnRenamed("__new_time", "__time")
             .withColumnRenamed("__new_end", "__end")
         )
@@ -676,6 +833,33 @@ class TemporalAlgebra:
         b_hi = F.coalesce(F.col("__b_end"), b_t)
         a_hi = F.coalesce(a_e, a_t)
         ident = [*self.keys, "__time"] + (["__end"] if "__end" in a.df.columns else [])
+        if node.policy == "r":
+            # the reference's set_temporal_extent_list regenerates the
+            # intermediate map PER RELATED MAP under temporal='r'
+            # (temporal_algebra.py:1149-1156), so the result holds ONE
+            # map per (left, related-right) pair, each with the RIGHT
+            # extent and the left map's combined boolean.  Duplicate
+            # extents with conflicting booleans are meaningful: the
+            # downstream if() folds them with all() (assign_bool_value).
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(*ident, "__val")
+            comb = (
+                (F.col("__val") & agg_fn(F.col("__val_r")).over(w))
+                if node.op == "&&"
+                else (F.col("__val") | agg_fn(F.col("__val_r")).over(w))
+            )
+            out = (
+                joined.withColumn("__new_val", comb)
+                .withColumn("__new_time", b_t)
+                .withColumn("__new_end", F.col("__b_end"))
+                .drop("__time", "__end", "__val", "__val_r",
+                      "__b_time", "__b_end", *[f"__b_{k}" for k in self.keys])
+                .withColumnRenamed("__new_val", "__val")
+                .withColumnRenamed("__new_time", "__time")
+                .withColumnRenamed("__new_end", "__end")
+            )
+            return _Frame(out)
         grouped = joined.groupBy(*ident, F.col("__val")).agg(
             agg_fn(F.col("__val_r")).alias("__agg"),
             F.min(b_t).alias("__b_lo"),
@@ -688,9 +872,7 @@ class TemporalAlgebra:
         grouped = grouped.withColumn("__val", comb).drop("__agg")
         if node.policy == "l":
             return _Frame(grouped.drop("__b_lo", "__b_hi"))
-        if node.policy == "r":
-            t, e = F.col("__b_lo"), F.col("__b_hi")
-        elif node.policy in ("u", "d"):
+        if node.policy in ("u", "d"):
             t = F.least(a_t, F.col("__b_lo"))
             e = F.greatest(a_hi, F.col("__b_hi"))
         else:  # "i"
@@ -795,10 +977,35 @@ class TemporalAlgebra:
                 # to the current granule's extent; out-of-range granules
                 # drop (p_expr_time_const, temporal_algebra.py:3330-3369)
                 return self._time_const(name, node.args, env)
+            if len(node.args) == 1:
+                # dataset-anchored accessor — td(A), start_date(B), … —
+                # builds a CONDITION DATASET over that dataset's own
+                # granules (the reference's GlobalTemporalVar map lists,
+                # temporal_algebra.py:2156-2177): the value is the
+                # accessor of A's extents, and relation-parameterized
+                # comparisons / ifs then join it by topology
+                frame = self._eval(node.args[0], env)
+                if not isinstance(frame, _Frame):
+                    raise ValueError(f"{name}(A) takes a dataset")
+                expr = _TIME_FNS[name](F.col("__time"), self._end_of(frame.df))
+                return _Frame(frame.df.withColumn("__val", expr))
             # td()/end_*() resolve __end at join time — interval datasets only
             return _Scalar(
                 _TIME_FNS[name](F.col("__time"), F.col("__end")), time_dep=True
             )
+        if name == "map":
+            # map(name): a single raster map without a timestamp — a
+            # timeless constant in the transcript domain
+            # (temporal_raster_base_algebra map() / p_expr_map_function)
+            if len(node.args) != 1:
+                raise ValueError("map(X) takes one name")
+            v = self._eval(node.args[0], env)
+            if isinstance(v, _Frame):
+                raise ValueError(
+                    "map() takes a timeless value (register the entry "
+                    "as a number in env), not a dataset"
+                )
+            return v
         if name in ("tmap", "strds"):
             # typed dataset constructors (conditional_functions table,
             # temporal_algebra.py:486-496; p_expr_tmap_function :2610,
@@ -899,6 +1106,21 @@ class TemporalAlgebra:
         )
         return _Frame(out)
 
+    def _tindex(self, node: TIndex, env):
+        """``A[t]``: per key, the value of the granule ``t`` steps away
+        in start order, attached to the current granule's extent;
+        granules with no such neighbour drop."""
+        frame = self._eval(node.a, env)
+        if not isinstance(frame, _Frame):
+            raise ValueError("map indexing needs a dataset")
+        t = node.t
+        if t == 0:
+            return frame
+        w = Window.partitionBy(*self.keys).orderBy("__time")
+        shifted = F.lag("__val", -t).over(w) if t < 0 else F.lead("__val", t).over(w)
+        out = frame.df.withColumn("__val", shifted).where(F.col("__val").isNotNull())
+        return _Frame(out)
+
     def _nary(self, fn, vals):
         frames = [v for v in vals if isinstance(v, _Frame)]
         if not frames:
@@ -950,37 +1172,161 @@ class TemporalAlgebra:
             return _Frame(out)
 
         # --- map-valued condition --------------------------------------
-        if els is None:
-            els = _Scalar(F.lit(None).cast("double"))
+        if self.flavor == "raster" and (
+            isinstance(then, _Frame) or isinstance(els, _Frame)
+        ):
+            return self._if_raster(cond, then, els, node.relations or ("equal",))
+        # temporal form (then is a dataset, else absent or a dataset):
+        # branch maps are selected by folding the booleans of ALL
+        # related condition granules with all() — the default relation
+        # is equal (assign_bool_value; comparison results under the 'r'
+        # policy legitimately carry several rows per extent, so a plain
+        # equal JOIN would duplicate branch rows where a fold is needed)
+        if isinstance(then, _Frame) and (els is None or isinstance(els, _Frame)):
+            return self._if_related(
+                cond, then,
+                els if els is not None else _Scalar(F.lit(None).cast("double")),
+                node.relations or ("equal",),
+            )
         if node.relations is not None and set(node.relations) != {"equal"}:
-            return self._if_related(cond, then, els, node.relations)
+            return self._if_related(
+                cond, then,
+                els if els is not None else _Scalar(F.lit(None).cast("double")),
+                node.relations,
+            )
+        # raster-mapcalc form (a scalar branch): per-granule VALUE
+        # selection over the condition's own granules
         base = cond.df.withColumnRenamed("__val", "__cond")
 
-        def attach(v, alias):
+        def attach(v, val_alias, flag_alias):
+            """Returns (value col, matched col). Scalar branches always
+            'match' — a literal exists for every granule."""
             nonlocal base
             if isinstance(v, _Frame):
                 r = v.df.select(
-                    *self._join_cols(v.df), F.col("__val").alias(alias)
+                    *self._join_cols(v.df),
+                    F.col("__val").alias(val_alias),
+                    F.lit(True).alias(flag_alias),
                 )
                 base = base.join(r, on=self._join_cols(base), how="left")
-                return F.col(alias)
-            return self._as_col(v)
+                return F.col(val_alias), F.coalesce(F.col(flag_alias), F.lit(False))
+            return self._as_col(v), F.lit(True)
 
-        tcol = attach(then, "__then")
-        ecol = attach(els, "__else")
-        out = base.withColumn(
-            "__val", F.when(F.col("__cond"), tcol).otherwise(ecol)
-        ).drop("__cond")
-        return _Frame(out.drop("__then", "__else"))
+        tcol, tmatch = attach(then, "__then", "__tm")
+        # two-arg if: granules whose condition is False produce NOTHING
+        # (the reference only emits maps selected from a branch list —
+        # unittests_temporal_conditionals test_temporal_condition_1:
+        # if(start_date(A) >= "2001-01-03", A) has 2 maps, not 4)
+        if els is None:
+            out = (
+                base.where(F.col("__cond") & tmatch)
+                .withColumn("__val", tcol)
+                .drop("__cond")
+            )
+            return _Frame(out.drop("__then", "__tm"))
+        ecol, ematch = attach(els, "__else", "__em")
+        keep = F.when(F.col("__cond"), tmatch).otherwise(ematch)
+        out = (
+            base.where(keep)
+            .withColumn("__val", F.when(F.col("__cond"), tcol).otherwise(ecol))
+            .drop("__cond")
+        )
+        return _Frame(out.drop("__then", "__else", "__tm", "__em"))
+
+    def _if_raster(self, cond: _Frame, then, els, relations):
+        """Raster-algebra conditional (build_condition_cmd_list,
+        temporal_raster_base_algebra.py:641-747): like the plain
+        temporal form, branch granules are kept by folding the booleans
+        of the condition granules related to them — but the topology is
+        built with the CONDITION as the left side
+        (``build_spatio_temporal_topology_list(iflist, conclusionlist,
+        condition_topolist)``), i.e. the relation reads
+        cond-{relations}-branch — the INVERSE orientation of the plain
+        algebra's branch-{relations}-cond.  Verified against the
+        reference's own "time dimension bug" test
+        (unittests_temporal_raster_algebra.py:156-176:
+        ``if({contains}, B == 5, A - 1, A + 1)`` keeps all four A
+        granules because the B condition granules *contain* them).
+        A scalar branch substitutes its value on the other branch's
+        rows (the numeric-conclusion productions)."""
+
+        def flag(branch_df: DataFrame) -> DataFrame:
+            from grass_spark.functions import relations as _rel
+
+            has_end = "__end" in branch_df.columns
+            bsel = branch_df.select(
+                *[F.col(k).alias(f"__b_{k}") for k in self.keys],
+                F.col("__time").alias("__b_time"),
+                self._end_of(branch_df).alias("__b_end"),
+                F.col("__val").alias("__bval"),
+            )
+            # symmetric relation match: the reference's own suite pins
+            # BOTH orientations for the same relation name —
+            # ``if({contains}, B == 5, A-1, A+1)`` needs cond⊃branch
+            # (test_temporal_conditional_time_dimension_bug) while
+            # ``if({contains}, A # D == 1, C {#,contains} A)`` needs
+            # branch⊃cond (test_temporal_hash_operator4)
+            c_t, c_e = F.col("__time"), self._end_of(cond.df)
+            b_t, b_e = F.col("__b_time"), F.col("__b_end")
+            rel_any = _rel.topo_any(
+                list(relations), c_t, c_e, b_t, b_e
+            ) | _rel.topo_any(list(relations), b_t, b_e, c_t, c_e)
+            on = rel_any
+            for k in self.keys:
+                on = on & (F.col(k) == F.col(f"__b_{k}"))
+            j = cond.df.join(bsel, on=on, how="inner")
+            ident = [f"__b_{k}" for k in self.keys] + ["__b_time", "__b_end", "__bval"]
+            g = j.groupBy(*ident).agg(
+                F.bool_and(F.col("__val").cast("boolean")).alias("__keep")
+            )
+            end_cols = [F.col("__b_end").alias("__end")] if has_end else []
+            return g.select(
+                *[F.col(f"__b_{k}").alias(k) for k in self.keys],
+                F.col("__b_time").alias("__time"),
+                *end_cols,
+                F.col("__bval").alias("__val"),
+                "__keep",
+            )
+
+        then_is_frame = isinstance(then, _Frame)
+        els_is_frame = isinstance(els, _Frame)
+        if not then_is_frame and not els_is_frame:
+            raise ValueError("raster if() needs at least one dataset branch")
+        if then_is_frame and els_is_frame:
+            t_rows = flag(then.df).where(F.col("__keep")).drop("__keep")
+            e_rows = flag(els.df).where(~F.col("__keep")).drop("__keep")
+            return _Frame(t_rows.unionByName(e_rows, allowMissingColumns=True))
+        if then_is_frame:
+            out = flag(then.df)
+            if els is None:
+                return _Frame(out.where(F.col("__keep")).drop("__keep"))
+            ecol = self._as_col(els)
+            return _Frame(
+                out.withColumn(
+                    "__val", F.when(F.col("__keep"), F.col("__val")).otherwise(ecol)
+                ).drop("__keep")
+            )
+        # scalar then, dataset else: value substituted where cond true
+        out = flag(els.df)
+        tcol = self._as_col(then)
+        return _Frame(
+            out.withColumn(
+                "__val", F.when(F.col("__keep"), tcol).otherwise(F.col("__val"))
+            ).drop("__keep")
+        )
 
     def _if_related(self, cond: _Frame, then, els, relations):
         """``if({relations}, cond, then[, else])``
         (temporal_algebra.py:3097-3128, 3171-3230): each branch granule
-        is kept according to the boolean fold over the condition
-        granules related to it — all related must be true
-        (``assign_bool_value``: ``all(condition_value_list)``;
-        granules with *no* related condition granule fold to True,
-        Python ``all([])``); the else branch takes the inverse rows."""
+        is compared to the condition granules related to it; all
+        related must be true (``assign_bool_value``:
+        ``all(condition_value_list)``).  Granules with NO related
+        condition granule never enter the condition map list at all
+        (``eval_map_list`` -> ``perform_temporal_selection`` returns
+        only topology-list members), so they appear in NEITHER branch —
+        verified by the reference's ``test_temporal_hash_operator2``
+        (unittests_temporal_algebra.py:423-444: a1/a4 are unrelated to
+        c1 and absent from the result)."""
         if not isinstance(then, _Frame):
             raise ValueError("if({rel}, …) then-branch must be a dataset")
 
@@ -995,8 +1341,10 @@ class TemporalAlgebra:
             ident = [*self.keys, "__time"] + (
                 ["__end"] if "__end" in branch.columns else []
             )
+            # NULL fold (no related condition granule) drops the row in
+            # both branches' where() below
             return j.groupBy(*ident, F.col("__val")).agg(
-                F.coalesce(F.bool_and(F.col("__cval")), F.lit(True)).alias("__keep")
+                F.bool_and(F.col("__cval")).alias("__keep")
             )
 
         out = flag(then.df).where(F.col("__keep")).drop("__keep")

@@ -141,3 +141,43 @@ def any_relation(names: list[str], a_s, a_e, b_s, b_e) -> Column:
     for n in names:
         cond = cond | RELATIONS[n](a_s, a_e, b_s, b_e)
     return cond
+
+
+# ---------------------------------------------------------------------------
+# builder-widened relation groups — the semantics every list-consuming
+# surface (algebra topolists, t.sample, resample, t.topology census)
+# actually sees
+# ---------------------------------------------------------------------------
+
+#: ``set_temporal_relationship`` (spatio_temporal_relationships.py:608-672)
+#: records a ``starts``/``finishes`` pair ALSO in the DURING list and a
+#: ``started``/``finished`` pair ALSO in the CONTAINS list.  The algebra's
+#: topolists, t.sample's method lists, resample's priority classes and
+#: t.topology's counts all read those lists, so "during"/"contains" are
+#: WIDER there than the strict dispatcher predicates above.  (The SQL
+#: sampling twin ``create_temporal_relation_sql_where_statement``
+#: use_during/use_contain branches encode the same three-way OR.)
+TOPO_GROUPS: dict[str, tuple[str, ...]] = {
+    "during": ("during", "starts", "finishes"),
+    "contains": ("contains", "started", "finished"),
+    # the operator grammar's OVER keyword expands to both directions
+    # (temporal_operator.py:106-109 doctest: over -> [overlaps, overlapped])
+    "over": ("overlaps", "overlapped"),
+}
+
+
+def topo_relation(name: str, a_s, a_e, b_s, b_e) -> Column:
+    """One builder-list membership predicate: ``name`` as the topology
+    builder records it (during/contains widened, everything else 1:1)."""
+    cond = F.lit(False)
+    for n in TOPO_GROUPS.get(name, (name,)):
+        cond = cond | RELATIONS[n](a_s, a_e, b_s, b_e)
+    return cond
+
+
+def topo_any(names: list[str], a_s, a_e, b_s, b_e) -> Column:
+    """OR of builder-list memberships (widened ``any_relation``)."""
+    cond = F.lit(False)
+    for n in names:
+        cond = cond | topo_relation(n, a_s, a_e, b_s, b_e)
+    return cond

@@ -23,7 +23,7 @@ one granule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from grass_spark.functions import relations as rel
@@ -42,6 +42,37 @@ def _granule_side(granules: DataFrame, start_col: str, end_col: str) -> DataFram
     )
 
 
+def _sample_method_cond(
+    method: str, m_s: Column, m_e: Column, g_s: Column, g_e: Column
+) -> Column:
+    """One ``t.sample`` method as a predicate over (map, granule).
+
+    The reference's method names are GRANULE-relative
+    (abstract_space_time_dataset.py:672-744 diagrams): method
+    ``contains`` selects maps *inside* the granule, method ``during``
+    selects maps *containing* the granule; both read the topology
+    builder's widened lists (starts/finishes fold into during,
+    started/finished into contains — spatio_temporal_relationships.py:
+    608-672), and ``overlap`` covers both directions."""
+    if method == "start":
+        return (m_s >= g_s) & (m_s < g_e)
+    if method == "contains":  # granule contains map == map during granule
+        return rel.topo_relation("during", m_s, m_e, g_s, g_e)
+    if method == "during":  # granule during map == map contains granule
+        return rel.topo_relation("contains", m_s, m_e, g_s, g_e)
+    if method == "overlap":
+        return rel.overlaps(m_s, m_e, g_s, g_e) | rel.overlapped(
+            m_s, m_e, g_s, g_e
+        )
+    if method in ("equal", "equals"):
+        return rel.equal(m_s, m_e, g_s, g_e)
+    if method == "follows":
+        return rel.follows(m_s, m_e, g_s, g_e)
+    if method == "precedes":
+        return rel.precedes(m_s, m_e, g_s, g_e)
+    raise ValueError(f"unknown sample method {method!r}")
+
+
 def sample_by_dataset(
     maps: DataFrame,
     granules: DataFrame,
@@ -53,15 +84,19 @@ def sample_by_dataset(
     granule_end: str = "bucket_end",
 ) -> DataFrame:
     """``t.sample``: tag every map row with the granule(s) it relates to
-    by any of ``relations`` (map side = A, granule side = B, matching
-    the reference's sample semantics).  Rows matching no granule are
-    dropped (the reference emits empty sample lists for those granules;
-    use a right join downstream if gaps must be visible)."""
+    by any of the ``relations`` method names (``start contains during
+    overlap equal follows precedes`` — the reference's granule-relative
+    vocabulary, see :func:`_sample_method_cond`).  Rows matching no
+    granule are dropped (the reference emits empty sample lists for
+    those granules; use a right join downstream if gaps must be
+    visible)."""
     g = _granule_side(granules, granule_start, granule_end)
-    a_e = F.col(map_end) if map_end else F.lit(None).cast("timestamp")
-    cond = rel.any_relation(
-        relations, F.col(map_start), a_e, F.col("_g_start"), F.col("_g_end")
-    )
+    m_e = F.col(map_end) if map_end else F.lit(None).cast("timestamp")
+    cond = F.lit(False)
+    for method in relations:
+        cond = cond | _sample_method_cond(
+            method, F.col(map_start), m_e, F.col("_g_start"), F.col("_g_end")
+        )
     return (
         maps.join(g, on=cond, how="inner")
         .withColumnRenamed("_g_start", "granule_start")
@@ -92,8 +127,9 @@ def aggregate_by_dataset(
     g = _granule_side(granules, granule_start, granule_end)
     a_e = F.col(map_end) if map_end else F.lit(None).cast("timestamp")
     # sampling names granule-relative relations (granule CONTAINS map):
-    # granule is A in the predicate, map is B
-    cond = rel.any_relation(
+    # granule is A in the predicate, map is B; builder-widened lists
+    # (starts/finishes fold into during, started/finished into contains)
+    cond = rel.topo_any(
         sampling, F.col("_g_start"), F.col("_g_end"), F.col(map_start), a_e
     )
     joined = maps.join(g, on=cond, how="inner")
@@ -116,35 +152,51 @@ def resample_by_granularity(
     granule_start: str = "bucket_start",
     granule_end: str = "bucket_end",
 ) -> DataFrame:
-    """``resample_maplist_by_granularity``: per granule pick ONE map by
-    relation priority EQUAL > DURING > OVERLAPS > OVERLAPPED > CONTAINS;
-    ties inside a class -> earliest map start (the reference walks maps
-    in start order and keeps the first hit); granules with no map are
-    kept with a NULL map (gap objects, id None)."""
+    """``resample_maplist_by_granularity``
+    (abstract_space_time_dataset.py:1195-1420): per granule the FIRST
+    non-empty relation class in priority EQUAL > DURING > OVERLAPS >
+    OVERLAPPED > CONTAINS wins, where the class names are the
+    *granule's* topology-builder lists — granule-relative AND widened
+    (granule-DURING-map includes granule starts/finishes map;
+    granule-CONTAINS-map includes started/finished;
+    spatio_temporal_relationships.py:608-672).  The reference keeps
+    EVERY map of the winning class; this operator mirrors that, with a
+    deterministic (class, map_start) ordering available via ``rank``.
+    Granules with no related map are kept with a NULL map (gap objects,
+    id None).  Goldens: the reference's own doctests
+    (abstract_space_time_dataset.py:1242-1352) in
+    tests/test_operators_ext.py."""
     g = granules.select(
         F.col(granule_start).cast("timestamp").alias("granule_start"),
         F.col(granule_end).cast("timestamp").alias("granule_end"),
     ).distinct()
-    a_s, a_e = F.col(map_start), (F.col(map_end) if map_end else F.lit(None).cast("timestamp"))
-    b_s, b_e = F.col("granule_start"), F.col("granule_end")
+    m_s = F.col(map_start)
+    m_e = F.col(map_end) if map_end else F.lit(None).cast("timestamp")
+    g_s, g_e = F.col("granule_start"), F.col("granule_end")
 
+    # granule is A: its builder lists hold the maps it relates to
     prio = F.lit(None).cast("int")
     for i, name in reversed(list(enumerate(RESAMPLE_PRIORITY))):
-        prio = F.when(rel.RELATIONS[name](a_s, a_e, b_s, b_e), F.lit(i)).otherwise(prio)
+        prio = F.when(
+            rel.topo_relation(name, g_s, g_e, m_s, m_e), F.lit(i)
+        ).otherwise(prio)
 
-    cond = rel.any_relation(list(RESAMPLE_PRIORITY), a_s, a_e, b_s, b_e)
-    joined = F.broadcast(g).join(maps, on=cond, how="left").withColumn("_prio", prio)
-    best = F.min_by(
-        F.struct(F.col(map_id).alias("map_id"), a_s.alias("map_start")),
-        F.struct(F.col("_prio"), a_s),
+    cond = rel.topo_any(list(RESAMPLE_PRIORITY), g_s, g_e, m_s, m_e)
+    joined = g.join(F.broadcast(maps), on=cond, how="left").withColumn(
+        "_prio", prio
     )
+    gw = Window.partitionBy("granule_start", "granule_end")
+    best_prio = F.min("_prio").over(gw)
+    ow = gw.orderBy(m_s.asc_nulls_last(), F.col(map_id).asc_nulls_last())
     return (
-        joined.groupBy("granule_start", "granule_end")
-        .agg(best.alias("_best"))
+        joined.withColumn("_best", best_prio)
+        .filter(F.col("_prio").eqNullSafe(F.col("_best")))
+        .withColumn("rank", F.row_number().over(ow) - 1)
         .select(
             "granule_start", "granule_end",
-            F.col("_best.map_id").alias("map_id"),
-            F.col("_best.map_start").alias("map_start"),
+            F.col(map_id).alias("map_id"),
+            m_s.alias("map_start"),
+            "rank",
         )
     )
 
@@ -208,8 +260,22 @@ def topology_census(
         .select("a_id", "b_id", "a_s", "a_e", "b_s", "b_e")
         .distinct()
     )
+    # t.topology sums the builder's per-map lists
+    # (count_temporal_topology_relationships -> get_number_of_relations),
+    # and set_temporal_relationship records a starts/finishes pair ALSO
+    # as during and a started/finished pair ALSO as contains — so those
+    # pairs contribute to TWO counters each.
+    name = rel.relation_name("a_s", "a_e", "b_s", "b_e")
+    extra = (
+        F.when(name.isin("starts", "finishes"), F.lit("during"))
+        .when(name.isin("started", "finished"), F.lit("contains"))
+    )
     return (
-        pairs.select(rel.relation_name("a_s", "a_e", "b_s", "b_e").alias("relation"))
+        pairs.select(
+            F.explode(
+                F.filter(F.array(name, extra), lambda c: c.isNotNull())
+            ).alias("relation")
+        )
         .filter(~F.col("relation").isin("before", "after"))
         .groupBy("relation")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -146,10 +146,12 @@ FROM e
 
 
 def q_resample_priority(spark, sf_dir):
-    """One map per day granule chosen by EQUAL>DURING>OVERLAPS>
-    OVERLAPPED>CONTAINS, ties -> earliest start; gap granules keep NULL
-    (resample_maplist_by_granularity,
-    abstract_space_time_dataset.py:1380-1399)."""
+    """Per day granule, EVERY map of the first non-empty relation class
+    in priority EQUAL>DURING>OVERLAPS>OVERLAPPED>CONTAINS — classes are
+    the granule's topology-builder lists (granule-relative, widened:
+    starts/finishes fold into during, started/finished into contains);
+    gap granules keep a NULL map (resample_maplist_by_granularity,
+    abstract_space_time_dataset.py:1195-1420)."""
     ev = _t(spark, sf_dir, "events").filter("user_id = 3").select(
         F.col("event_id").alias("map_id"),
         F.col("ts"),
@@ -157,10 +159,29 @@ def q_resample_priority(spark, sf_dir):
     )
     rows = granule_series(datetime(2024, 1, 1), datetime(2024, 2, 1), "1 day")
     granules = spark.createDataFrame(rows, ["bucket_start", "bucket_end"])
-    return resample_by_granularity(ev, granules, map_start="ts", map_end="te")
+    out = resample_by_granularity(ev, granules, map_start="ts", map_end="te")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-ORACLE_RESAMPLE_PRIORITY = """
+# priority CASE: the granule's widened builder-list classes —
+# g equal m; g during m (incl. g starts/finishes m); g overlaps m;
+# g overlapped m; g contains m (incl. g started/finished m)
+_RESAMPLE_PRIO_SQL = """
+         CASE WHEN granule_start = ms AND granule_end = me THEN 0
+              WHEN (granule_start > ms AND granule_end < me)
+                OR (granule_start = ms AND granule_end < me)
+                OR (granule_start > ms AND granule_end = me) THEN 1
+              WHEN granule_start < ms AND granule_end < me
+               AND granule_end > ms THEN 2
+              WHEN granule_start > ms AND granule_start < me
+               AND granule_end > me THEN 3
+              WHEN (granule_start < ms AND granule_end > me)
+                OR (granule_start = ms AND me < granule_end)
+                OR (granule_end = me AND ms > granule_start) THEN 4
+         END
+"""
+
+ORACLE_RESAMPLE_PRIORITY = f"""
 WITH g AS (
   SELECT CAST(d AS TIMESTAMP) AS granule_start,
          CAST(d AS TIMESTAMP) + INTERVAL 1 DAY AS granule_end
@@ -172,23 +193,17 @@ WITH g AS (
   FROM events WHERE user_id = 3
 ), j AS (
   SELECT granule_start, granule_end, map_id, ms,
-         CASE WHEN ms = granule_start AND me = granule_end THEN 0
-              WHEN ms > granule_start AND me < granule_end THEN 1
-              WHEN ms < granule_start AND me < granule_end AND me > granule_start THEN 2
-              WHEN ms > granule_start AND me > granule_end AND ms < granule_end THEN 3
-              WHEN ms < granule_start AND me > granule_end THEN 4
-         END AS prio
-  FROM g LEFT JOIN m ON (
-       (ms = granule_start AND me = granule_end)
-    OR (ms > granule_start AND me < granule_end)
-    OR (ms < granule_start AND me < granule_end AND me > granule_start)
-    OR (ms > granule_start AND me > granule_end AND ms < granule_end)
-    OR (ms < granule_start AND me > granule_end))
+         {_RESAMPLE_PRIO_SQL} AS prio
+  FROM g LEFT JOIN m ON ({_RESAMPLE_PRIO_SQL}) IS NOT NULL
+), w AS (
+  SELECT *, min(prio) OVER (PARTITION BY granule_start) AS best FROM j
 )
-SELECT granule_start, granule_end,
-       (list(map_id ORDER BY prio, ms))[1] AS map_id,
-       (list(ms ORDER BY prio, ms))[1]     AS map_start
-FROM j GROUP BY 1, 2
+SELECT granule_start, granule_end, map_id, ms AS map_start,
+       CAST(row_number() OVER (
+              PARTITION BY granule_start
+              ORDER BY ms NULLS LAST, map_id NULLS LAST) - 1
+            AS BIGINT) AS rank
+FROM w WHERE prio IS NOT DISTINCT FROM best
 """
 
 
@@ -732,11 +747,13 @@ EXT_ORACLES["what_long"] = ORACLE_WHAT_LONG
 
 def q_algebra_hash(spark, sf_dir):
     """t.rast.algebra round-2 grammar: the hash operator
-    ``D {#,contains} H`` (count of hourly granules strictly inside each
-    day granule — temporal_algebra.py:2726-2747, count_map branch at
-    :1609-1620) composed with an if/else conditional on a temporal
-    accessor (``p_expr_condition_elif``, :3130-3169): weekday days keep
-    the count, weekend days map to -1."""
+    ``D {#,contains} H`` (count of hourly granules inside each day
+    granule — builder-widened contains, so the boundary hours that
+    merely ``started``/``finished`` the day count too;
+    temporal_algebra.py:2726-2747, count_map branch at :1609-1620)
+    composed with an if/else conditional on a temporal accessor
+    (``p_expr_condition_elif``, :3130-3169): weekday days keep the
+    count, weekend days map to -1."""
     from grass_spark.algebra import TemporalAlgebra
 
     ev = _t(spark, sf_dir, "events")
@@ -773,8 +790,8 @@ WITH h AS (
 ), c AS (
   SELECT d.user_id, d.bucket, count(*) AS cnt
   FROM d JOIN h ON d.user_id = h.user_id
-   AND h.h0 > d.bucket
-   AND h.h0 + INTERVAL 1 HOUR < d.bucket + INTERVAL 1 DAY
+   AND h.h0 >= d.bucket
+   AND h.h0 + INTERVAL 1 HOUR <= d.bucket + INTERVAL 1 DAY
   GROUP BY 1, 2
 )
 SELECT user_id, bucket,

@@ -111,9 +111,10 @@ EXT3_ORACLES["agg_relative"] = ORACLE_AGG_RELATIVE
 
 
 def q_sample_granules(spark, sf_dir):
-    """t.sample: every event (instant map) tagged with the 6-hour
+    """t.sample: every event (point-type map) tagged with the 6-hour
     granule of a sampler dataset (granules derived from purchase
-    activity) it is ``during``."""
+    activity) via the ``start`` method — the reference uses start-time
+    sampling for point maps (abstract_space_time_dataset.py:673-675)."""
     from grass_spark.operators.sample import sample_by_dataset
 
     ev = _t(spark, sf_dir, "events")
@@ -127,7 +128,7 @@ def q_sample_granules(spark, sf_dir):
         .distinct()
         .withColumn("bucket_end", _usec(F.col("bucket_start"), 21600))
     )
-    out = sample_by_dataset(ev, granules, ["during"], map_start="ts")
+    out = sample_by_dataset(ev, granules, ["start"], map_start="ts")
     return out.select("event_id", "granule_start", "granule_end")
 
 
@@ -155,9 +156,13 @@ EXT3_ORACLES["sample_granules"] = ORACLE_SAMPLE_GRANULES
 
 
 def q_topology_census(spark, sf_dir):
-    """Counts of each Allen relation over ordered pairs of extents that
-    intersect or touch (the R*-tree candidate bound) — users <= 15,
-    extent length = max(1, round(value)) seconds."""
+    """t.topology counts over ordered pairs of extents that intersect
+    or touch (the R*-tree candidate bound) — users <= 15, extent length
+    = max(1, round(value)) seconds.  Counts are the builder's per-map
+    list sums: a starts/finishes pair also increments during, a
+    started/finished pair also increments contains
+    (set_temporal_relationship, spatio_temporal_relationships.py:
+    608-672; summed by count_temporal_topology_relationships)."""
     from grass_spark.operators.sample import topology_census
 
     ev = (
@@ -211,7 +216,14 @@ WITH e AS (
   FROM p
 )
 SELECT relation, CAST(count(*) AS BIGINT) AS cnt
-FROM r WHERE relation NOT IN ('before', 'after')
+FROM (
+  SELECT relation FROM r
+  UNION ALL
+  SELECT 'during' FROM r WHERE relation IN ('starts', 'finishes')
+  UNION ALL
+  SELECT 'contains' FROM r WHERE relation IN ('started', 'finished')
+)
+WHERE relation NOT IN ('before', 'after')
 GROUP BY relation
 """
 
@@ -371,9 +383,10 @@ EXT3_ORACLES["group_granules"] = ORACLE_GROUP_GRANULES
 
 
 def q_algebra_select(spark, sf_dir):
-    """Keep hourly granules strictly inside a high-activity day
-    (daily sum > 300): ``A {:,during} B`` through the algebra
-    front-end — a left-semi relation join, keys equi-joined."""
+    """Keep hourly granules inside a high-activity day (daily sum >
+    300): ``A {:,during} B`` through the algebra front-end — a
+    left-semi relation join on the builder-widened during list (the
+    day's first and last hours count), keys equi-joined."""
     from grass_spark.algebra import TemporalAlgebra
 
     ev = _t(spark, sf_dir, "events")
@@ -397,9 +410,11 @@ def q_algebra_select(spark, sf_dir):
     )
 
 
-# strict `during` (temporal_extent.py:713-749): a_s > b_s AND a_e < b_e —
-# the 00:00 hour of a qualifying day is `starts`, not `during`, and the
-# 23:00 hour is `finishes`; both are excluded.
+# builder-widened `during` (spatio_temporal_relationships.py:608-672):
+# the 00:00 hour (`starts`) and 23:00 hour (`finishes`) of a qualifying
+# day are IN the builder's DURING list, so the algebra keeps them —
+# verified against the reference's own suite (A {:,during} C keeps the
+# map that merely starts C; unittests_temporal_algebra.py:185-205).
 ORACLE_ALGEBRA_SELECT = """
 WITH h AS (
   SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bs,
@@ -414,8 +429,8 @@ FROM h
 WHERE EXISTS (
   SELECT 1 FROM d
   WHERE d.user_id = h.user_id
-    AND h.bs > d.bs
-    AND h.bs + INTERVAL 1 HOUR < d.bs + INTERVAL 1 DAY
+    AND h.bs >= d.bs
+    AND h.bs + INTERVAL 1 HOUR <= d.bs + INTERVAL 1 DAY
 )
 """
 

@@ -100,9 +100,10 @@ def test_temporal_accessors(alg, env):
     assert got == [1.0, 2.0, 3.0, 4.0]
     got = _vals(alg.eval("A + start_month()", env))
     assert got == [101.0, 201.0, 301.0, 401.0]
-    # td() = bucket length in seconds (1 day)
+    # td() = bucket length in DAYS for absolute time
+    # (time_delta_to_relative_time, datetime_math.py:40-42)
     got = _vals(alg.eval("A * 0 + td()", env))
-    assert got == [86400.0] * 4
+    assert got == [1.0] * 4
 
 
 def test_merge(alg, spark, env):
@@ -409,9 +410,11 @@ def test_nested_expression_with_new_ops(alg, rel_env):
         "if(A {#,contains} B >= 2, A {+,contains,l} B, null())", rel_env
     )
     rows = out.orderBy("bucket_start").collect()
-    # A1 has 3 contained B rows -> kept, values 100+{1,2,3}
+    # A1 has 3 contained B rows -> kept; the reference FOLDS the
+    # operation over every related map (unittests_temporal_raster_
+    # algebra test_raster_arithmetic_relation_1): 100 + 1 + 2 + 3
     vals = sorted(r["value"] for r in rows if r["value"] is not None)
-    assert vals == [101.0, 102.0, 103.0]
+    assert vals == [106.0]
 
 
 def test_time_const_neighbour_indexing(alg, env):

@@ -47,15 +47,42 @@ def test_aggregate_by_dataset_matches_regular_aggregate(spark):
     assert via_reg.exceptAll(via_ds).count() == 0
 
 
-def test_sample_by_dataset_relations(spark):
+def test_sample_by_dataset_point_maps_use_start(spark):
+    """Point-type maps sample by start time (the reference's ``start``
+    method — abstract_space_time_dataset.py:673-681)."""
     maps = spark.createDataFrame(
         [("m1", datetime(2001, 1, 10)), ("m2", datetime(2001, 5, 10))],
         ["map_id", "ts"],
     )
     gr = _granules_df(spark, datetime(2001, 1, 1), datetime(2001, 3, 1), "1 month")
-    out = sample_by_dataset(maps, gr, ["during"]).collect()
+    out = sample_by_dataset(maps, gr, ["start"]).collect()
     assert len(out) == 1 and out[0]["map_id"] == "m1"
     assert out[0]["granule_start"] == datetime(2001, 1, 1)
+
+
+def test_sample_by_dataset_method_names_are_granule_relative(spark):
+    """Reference method diagrams (abstract_space_time_dataset.py:
+    682-744): ``contains`` selects maps INSIDE the granule (incl. a map
+    sharing the granule's start — builder-widened), ``during`` selects
+    maps CONTAINING the granule."""
+    maps = spark.createDataFrame(
+        [
+            # inside the Jan granule, sharing its start (started case)
+            ("inner", datetime(2001, 1, 1), datetime(2001, 1, 10)),
+            # spans Jan..Feb -> contains the Jan granule
+            ("outer", datetime(2000, 12, 15), datetime(2001, 2, 15)),
+        ],
+        ["map_id", "ts", "te"],
+    )
+    gr = _granules_df(spark, datetime(2001, 1, 1), datetime(2001, 2, 1), "1 month")
+    inside = sample_by_dataset(maps, gr, ["contains"], map_end="te").collect()
+    assert [r["map_id"] for r in inside] == ["inner"]
+    containing = sample_by_dataset(maps, gr, ["during"], map_end="te").collect()
+    assert [r["map_id"] for r in containing] == ["outer"]
+    both = sample_by_dataset(
+        maps, gr, ["contains", "during"], map_end="te"
+    ).collect()
+    assert {r["map_id"] for r in both} == {"inner", "outer"}
 
 
 def test_resample_priority_equal_beats_during(spark):
@@ -347,3 +374,80 @@ def test_snap_equal_starts_inherit_next_end(spark):
     assert out[1]["end_time"] == datetime(2001, 1, 8)
     # last row keeps its own end
     assert out[2]["end_time"] == datetime(2001, 1, 9)
+
+
+def test_resample_matches_reference_doctests(spark):
+    """The reference's own resample_maplist_by_granularity doctests
+    (abstract_space_time_dataset.py:1242-1352), relative times mapped
+    to minutes.  Case 2 exercises the builder-widened DURING class: the
+    granule [4,6) *finishes* map1=[2,6) and must still resolve to it."""
+    T = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    maps = spark.createDataFrame(
+        [("map1", T(2), T(6)), ("map2", T(7), T(13))],
+        "map_id string, ts timestamp, te timestamp",
+    )
+    grans = spark.createDataFrame(
+        [(T(i), T(i + 2)) for i in range(0, 16, 2)],
+        "bucket_start timestamp, bucket_end timestamp",
+    )
+    out = {
+        r["granule_start"].minute: r["map_id"]
+        for r in resample_by_granularity(
+            maps, grans, map_start="ts", map_end="te"
+        ).collect()
+    }
+    assert out == {
+        0: None, 2: "map1", 4: "map1", 6: "map2",
+        8: "map2", 10: "map2", 12: "map2", 14: None,
+    }
+    # doctest case 3: point-type maps -> only the granule whose start
+    # equals the map's instant resolves (widened CONTAINS via the
+    # instant branch), everything else is a gap
+    pmaps = spark.createDataFrame(
+        [("map1", T(2)), ("map2", T(7))], "map_id string, ts timestamp"
+    )
+    pout = {
+        r["granule_start"].minute: r["map_id"]
+        for r in resample_by_granularity(pmaps, grans, map_start="ts").collect()
+    }
+    assert pout == {
+        0: None, 2: "map1", 4: None, 6: "map2",
+        8: None, 10: None, 12: None, 14: None,
+    }
+
+
+def test_resample_keeps_every_map_of_winning_class(spark):
+    """The reference returns ALL maps of the first non-empty class per
+    granule (map_list += relations[relation]), not just one."""
+    T = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    maps = spark.createDataFrame(
+        [("a", T(1), T(2)), ("b", T(3), T(4))],
+        "map_id string, ts timestamp, te timestamp",
+    )
+    grans = spark.createDataFrame(
+        [(T(0), T(6))], "bucket_start timestamp, bucket_end timestamp"
+    )
+    rows = sorted(
+        resample_by_granularity(maps, grans, map_start="ts", map_end="te").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [(r["map_id"], r["rank"]) for r in rows] == [("a", 0), ("b", 1)]
+
+
+def test_topology_census_widened_counts(spark):
+    """A starts/finishes pair also increments during (and its dual
+    started/finished increments contains) — t.topology sums the
+    builder's per-map lists (spatio_temporal_relationships.py:608-672,
+    count_temporal_topology_relationships)."""
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2001, 1, 1), datetime(2001, 1, 10)),
+            ("b", datetime(2001, 1, 1), datetime(2001, 2, 1)),  # a starts b
+        ],
+        ["id", "s", "e"],
+    )
+    got = {
+        r["relation"]: r["cnt"]
+        for r in topology_census(df, start_col="s", end_col="e", id_col="id").collect()
+    }
+    assert got == {"starts": 1, "started": 1, "during": 1, "contains": 1}
