@@ -408,6 +408,11 @@ _SCALAR_FNS = {
     "int": lambda c: c.cast("int"), "float": lambda c: c.cast("float"),
     "double": lambda c: c.cast("double"),
     "isnull": lambda c: c.isNull(), "isntnull": lambda c: c.isNotNull(),
+    # exist(A): true wherever the map exists — registered granules all
+    # exist, so this is a constant over the frame's rows
+    # (r.mapcalc exist(); unittests_temporal_raster_conditionals.py
+    # test_temporal_conditional_relation_1)
+    "exist": lambda c: F.lit(True),
 }
 
 _TIME_FNS = {
@@ -460,6 +465,13 @@ _BIN_COL = {
 @dataclass
 class _Frame:
     df: DataFrame  # normalized: keys..., __time, [__end,] __val
+    # True when __val derives only from temporal metadata (accessors,
+    # td(), # counts) — the reference's t_var_expr class.  Conditionals
+    # branch on this: pure-temporal conditions keep the base parser's
+    # SELECTION semantics (false maps are removed), value-bearing
+    # conditions (s_var_expr / ts_var_expr) run the r.mapcalc command
+    # pipeline (false cells become the else value / 0).
+    value_free: bool = False
 
 
 @dataclass
@@ -527,6 +539,92 @@ class TemporalAlgebra:
         if isinstance(res, _Scalar):
             raise ValueError("expression has no dataset reference")
         return self._denorm(res.df)
+
+    def eval_gran(self, expr: str, env: dict[str, DataFrame]) -> DataFrame:
+        """Granularity-mode evaluation (``t.rast.algebra -g``,
+        ``setup_common_granularity``, temporal_algebra.py:853-976): the
+        common granularity of every dataset in the expression is
+        computed (``compute_common_absolute_time_granularity`` with the
+        dataset start times), every dataset is RESAMPLED onto that
+        granule lattice (each map splits into the granules its extent
+        intersects, one map per granule —
+        ``get_registered_maps_as_objects_by_granularity``), and the
+        expression is evaluated on the equidistant lists.  Only
+        ``equal`` topology is then meaningful, and spatio-temporal
+        ``{…}`` operators are rejected like the reference does
+        (:880-888)."""
+        from grass_spark.functions import granularity as G
+
+        if "{" in expr or "}" in expr:
+            raise ValueError(
+                "spatio-temporal topological operators are not supported "
+                "in granularity algebra mode"
+            )
+        grans: list[str] = []
+        starts: list[datetime] = []
+        frames: dict[str, DataFrame] = {}
+        passthrough: dict[str, object] = {}
+        for name, v in env.items():
+            if not isinstance(v, DataFrame):
+                passthrough[name] = v
+                continue
+            nd = self._norm(v)
+            g = G.infer_granularity_from_df(
+                self._denorm(nd), ts_col=self.time_col,
+                end_col=self.end_col if "__end" in nd.columns else None,
+            )
+            if g is None:
+                raise ValueError(f"cannot infer granularity of {name!r}")
+            st = nd.agg(F.min("__time")).collect()[0][0]
+            grans.append(g)
+            starts.append(st)
+            frames[name] = nd
+        common = G.common_granularity(grans, starts)
+        env2: dict[str, object] = dict(passthrough)
+        for name, nd in frames.items():
+            st = starts[list(frames).index(name)]
+            env2[name] = self._denorm(
+                self._split_by_granularity(nd, common, st)
+            )
+        return self.eval(expr, env2)
+
+    def _split_by_granularity(
+        self, nd: DataFrame, gran: str, dataset_start
+    ) -> DataFrame:
+        """Explode each map's extent into the common-granularity
+        granules it intersects, anchored at the dataset start adjusted
+        to the granularity; one map per granule (the reference keeps
+        ``entry[0]`` — the earliest-starting map —
+        temporal_algebra.py:1257-1264).  All column arithmetic: one
+        ``explode(sequence(...))`` per row, no driver loop."""
+        from grass_spark.functions import granularity as G
+
+        origin = G.adjust_datetime_to_granularity(dataset_start, gran)
+        last_ts = (
+            F.timestamp_micros(F.unix_micros(F.col("__end")) - 1)
+            if "__end" in nd.columns
+            else F.col("__time")
+        )
+        i0 = G.bucket_idx_col(F.col("__time"), gran, origin)
+        i1 = F.greatest(G.bucket_idx_col(last_ts, gran, origin), i0)
+        out = (
+            nd.withColumn("__gidx", F.explode(F.sequence(i0, i1)))
+            .withColumn("__g_time", G.granule_start_col("__gidx", gran, origin))
+        )
+        w = Window.partitionBy(*self.keys, "__gidx").orderBy(
+            F.col("__time"), F.col("__val")
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                *self.keys,
+                F.col("__g_time").alias("__time"),
+                G.bucket_end_col(F.col("__g_time"), gran).alias("__end"),
+                "__val",
+            )
+        )
+        return out
 
     # -- core -------------------------------------------------------------
     def _join_cols(self, df: DataFrame) -> list[str]:
@@ -643,17 +741,30 @@ class TemporalAlgebra:
                 F.count(F.lit(1)).alias("__cnt")
             )
             joined = a.df.drop("__val").join(bb, on=eq_cols, how="inner")
-            return _Frame(joined.withColumnRenamed("__cnt", "__val"))
+            # hash counts are temporal metadata (GlobalTemporalVar td),
+            # not raster values — t_var_expr class
+            return _Frame(
+                joined.withColumnRenamed("__cnt", "__val"), value_free=True
+            )
         bsel = self._b_side(b.df).drop("__val_r")
         joined = a.df.drop("__val").join(
             bsel, on=self._rel_cond(a.df, node.relations), how="inner"
         )
         out = joined.groupBy(*ident).agg(F.count(F.lit(1)).alias("__val"))
-        return _Frame(out)
+        return _Frame(out, value_free=True)
 
     def _bin(self, node: Bin, env):
         a = self._eval(node.a, env)
         b = self._eval(node.b, env)
+        res = self._bin_impl(node, a, b)
+        if isinstance(res, _Frame):
+            res.value_free = (
+                (not isinstance(a, _Frame) or a.value_free)
+                and (not isinstance(b, _Frame) or b.value_free)
+            )
+        return res
+
+    def _bin_impl(self, node: Bin, a, b):
         fn = _BIN_COL[node.op]
         if node.policy not in ("l", "r", "u", "i", "d"):
             raise NotImplementedError(
@@ -664,15 +775,67 @@ class TemporalAlgebra:
             if node.op in ("&&", "||") and set(node.relations) != {"equal"}:
                 return self._comp_join(a, b, node)
             eq_cols = self._equal_cols(a.df, b.df)
-            if set(node.relations) == {"equal"} and eq_cols is not None:
-                bb = b.df.select(
-                    *eq_cols, F.col("__val").alias("__val_r")
+            # fast path: hash equi-join on the full extent.  Not valid
+            # for policy 'r' (one row per related RIGHT map — cardinality
+            # differs when several rights share an extent); everything
+            # else keeps the left row set, and u/i/d extents of equal
+            # extents are the extent itself.
+            if (
+                set(node.relations) == {"equal"}
+                and eq_cols is not None
+                and node.policy != "r"
+            ):
+                if node.op in ("&&", "||"):
+                    # implicit aggregation over same-extent rights uses
+                    # the boolean connector (compare_bool_value)
+                    agg = F.bool_and if node.op == "&&" else F.bool_or
+                    bb = b.df.groupBy(*eq_cols).agg(
+                        agg(F.col("__val").cast("boolean")).alias("__val_r")
+                    )
+                    joined = a.df.join(bb, on=eq_cols, how="inner")
+                    return _Frame(
+                        joined.withColumn(
+                            "__val", fn(F.col("__val"), F.col("__val_r"))
+                        ).drop("__val_r")
+                    )
+                if node.op in ("<", "<=", ">", ">=", "==", "!="):
+                    # comparisons against several same-extent rights
+                    # combine with the '&' aggregate connector
+                    # (compare_cmd_value builds "(a op b1 && a op b2)")
+                    bb = b.df.groupBy(*eq_cols).agg(
+                        F.collect_list(F.col("__val")).alias("__arr")
+                    )
+                    joined = a.df.join(bb, on=eq_cols, how="inner")
+                    combined = F.aggregate(
+                        F.col("__arr"),
+                        F.lit(True),
+                        lambda acc, v: acc & fn(F.col("__val"), v),
+                    )
+                    return _Frame(
+                        joined.withColumn("__val", combined).drop("__arr")
+                    )
+                # several right maps on one extent fold left-associatively
+                # with the operator itself — GRASS's "implicit
+                # aggregation" (operator_cmd_value accumulates the
+                # r.mapcalc string per related map;
+                # unittests_temporal_raster_algebra_equal_ts.py:
+                # R = A + A over four same-instant maps is
+                # a_i + a1 + a2 + a3 + a4).  Same-extent fold order is
+                # value-sorted (registration order is not represented);
+                # order only matters for the non-associative `%`.
+                bb = b.df.groupBy(*eq_cols).agg(
+                    F.array_sort(
+                        F.collect_list(F.col("__val").cast("double"))
+                    ).alias("__arr")
                 )
                 joined = a.df.join(bb, on=eq_cols, how="inner")
+                folded = F.aggregate(
+                    F.col("__arr"),
+                    F.col("__val").cast("double"),
+                    lambda acc, v: fn(acc, v),
+                )
                 return _Frame(
-                    joined.withColumn(
-                        "__val", fn(F.col("__val"), F.col("__val_r"))
-                    ).drop("__val_r")
+                    joined.withColumn("__val", folded).drop("__arr")
                 )
             return self._relation_join(a, b, fn, node.relations, node.policy)
         if isinstance(a, _Frame):
@@ -988,7 +1151,9 @@ class TemporalAlgebra:
                 if not isinstance(frame, _Frame):
                     raise ValueError(f"{name}(A) takes a dataset")
                 expr = _TIME_FNS[name](F.col("__time"), self._end_of(frame.df))
-                return _Frame(frame.df.withColumn("__val", expr))
+                return _Frame(
+                    frame.df.withColumn("__val", expr), value_free=True
+                )
             # td()/end_*() resolve __end at join time — interval datasets only
             return _Scalar(
                 _TIME_FNS[name](F.col("__time"), F.col("__end")), time_dep=True
@@ -1058,8 +1223,11 @@ class TemporalAlgebra:
         if name in _SCALAR_FNS:
             (arg,) = [self._eval(a, env) for a in node.args] or [None]
             if isinstance(arg, _Frame):
+                # wrapping a value-free expression keeps it value-free;
+                # exist() is an s_var function (spatial class)
                 return _Frame(
-                    arg.df.withColumn("__val", _SCALAR_FNS[name](F.col("__val")))
+                    arg.df.withColumn("__val", _SCALAR_FNS[name](F.col("__val"))),
+                    value_free=arg.value_free and name != "exist",
                 )
             return _Scalar(_SCALAR_FNS[name](self._as_col(arg)), time_dep=arg.time_dep)
         # full r.mapcalc inventory fallback (graph, rand, bit ops,
@@ -1172,9 +1340,15 @@ class TemporalAlgebra:
             return _Frame(out)
 
         # --- map-valued condition --------------------------------------
-        if self.flavor == "raster" and (
-            isinstance(then, _Frame) or isinstance(els, _Frame)
-        ):
+        if self.flavor == "raster" and not cond.value_free:
+            # a condition that touches map VALUES (s_var_expr or mixed
+            # ts_var_expr) runs the build_condition_cmd_list r.mapcalc
+            # pipeline, whatever the conclusion shape; a PURE temporal
+            # condition (t_var_expr: accessors, td(), # counts) instead
+            # uses the base parser's selection productions below — false
+            # maps are REMOVED, not 0-filled (pinned by
+            # unittests_temporal_raster_algebra.py arith_if goldens: 3
+            # maps for a t_var condition vs min 0 for an s_var one)
             return self._if_raster(cond, then, els, node.relations or ("equal",))
         # temporal form (then is a dataset, else absent or a dataset):
         # branch maps are selected by folding the booleans of ALL
@@ -1234,86 +1408,121 @@ class TemporalAlgebra:
         return _Frame(out.drop("__then", "__else", "__tm", "__em"))
 
     def _if_raster(self, cond: _Frame, then, els, relations):
-        """Raster-algebra conditional (build_condition_cmd_list,
-        temporal_raster_base_algebra.py:641-747): like the plain
-        temporal form, branch granules are kept by folding the booleans
-        of the condition granules related to them — but the topology is
-        built with the CONDITION as the left side
-        (``build_spatio_temporal_topology_list(iflist, conclusionlist,
-        condition_topolist)``), i.e. the relation reads
-        cond-{relations}-branch — the INVERSE orientation of the plain
-        algebra's branch-{relations}-cond.  Verified against the
-        reference's own "time dimension bug" test
-        (unittests_temporal_raster_algebra.py:156-176:
-        ``if({contains}, B == 5, A - 1, A + 1)`` keeps all four A
-        granules because the B condition granules *contain* them).
-        A scalar branch substitutes its value on the other branch's
-        rows (the numeric-conclusion productions)."""
+        """Raster-algebra conditional — the ``build_condition_cmd_list``
+        pipeline (temporal_raster_base_algebra.py:641-747), three
+        stages:
 
-        def flag(branch_df: DataFrame) -> DataFrame:
-            from grass_spark.functions import relations as _rel
+        1. CONCLUSION merge.  map/map branches pair each then row with
+           its EQUAL-related else row (``conclusion_topolist`` is always
+           ``["EQUAL"]`` in every production, :1730-1736); then rows
+           with no equal else DROP (``set_temporal_extent_list`` only
+           records maps that found a related partner) — pinned by
+           ``if(A > 1, A, D)`` keeping only the two A granules with an
+           equal D granule (unittests_temporal_raster_conditionals.py
+           test_spatial_conditional_3).  A numeric branch attaches as a
+           constant to the other branch's rows; two numeric branches
+           skip the merge (the conclusion is a command string,
+           :714-732).
+        2. CONDITION application under ``temporal='r'``: ONE OUTPUT ROW
+           PER (condition, conclusion) relation pair, carrying the
+           CONCLUSION extent (``set_temporal_extent_list`` regenerates
+           ``map_new`` per related map under 'r', :601-612) — pinned by
+           ``if({during}, exist(A), B - 1, B + 1)`` emitting four maps,
+           each B extent twice (test_temporal_conditional_relation_1).
+           The relation matches the topology builder's widened lists in
+           EITHER orientation (cond⊃branch for the time-dimension-bug
+           test, branch⊃cond for test_temporal_hash_operator4).
+           For two numeric conclusions the output rows are the
+           condition's own rows (:721-732).
+        3. r.mapcalc value semantics: ``if(c, t)`` is 0 where c is
+           false (test_spatial_conditional_1: min 0), NULL where c is
+           NULL; all-NULL result maps are not registered, so rows whose
+           value is NULL drop (``if(…, A, null())`` keeps only the true
+           rows — test_spatial_conditional_2)."""
+        from grass_spark.functions import relations as _rel
 
-            has_end = "__end" in branch_df.columns
-            bsel = branch_df.select(
-                *[F.col(k).alias(f"__b_{k}") for k in self.keys],
-                F.col("__time").alias("__b_time"),
-                self._end_of(branch_df).alias("__b_end"),
-                F.col("__val").alias("__bval"),
-            )
-            # symmetric relation match: the reference's own suite pins
-            # BOTH orientations for the same relation name —
-            # ``if({contains}, B == 5, A-1, A+1)`` needs cond⊃branch
-            # (test_temporal_conditional_time_dimension_bug) while
-            # ``if({contains}, A # D == 1, C {#,contains} A)`` needs
-            # branch⊃cond (test_temporal_hash_operator4)
-            c_t, c_e = F.col("__time"), self._end_of(cond.df)
-            b_t, b_e = F.col("__b_time"), F.col("__b_end")
-            rel_any = _rel.topo_any(
-                list(relations), c_t, c_e, b_t, b_e
-            ) | _rel.topo_any(list(relations), b_t, b_e, c_t, c_e)
-            on = rel_any
-            for k in self.keys:
-                on = on & (F.col(k) == F.col(f"__b_{k}"))
-            j = cond.df.join(bsel, on=on, how="inner")
-            ident = [f"__b_{k}" for k in self.keys] + ["__b_time", "__b_end", "__bval"]
-            g = j.groupBy(*ident).agg(
-                F.bool_and(F.col("__val").cast("boolean")).alias("__keep")
-            )
-            end_cols = [F.col("__b_end").alias("__end")] if has_end else []
-            return g.select(
-                *[F.col(f"__b_{k}").alias(k) for k in self.keys],
-                F.col("__b_time").alias("__time"),
-                *end_cols,
-                F.col("__bval").alias("__val"),
-                "__keep",
+        nulld = F.lit(None).cast("double")
+
+        def mapcalc_if(c: Column, t: Column, e: Column) -> Column:
+            c = c.cast("boolean")
+            return (
+                F.when(c.isNull(), nulld)
+                .when(c, t.cast("double"))
+                .otherwise(e.cast("double"))
             )
 
-        then_is_frame = isinstance(then, _Frame)
-        els_is_frame = isinstance(els, _Frame)
-        if not then_is_frame and not els_is_frame:
-            raise ValueError("raster if() needs at least one dataset branch")
-        if then_is_frame and els_is_frame:
-            t_rows = flag(then.df).where(F.col("__keep")).drop("__keep")
-            e_rows = flag(els.df).where(~F.col("__keep")).drop("__keep")
-            return _Frame(t_rows.unionByName(e_rows, allowMissingColumns=True))
-        if then_is_frame:
-            out = flag(then.df)
-            if els is None:
-                return _Frame(out.where(F.col("__keep")).drop("__keep"))
-            ecol = self._as_col(els)
-            return _Frame(
-                out.withColumn(
-                    "__val", F.when(F.col("__keep"), F.col("__val")).otherwise(ecol)
-                ).drop("__keep")
+        then_f = isinstance(then, _Frame)
+        els_f = isinstance(els, _Frame)
+
+        if not then_f and not els_f:
+            # numeric/numeric: value over the condition's own granules
+            tcol = self._as_col(then)
+            ecol = self._as_col(els) if els is not None else F.lit(0.0)
+            out = cond.df.withColumn(
+                "__val", mapcalc_if(F.col("__val"), tcol, ecol)
             )
-        # scalar then, dataset else: value substituted where cond true
-        out = flag(els.df)
-        tcol = self._as_col(then)
-        return _Frame(
-            out.withColumn(
-                "__val", F.when(F.col("__keep"), tcol).otherwise(F.col("__val"))
-            ).drop("__keep")
+            return _Frame(out.where(F.col("__val").isNotNull()))
+
+        # --- stage 1: conclusion rows with __then / __else columns ----
+        if then_f and els_f:
+            eq = self._equal_cols(then.df, els.df)
+            if eq is not None:
+                conc = then.df.withColumnRenamed("__val", "__then").join(
+                    els.df.select(*eq, F.col("__val").alias("__else")),
+                    on=eq,
+                    how="inner",
+                )
+            else:  # mixed instant/interval frames: generic equal join
+                bsel = self._b_side(els.df)
+                conc = (
+                    then.df.withColumnRenamed("__val", "__then")
+                    .join(
+                        bsel,
+                        on=self._rel_cond(then.df, ("equal",)),
+                        how="inner",
+                    )
+                    .withColumnRenamed("__val_r", "__else")
+                    .drop(
+                        "__b_time", "__b_end",
+                        *[f"__b_{k}" for k in self.keys],
+                    )
+                )
+        elif then_f:
+            ecol = self._as_col(els) if els is not None else F.lit(0.0)
+            conc = then.df.withColumnRenamed("__val", "__then").withColumn(
+                "__else", ecol
+            )
+        else:
+            conc = els.df.withColumnRenamed("__val", "__else").withColumn(
+                "__then", self._as_col(then)
+            )
+
+        # --- stage 2: pair condition rows with conclusion rows --------
+        csel = cond.df.select(
+            *[F.col(k).alias(f"__c_{k}") for k in self.keys],
+            F.col("__time").alias("__c_time"),
+            self._end_of(cond.df).alias("__c_end"),
+            F.col("__val").alias("__cval"),
         )
+        c_t, c_e = F.col("__c_time"), F.col("__c_end")
+        b_t, b_e = F.col("__time"), self._end_of(conc)
+        rel_any = _rel.topo_any(
+            list(relations), c_t, c_e, b_t, b_e
+        ) | _rel.topo_any(list(relations), b_t, b_e, c_t, c_e)
+        on = rel_any
+        for k in self.keys:
+            on = on & (F.col(k) == F.col(f"__c_{k}"))
+        j = conc.join(csel, on=on, how="inner")
+
+        # --- stage 3: per-pair value, drop all-NULL maps --------------
+        out = j.withColumn(
+            "__val",
+            mapcalc_if(F.col("__cval"), F.col("__then"), F.col("__else")),
+        ).drop(
+            "__then", "__else", "__cval", "__c_time", "__c_end",
+            *[f"__c_{k}" for k in self.keys],
+        )
+        return _Frame(out.where(F.col("__val").isNotNull()))
 
     def _if_related(self, cond: _Frame, then, els, relations):
         """``if({relations}, cond, then[, else])``

@@ -585,3 +585,79 @@ def bucket_end_col(bucket_start: Column | str, gran: str) -> Column:
         return F.add_months(c, num * 12).cast("timestamp")
     width_us = num * _UNIT_SECONDS[unit] * 1_000_000
     return F.timestamp_micros(F.unix_micros(c) + width_us)
+
+
+# ---------------------------------------------------------------------------
+# common granularity across datasets (t.rast.algebra -g)
+# ---------------------------------------------------------------------------
+
+_HIERARCHY = ("second", "minute", "hour", "day", "month", "year")
+
+#: units one step up, expressed in the smaller unit.  months/years are
+#: calendar units: the reference folds EVERY possible width in (28..31
+#: days, 365/366 days) so the GCD is safe for any calendar stretch
+#: (temporal_granularity.py:938-1011)
+_UP_FACTORS = {
+    "second": {"minute": [60], "hour": [3600], "day": [86400],
+               "month": [86400 * d for d in (28, 29, 30, 31)],
+               "year": [86400 * d for d in (365, 366)]},
+    "minute": {"hour": [60], "day": [1440],
+               "month": [1440 * d for d in (28, 29, 30, 31)],
+               "year": [1440 * d for d in (365, 366)]},
+    "hour": {"day": [24], "month": [24 * d for d in (28, 29, 30, 31)],
+             "year": [24 * d for d in (365, 366)]},
+    "day": {"month": [28, 29, 30, 31], "year": [365, 366]},
+    "month": {"year": [12]},
+    "year": {},
+}
+
+#: hierarchy cap per unit + the start-time attribute whose disagreement
+#: forces a unit granule (compute_common_absolute_time_granularity,
+#: temporal_granularity.py:690-755)
+_CAPS = {
+    "second": (60, lambda t: t.second),
+    "minute": (60, lambda t: t.minute),
+    "hour": (24, lambda t: t.hour),
+    "day": (365, lambda t: t.day),
+    "month": (12, lambda t: t.month),
+}
+
+
+def common_granularity(gran_list, start_times=None) -> str:
+    """Greatest common granule of several datasets'granularities —
+    ``compute_common_absolute_time_granularity`` (temporal_granularity
+    .py:558-785, simple variant :819-1011).  The smallest unit present
+    wins; each coarser unit contributes its SMALLEST count converted
+    through every possible calendar width; the result is the GCD.  With
+    ``start_times``, a disagreeing start component (e.g. month starts on
+    different days) forces ``1 <unit>``, and counts above the hierarchy
+    cap collapse to the cap (or ``1 <unit>`` if not divisible)."""
+    import math
+
+    per_unit: dict[str, list[int]] = {u: [] for u in _HIERARCHY}
+    for g in gran_list:
+        num, unit = parse_granularity(g)
+        if unit == "week":  # weeks normalise to days in common math
+            num, unit = num * 7, "day"
+        per_unit[unit].append(num)
+    base = next((u for u in _HIERARCHY if per_unit[u]), None)
+    if base is None:
+        raise ValueError("empty granularity list")
+    counts = list(per_unit[base])
+    for up, factors in _UP_FACTORS[base].items():
+        if per_unit[up]:
+            smallest = min(per_unit[up])
+            counts.extend(smallest * f for f in factors)
+    num = math.gcd(*counts) if len(counts) > 1 else counts[0]
+
+    if start_times is not None and base in _CAPS:
+        cap, attr = _CAPS[base]
+        if any(attr(t) != attr(start_times[0]) for t in start_times):
+            return f"1 {base}"
+        if num > cap:
+            return (
+                format_granularity(cap, base)
+                if num % cap == 0
+                else f"1 {base}"
+            )
+    return format_granularity(num, base)
