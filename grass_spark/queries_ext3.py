@@ -479,3 +479,126 @@ FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 
 EXT3_QUERIES["merge_extract"] = q_merge_extract
 EXT3_ORACLES["merge_extract"] = ORACLE_MERGE_EXTRACT
+
+
+# ---------------------------------------------------------------------
+# t.rast.algebra raster conditional — the build_condition_cmd_list
+# r.mapcalc pipeline (temporal_raster_base_algebra.py:641-747)
+# ---------------------------------------------------------------------
+
+
+def q_algebra_condition(spark, sf_dir):
+    """``if({contains}, B > 50, A, A * 2)`` with the raster flavor:
+    hourly averages (A) keep their value on days whose daily average
+    (B) exceeds 50 and double otherwise.  Conclusions merge by EQUAL
+    (A with A*2 — same extents), then each hour pairs its widened-contains
+    day granule (boundary hours included: started/finished fold into
+    contains, spatio_temporal_relationships.py:608-672) and takes the
+    per-pair mapcalc value."""
+    from grass_spark.algebra import TemporalAlgebra
+
+    ev = _t(spark, sf_dir, "events")
+    hour = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("bucket_start")
+        )
+        .agg(F.avg("value").alias("value"))
+        .withColumn("bucket_end", _usec(F.col("bucket_start"), 3600))
+    )
+    day = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("bucket_start")
+        )
+        .agg(F.avg("value").alias("value"))
+        .withColumn("bucket_end", _usec(F.col("bucket_start"), 86400))
+    )
+    alg = TemporalAlgebra(keys=["user_id"], flavor="raster")
+    out = alg.eval("if({contains}, B > 50, A, A * 2)", {"A": hour, "B": day})
+    return out.select(
+        "user_id",
+        F.col("bucket_start").alias("bucket"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+# widened contains of a 1-hour granule in its 1-day granule is the
+# plain range containment (equality of extents is impossible)
+ORACLE_ALGEBRA_CONDITION = """
+WITH h AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         avg(value) AS hv
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ds,
+         avg(value) AS dv
+  FROM events GROUP BY 1, 2
+)
+SELECT h.user_id, h.bucket,
+       round(CASE WHEN d.dv > 50 THEN h.hv ELSE h.hv * 2 END, 6) AS value
+FROM h JOIN d
+  ON d.user_id = h.user_id
+ AND h.bucket >= d.ds
+ AND h.bucket + INTERVAL 1 HOUR <= d.ds + INTERVAL 1 DAY
+"""
+
+EXT3_QUERIES["algebra_condition"] = q_algebra_condition
+EXT3_ORACLES["algebra_condition"] = ORACLE_ALGEBRA_CONDITION
+
+
+# ---------------------------------------------------------------------
+# t.rast.algebra -g — common-granularity mode (setup_common_granularity,
+# temporal_algebra.py:853-976)
+# ---------------------------------------------------------------------
+
+
+def q_algebra_gran(spark, sf_dir):
+    """``A : B`` in granularity mode: hourly click averages (granularity
+    1 hour) selected against daily purchase activity (granularity
+    1 day).  The common granularity is 1 hour, so each purchase day
+    splits into 24 hourly granules and the select keeps every click
+    hour inside a day with purchases."""
+    from grass_spark.algebra import TemporalAlgebra
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.avg("value").alias("value"))
+        .withColumn("bucket_end", _usec(F.col("bucket_start"), 3600))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("bucket_start"))
+        .agg(F.avg("value").alias("value"))
+        .withColumn("bucket_end", _usec(F.col("bucket_start"), 86400))
+    )
+    alg = TemporalAlgebra(keys=["user_id"])
+    out = alg.eval_gran("A : B", {"A": clicks, "B": purchases})
+    return out.select(
+        "user_id",
+        F.col("bucket_start").alias("bucket"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_ALGEBRA_GRAN = """
+WITH a AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         round(avg(value), 6) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), b AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS ds
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.bucket, a.value
+FROM a
+WHERE EXISTS (
+  SELECT 1 FROM b
+  WHERE b.user_id = a.user_id
+    AND CAST(date_trunc('day', a.bucket) AS TIMESTAMP) = b.ds
+)
+"""
+
+EXT3_QUERIES["algebra_gran"] = q_algebra_gran
+EXT3_ORACLES["algebra_gran"] = ORACLE_ALGEBRA_GRAN
