@@ -72,6 +72,8 @@ HEADLINE = [
     "topology_census",
     "jaccard_verify",
     "sample_granules",
+    # round 2 fourth wave: raster-conditional mapcalc pipeline
+    "algebra_condition",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,
