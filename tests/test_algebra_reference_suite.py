@@ -177,3 +177,49 @@ def test_reference_conditionals_case(alg, env_c, name, expr, n, vmin, vmax, sd, 
     assert agg["vmin"] == vmin and agg["vmax"] == vmax, f"{name}: {expr}"
     assert agg["start"] == datetime(*sd), f"{name}: {expr}"
     assert agg["end"] == datetime(*ed), f"{name}: {expr}"
+
+
+# ---------------------------------------------------------------------
+# remaining unittests_temporal_algebra.py cases: the dry-run tests
+# (buff_t / tshift / time-constant / merge complement) assert only the
+# register count upstream; value/extent expectations here follow the
+# operator definitions those counts imply (buff_t widens both ends,
+# tshift moves both, start_doy(A, 1) reads the next granule's doy)
+# ---------------------------------------------------------------------
+
+EXTRA_CASES = [
+    ("buffer1", 'buff_t(A, "1 day")', 4, 1, 4,
+     (2000, 12, 31), (2001, 1, 6)),
+    ("buff2", 'buff_t(A, "1 day") {:,contains,l} C', 2, 2, 3,
+     (2001, 1, 1), (2001, 1, 5)),
+    ("shift1", 'tshift(A, "3 days")', 4, 1, 4,
+     (2001, 1, 4), (2001, 1, 8)),
+    ("shift2", 'tshift(A, "2 days") {:,during,l} C', 1, 1, 1,
+     (2001, 1, 3), (2001, 1, 4)),
+    ("time_constant", "if(start_doy(A)<3,start_doy(A, 1), A)", 4, 2, 4,
+     (2001, 1, 1), (2001, 1, 5)),
+    ("merge_function3", "merge(A, D {!:,equal} A)", 5, 1, 10,
+     (2001, 1, 1), (2001, 1, 6)),
+    ("condition_4", 'if(start_date(A) >= "2001-01-03", A)', 2, 3, 4,
+     (2001, 1, 3), (2001, 1, 5)),
+]
+
+
+@pytest.mark.parametrize(
+    "name,expr,n,vmin,vmax,start,end", EXTRA_CASES,
+    ids=[c[0] for c in EXTRA_CASES],
+)
+def test_reference_algebra_extra(alg, env, name, expr, n, vmin, vmax,
+                                 start, end):
+    out = alg.eval(expr, env)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min("bucket_start").alias("start"),
+        F.max("bucket_end").alias("end"),
+    ).collect()[0]
+    assert agg["n"] == n, f"{name}: {expr}"
+    assert agg["vmin"] == vmin and agg["vmax"] == vmax, f"{name}: {expr}"
+    assert agg["start"] == datetime(*start), f"{name}: {expr}"
+    assert agg["end"] == datetime(*end), f"{name}: {expr}"
