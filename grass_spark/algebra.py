@@ -1171,12 +1171,15 @@ class TemporalAlgebra:
                     "as a number in env), not a dataset"
                 )
             return v
-        if name in ("tmap", "strds"):
+        if name in ("tmap", "strds", "stvds", "str3ds"):
             # typed dataset constructors (conditional_functions table,
             # temporal_algebra.py:486-496; p_expr_tmap_function :2610,
             # p_expr_strds_function :2569): in the PLY grammar they
             # disambiguate map-vs-dataset names; here every env entry is
-            # a frame, so they validate and pass through
+            # a frame, so they validate and pass through.  stvds/str3ds
+            # (vector / 3D-raster datasets) erase to plain frames in the
+            # transcript domain — the cross-type algebra semantics are
+            # identical (unittests_temporal_algebra_mixed_stds.py)
             if len(node.args) != 1:
                 raise ValueError(f"{name}(A) takes one dataset")
             frame = self._eval(node.args[0], env)

@@ -223,3 +223,60 @@ def test_reference_algebra_extra(alg, env, name, expr, n, vmin, vmax,
     assert agg["vmin"] == vmin and agg["vmax"] == vmax, f"{name}: {expr}"
     assert agg["start"] == datetime(*start), f"{name}: {expr}"
     assert agg["end"] == datetime(*end), f"{name}: {expr}"
+
+
+# ---------------------------------------------------------------------
+# unittests_temporal_algebra_mixed_stds.py — cross-type selections and
+# hashes (str3ds A, strds B, stvds C).  The type constructors erase to
+# plain frames here; the temporal semantics are identical.  The vector
+# dataset C carries no raster value — modelled as value 7 (never
+# asserted by the reference for vector outputs).
+# ---------------------------------------------------------------------
+
+MIXED_CASES = [
+    ("mixed_select_operators1", "A {:,during} stvds(C)", 2, 2, 3, 2, 4),
+    ("mixed_select_operators2", "A {:,equal|during} stvds(C)",
+     2, 2, 3, 2, 4),
+    ("mixed_select_operators3", "A {!:,during} stvds(C)", 2, 1, 4, 1, 5),
+    ("mixed_select_operators5", "A {:,during} strds(B)", 4, 1, 4, 1, 5),
+    ("mixed_hash_operator1", "if(A {#,during} stvds(C) == 1, A)",
+     2, 2, 3, 2, 4),
+    ("mixed_hash_operator2", "if({during}, stvds(C) {#,contains} A == 2, A)",
+     2, 2, 3, 2, 4),
+    ("mixed_stds_handling1",
+     "if({during}, stvds(C) {#,contains} str3ds(A) == 2, str3ds(A))",
+     2, 2, 3, 2, 4),
+    ("mixed_stds_handling2",
+     "if({during}, (stvds(C) {#,contains} str3ds(A)) == 2, str3ds(A))",
+     2, 2, 3, 2, 4),
+]
+
+
+@pytest.mark.parametrize(
+    "name,expr,n,vmin,vmax,sday,eday", MIXED_CASES,
+    ids=[c[0] for c in MIXED_CASES],
+)
+def test_reference_algebra_mixed(alg, env, name, expr, n, vmin, vmax,
+                                 sday, eday):
+    out = alg.eval(expr, env)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min("bucket_start").alias("start"),
+        F.max("bucket_end").alias("end"),
+    ).collect()[0]
+    assert agg["n"] == n, f"{name}: {expr}"
+    assert agg["vmin"] == vmin and agg["vmax"] == vmax, f"{name}: {expr}"
+    assert agg["start"] == datetime(2001, 1, sday), f"{name}: {expr}"
+    assert agg["end"] == datetime(2001, 1, eday), f"{name}: {expr}"
+
+
+def test_reference_algebra_mixed_vector_output(alg, env):
+    # V = C {:,contains} str3ds(A): one vector map, extent Jan2-Jan4
+    # (test_temporal_select_operators4 — value unasserted upstream)
+    out = alg.eval("C {:,contains} str3ds(A)", env)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["bucket_start"] == datetime(2001, 1, 2)
+    assert rows[0]["bucket_end"] == datetime(2001, 1, 4)
