@@ -58,3 +58,22 @@ def test_aggregate_partial_before_shuffle(spark):
     first_exchange = plan.find("Exchange")
     assert 0 <= first_agg
     assert "partial" in plan.lower() or first_agg != -1
+
+
+def test_algebra_condition_no_cartesian(spark):
+    # raster-conditional pipeline: conclusion merge + condition pairing
+    # are keys-equi joins with relation predicates as filters — never a
+    # cartesian product (PLANS.md round-2 second-wave audit)
+    plan = _plan(spark, "algebra_condition")
+    assert "CartesianProduct" not in plan
+    # the mapcalc null-drop must exist as a filter above the join
+    assert "isnotnull(CASE WHEN" in plan or "Filter" in plan
+
+
+def test_algebra_gran_no_cartesian_single_explode(spark):
+    # granularity mode: lattice resample is explode(sequence), select
+    # is a semi join — no cartesian, no per-row Python
+    plan = _plan(spark, "algebra_gran")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan and "explode(sequence" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
