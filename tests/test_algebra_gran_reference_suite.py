@@ -121,3 +121,28 @@ def test_reference_gran_algebra_case(alg, env_g, name, expr, n, vmin, vmax,
 def test_gran_mode_rejects_topology_operators(alg, env_g):
     with pytest.raises(ValueError, match="topological"):
         alg.eval_gran("A {:,during} B", env_g)
+
+
+def test_eval_gran_driver_traffic_bounded(spark, env_g, alg, monkeypatch):
+    """-g mode collects only (a) distinct lag-delta structs and (b) one
+    min(start) scalar per dataset — O(datasets), never O(rows).  Guard
+    by counting rows through DataFrame.collect during an eval_gran."""
+    from pyspark.sql import DataFrame
+
+    collected = []
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    out = alg.eval_gran("A : B", env_g)
+    # evaluation itself is lazy; the collects so far are the mode's
+    # driver traffic.  2 datasets -> 2 delta collections + 2 min-starts,
+    # each a handful of rows.
+    assert len(collected) <= 8
+    assert all(n <= 16 for n in collected)
+    monkeypatch.undo()
+    assert out.count() == 6
