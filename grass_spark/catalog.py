@@ -83,6 +83,8 @@ def register_maps(
     timestamping belongs to ``ts_col`` mode, which is a pure column
     cast with no shuffle at all.
     """
+    if isinstance(start, str):
+        start = datetime.fromisoformat(start)
     if ts_col is not None:
         out = df.withColumn("start_time", F.col(ts_col).cast("timestamp"))
     elif start is not None and increment is not None:
@@ -105,7 +107,10 @@ def register_maps(
             out = df.withColumn(
                 "start_time",
                 F.timestamp_seconds(
-                    F.lit(int(start.timestamp())) + idx.cast("long") * secs
+                    # naive-UTC epoch: .timestamp() would re-interpret a
+                    # naive datetime in the *host* timezone
+                    F.lit(int((start - datetime(1970, 1, 1)).total_seconds()))
+                    + idx.cast("long") * secs
                 ),
             )
     elif start is not None:

@@ -70,7 +70,10 @@ def snap(
     keys = [] if keys is None else list(keys)
     has_end = end_col in df.columns
     order = [start_col, *( [F.col(end_col).asc_nulls_last()] if has_end else [] )]
-    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    # keyless: deliberate single-task window over a map *list* (catalog
+    # scale, thousands of rows); pass keys for data-scale inputs
+    w = (Window.partitionBy(*keys).orderBy(*order) if keys
+         else Window.orderBy(*order))
     nxt = F.lead(start_col).over(w)
     own_end = F.col(end_col) if has_end else F.lit(None).cast("timestamp")
     nxt_end = F.lead(own_end).over(w)
@@ -95,7 +98,8 @@ def list_deltas(
     """delta (interval length, sec), distance_from_begin (sec), and
     gap-to-next (sec, NULL when contiguous or last)."""
     keys = [] if keys is None else list(keys)
-    w = Window.partitionBy(*keys).orderBy(start_col) if keys else Window.orderBy(start_col)
+    w = (Window.partitionBy(*keys).orderBy(start_col) if keys
+         else Window.orderBy(start_col))
     s = F.col(start_col).cast("timestamp")
     e = (
         F.col(end_col).cast("timestamp")

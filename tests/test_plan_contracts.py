@@ -70,6 +70,32 @@ def test_algebra_condition_no_cartesian(spark):
     assert "isnotnull(CASE WHEN" in plan or "Filter" in plan
 
 
+def test_all_driver_queries_plan_lint(spark):
+    """Full sweep: NO driver query may plan a cartesian product or a
+    row-at-a-time Python eval.  (Arrow-batched pandas operators —
+    FlatMapGroupsInPandas / MapInPandas — are the sanctioned Python
+    escape hatch and none of the 52 queries even needs one; row-wise
+    BatchEvalPython is never acceptable in a hot path.)
+
+    This is the 100-TB smoke alarm: any future query or refactor that
+    degenerates into an all-pairs join or a per-row Python loop fails
+    here before it ever reaches a benchmark.
+    """
+    failures = []
+    for name in sorted(QUERIES):
+        try:
+            plan = _plan(spark, name)
+        except Exception as ex:  # plan construction itself must work
+            failures.append(f"{name}: plan build failed: {ex}")
+            continue
+        for marker in ("CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas",
+                       "MapInPandas"):
+            if marker in plan:
+                failures.append(f"{name}: {marker} in physical plan")
+    assert not failures, "\n".join(failures)
+
+
 def test_algebra_gran_no_cartesian_single_explode(spark):
     # granularity mode: lattice resample is explode(sequence), select
     # is a semi join — no cartesian, no per-row Python
