@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--synth", type=int, default=0,
                     help="generate N synthetic conversations instead of --input")
+    ap.add_argument("--bucketed", type=int, default=0, metavar="N",
+                    help="also publish each tier as a conv_id-bucketed "
+                         "table (N buckets) named <tier>_bucketed under "
+                         "--output/bucketed — downstream per-conversation "
+                         "aggs/windows/joins then plan with zero Exchange "
+                         "(PLANS.md 'Bucketed tier storage')")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,6 +77,17 @@ def main() -> None:
         resume=not args.no_resume,
         incremental=args.incremental,
     )
+    if args.bucketed:
+        from grass_spark.operators.bucketed import write_bucketed
+
+        for r in results:
+            write_bucketed(
+                pipe.read_tier(spark, r.name),
+                f"{r.name}_bucketed",
+                buckets=args.bucketed,
+                sort=("conv_id", "bucket_start"),
+                path=os.path.join(args.output, "bucketed", r.name),
+            )
     print(json.dumps([
         {"tier": r.name, "granularity": r.granularity, "rows": r.rows_out,
          "days": len(r.days_written), "sec": round(r.duration_s, 2)}
