@@ -103,8 +103,28 @@ KERNELS: dict[str, object] = {
     "tvalue": _tvalue,
 }
 
+#: rank error of the Greenwald-Khanna sketch = 1/accuracy
+APPROX_ACCURACY = 10_000
+
+# Approximate scale-path kernels — NOT in the GRASS menu (kept out of
+# KERNELS so parity sweeps stay exact-only), opt-in by name through
+# kernel_sql/agg_exprs.  The exact `percentile`/`median`/
+# `count(DISTINCT)` forms buffer or dedup every group value; these
+# mergeable-sketch twins keep partial aggregation map-side at 100-TB
+# group sizes.  Error bounds: rank error <= 1/APPROX_ACCURACY for
+# approx_percentile (Greenwald-Khanna), ~2.3% relative sd for
+# approx_count_distinct (HLL++).  SURVEY §2.2 explicitly forbids
+# substituting approx_percentile for the reference's type-7 quantiles.
+APPROX_KERNELS: dict[str, object] = {
+    "approx_median": lambda v, i: f"approx_percentile({v}, 0.5D, {APPROX_ACCURACY})",
+    "approx_quart1": lambda v, i: f"approx_percentile({v}, 0.25D, {APPROX_ACCURACY})",
+    "approx_quart3": lambda v, i: f"approx_percentile({v}, 0.75D, {APPROX_ACCURACY})",
+    "approx_perc90": lambda v, i: f"approx_percentile({v}, 0.90D, {APPROX_ACCURACY})",
+    "approx_diversity": lambda v, i: f"approx_count_distinct({v})",
+}
+
 #: methods whose output keeps integer type in GRASS (r.series/main.c:41-65)
-INT_OUTPUT = {"count", "min_raster", "max_raster", "diversity"}
+INT_OUTPUT = {"count", "min_raster", "max_raster", "diversity", "approx_diversity"}
 
 #: methods that need the positional-index column (original input position,
 #: nulls keep their slot — lib/stats/c_reg.c:30-38)
@@ -121,10 +141,17 @@ def kernel_sql(method: str, value_col: str, idx_col: str | None = None, q: float
         if q is None:
             raise ValueError("method 'quantile' needs q")
         return f"percentile({value_col}, {float(q)!r}D)"
+    if method == "approx_quantile":
+        if q is None:
+            raise ValueError("method 'approx_quantile' needs q")
+        return f"approx_percentile({value_col}, {float(q)!r}D, {APPROX_ACCURACY})"
     try:
-        builder = KERNELS[method]
+        builder = KERNELS.get(method) or APPROX_KERNELS[method]
     except KeyError:
-        raise ValueError(f"unknown kernel {method!r}; known: {sorted(KERNELS)}") from None
+        raise ValueError(
+            f"unknown kernel {method!r}; known: "
+            f"{sorted(KERNELS) + sorted(APPROX_KERNELS)}"
+        ) from None
     if method in NEEDS_INDEX and idx_col is None:
         raise ValueError(f"kernel {method!r} needs an input-position index column")
     return builder(value_col, idx_col)  # type: ignore[operator]

@@ -175,3 +175,26 @@ def test_weighted_skew_kurt_vs_numpy(spark):
 
     assert got["w_skew"] == pytest.approx(want_skew, rel=1e-9)
     assert got["w_kurt"] == pytest.approx(want_kurt, rel=1e-9)
+
+
+def test_approx_scale_kernels_within_bounds(spark):
+    """Opt-in sketch kernels (NOT GRASS parity): approx_percentile's
+    rank error <= 1/APPROX_ACCURACY, HLL distinct within ~5%.  The
+    exact kernels stay byte-identical (spot-checked alongside)."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.functions.kernels import agg_exprs
+
+    n = 100_000
+    df = spark.range(n).select(
+        (F.hash("id") % 10_000).cast("double").alias("v")
+    )
+    r = df.agg(*agg_exprs(
+        ["median", "approx_median", "diversity", "approx_diversity",
+         "perc90", "approx_perc90"], "v",
+    )).collect()[0]
+    # rank err 1e-4 of 100k rows ~ 10 ranks ~ a couple of distinct
+    # values on this near-uniform data; allow 10x slack for ties
+    assert abs(r["approx_median"] - r["median"]) <= 20
+    assert abs(r["approx_perc90"] - r["perc90"]) <= 20
+    assert abs(r["approx_diversity"] - r["diversity"]) / r["diversity"] < 0.05
