@@ -90,6 +90,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 32,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) — sig[i] = min over shingles of
     xxhash64(shingle, i).
@@ -103,8 +104,13 @@ def minhash_signatures(
     hash) candidate join itself.  Inlining-proof per PLANS.md: the
     shingle array only ever appears as a top-level HOF argument
     (evaluated once per row), every lambda touches only its bound
-    element."""
-    sh = with_shingles(df, text_col, shingle_n)
+    element.
+
+    ``shingles``: optionally pass a precomputed (id, sh_arr) frame
+    (``with_shingles`` output, ideally localCheckpoint()ed) so a
+    pipeline that also verifies pairs builds shingles ONCE — the
+    normalize+split+fold is the dominant per-doc cost."""
+    sh = shingles if shingles is not None else with_shingles(df, text_col, shingle_n)
     per_shingle = F.transform(
         F.col("sh_arr"),
         lambda s: F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)]),
@@ -208,11 +214,14 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification pass)."""
-    sh = with_shingles(df, text_col, shingle_n).select(
-        F.col(id_col), F.col("sh_arr").alias("sh")
-    )
+    """Exact shingle-set Jaccard for candidate pairs (verification pass).
+
+    ``shingles``: precomputed (id, sh_arr) frame to reuse (see
+    :func:`minhash_signatures`)."""
+    base = shingles if shingles is not None else with_shingles(df, text_col, shingle_n)
+    sh = base.select(F.col(id_col), F.col("sh_arr").alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
@@ -389,13 +398,19 @@ def near_dedup(
     singletons keep themselves.  The standard training-data dedup
     pipeline, one call.
     """
+    # one shingle build for the whole pipeline: signatures AND the
+    # exact-verify joins read the same checkpointed (id, sh_arr) frame
+    sh = with_shingles(df, text_col, shingle_n).select(
+        id_col, "sh_arr"
+    ).localCheckpoint()
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col,
-        n_hashes=n_hashes, shingle_n=shingle_n,
+        n_hashes=n_hashes, shingle_n=shingle_n, shingles=sh,
     )
     cands = minhash_candidates(sigs, id_col=id_col, bands=bands)
     verified = ngram_jaccard_pairs(
-        df, cands, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        df, cands, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        shingles=sh,
     ).filter(F.col("jaccard") >= jaccard_threshold)
     clusters = dedup_clusters(verified)
 

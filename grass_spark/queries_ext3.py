@@ -240,10 +240,18 @@ EXT3_ORACLES["topology_census"] = ORACLE_TOPOLOGY_CENSUS
 
 def q_jaccard_verify(spark, sf_dir):
     """Exact word-3-gram Jaccard for every banded-LSH candidate pair."""
-    from grass_spark.operators.dedup import ngram_jaccard_pairs
+    from grass_spark.operators.dedup import ngram_jaccard_pairs, with_shingles
 
     d = _t(spark, sf_dir, "documents")
-    sig = _sig_df(spark, sf_dir).localCheckpoint()
+    # one shingle build for the whole query: the md5 signature path and
+    # the exact-verify joins both read this checkpointed frame
+    sh = with_shingles(d, "text", 3).select("doc_id", "sh_arr").localCheckpoint()
+    exploded = sh.select("doc_id", F.explode("sh_arr").alias("s"))
+    mins = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(N_SIG)
+    ]
+    sig = exploded.groupBy("doc_id").agg(*mins).localCheckpoint()
     bands = F.array(*[
         F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
         for b in range(N_BANDS)
@@ -257,7 +265,7 @@ def q_jaccard_verify(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
-    out = ngram_jaccard_pairs(d, cands, shingle_n=3)
+    out = ngram_jaccard_pairs(d, cands, shingle_n=3, shingles=sh)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
