@@ -518,7 +518,11 @@ class TemporalAlgebra:
         ]
         if self.end_col and self.end_col in df.columns:
             cols.insert(len(self.keys) + 1, F.col(self.end_col).alias("__end"))
-        return df.select(*cols)
+        # a NULL-valued input row is a map with no data: GRASS gives an
+        # all-null raster no range metadata and the algebra treats it as
+        # absent (unittests_temporal_raster_algebra_grs.py test_3:
+        # A + B + C + tmap(nullmap) registers ZERO maps) — drop on ingest
+        return df.select(*cols).where(F.col("__val").isNotNull())
 
     def _denorm(self, df: DataFrame) -> DataFrame:
         out = df.withColumnRenamed("__time", self.time_col).withColumnRenamed(
@@ -560,31 +564,70 @@ class TemporalAlgebra:
                 "spatio-temporal topological operators are not supported "
                 "in granularity algebra mode"
             )
+        import re
+
+        # the reference's setup_common_granularity lexes the expression
+        # and computes the common granularity ONLY over dataset names in
+        # it, skipping map()/tmap() arguments (temporal_algebra.py:
+        # 897-950, the "Ignore map layer" loop) — an unreferenced 5-day
+        # dataset in the env must not drag A+B down to "1 day".  All
+        # referenced frames (incl. tmap args) still resample onto the
+        # common lattice so equal-topology joins see granule extents.
+        used = {
+            m.group(0) for m in re.finditer(r"[A-Za-z_]\w*", expr)
+        } & set(env)
+        stripped = re.sub(
+            r"\b(?:map|tmap|strds|stvds|str3ds)\s*\(\s*[A-Za-z_]\w*\s*\)",
+            "", expr,
+        )
+        gran_names = {
+            m.group(0) for m in re.finditer(r"[A-Za-z_]\w*", stripped)
+        } & set(env)
+
         grans: list[str] = []
         starts: list[datetime] = []
         frames: dict[str, DataFrame] = {}
+        start_of: dict[str, datetime] = {}
         passthrough: dict[str, object] = {}
         for name, v in env.items():
+            if name not in used:
+                continue
             if not isinstance(v, DataFrame):
                 passthrough[name] = v
                 continue
             nd = self._norm(v)
-            g = G.infer_granularity_from_df(
-                self._denorm(nd), ts_col=self.time_col,
-                end_col=self.end_col if "__end" in nd.columns else None,
-            )
-            if g is None:
-                raise ValueError(f"cannot infer granularity of {name!r}")
+            if nd.limit(1).count() == 0:
+                # an empty dataset (e.g. an all-null map dropped on
+                # ingest) contributes no granularity; downstream equal-
+                # topology joins against it produce the empty result the
+                # reference registers (grs test_3)
+                frames[name] = nd
+                continue
             st = nd.agg(F.min("__time")).collect()[0][0]
-            grans.append(g)
-            starts.append(st)
+            if name in gran_names:
+                g = G.infer_granularity_from_df(
+                    self._denorm(nd), ts_col=self.time_col,
+                    end_col=self.end_col if "__end" in nd.columns else None,
+                )
+                if g is None:
+                    raise ValueError(f"cannot infer granularity of {name!r}")
+                grans.append(g)
+                starts.append(st)
             frames[name] = nd
+            start_of[name] = st
+        if not grans:
+            raise ValueError(
+                "granularity mode needs at least one dataset outside "
+                "map()/tmap() to define the common granularity"
+            )
         common = G.common_granularity(grans, starts)
         env2: dict[str, object] = dict(passthrough)
         for name, nd in frames.items():
-            st = starts[list(frames).index(name)]
+            if name not in start_of:  # empty dataset: nothing to split
+                env2[name] = self._denorm(nd)
+                continue
             env2[name] = self._denorm(
-                self._split_by_granularity(nd, common, st)
+                self._split_by_granularity(nd, common, start_of[name])
             )
         return self.eval(expr, env2)
 
@@ -1161,15 +1204,29 @@ class TemporalAlgebra:
         if name == "map":
             # map(name): a single raster map without a timestamp — a
             # timeless constant in the transcript domain
-            # (temporal_raster_base_algebra map() / p_expr_map_function)
+            # (temporal_raster_base_algebra map() / p_expr_map_function).
+            # The same env entry may also feed tmap() (the reference's
+            # test_tmap_map uses one map both ways), so a single-map
+            # FRAME is accepted too: its one distinct value becomes the
+            # constant, the temporal extent is discarded.
             if len(node.args) != 1:
                 raise ValueError("map(X) takes one name")
             v = self._eval(node.args[0], env)
             if isinstance(v, _Frame):
-                raise ValueError(
-                    "map() takes a timeless value (register the entry "
-                    "as a number in env), not a dataset"
-                )
+                vals = [
+                    r[0]
+                    for r in v.df.select("__val")
+                    .where(F.col("__val").isNotNull())
+                    .distinct()
+                    .limit(2)
+                    .collect()  # bounded: 2 rows max
+                ]
+                if len(vals) != 1:
+                    raise ValueError(
+                        "map() over a dataset needs exactly one distinct "
+                        "value (a single timeless map)"
+                    )
+                return _Scalar(F.lit(float(vals[0])))
             return v
         if name in ("tmap", "strds", "stvds", "str3ds"):
             # typed dataset constructors (conditional_functions table,

@@ -77,9 +77,13 @@ def test_common_granularity_value(env_g):
 
 
 def test_granularity_split_counts(alg, env_g):
-    # check_stds("A") -> 6 maps, check_stds("B") -> 6 granule maps
-    # (each 3-month map splits into three 1-month granules)
-    out = alg.eval_gran("B : B", env_g)
+    # reference test_common_granularity_1 (expr "R = A : B"):
+    # check_stds("B") -> 6 granule maps — each 3-month B map splits into
+    # three 1-month granules under the A×B common granularity.  The
+    # expression below surfaces B's split values directly; "B : B" alone
+    # would stay at B's own "3 months" (granularity scope = names IN the
+    # expression, temporal_algebra.py:897-950).
+    out = alg.eval_gran("B + (A - A)", env_g)
     assert out.count() == 6
     vals = sorted(r.value for r in out.collect())
     assert vals == [7.0, 7.0, 7.0, 8.0, 8.0, 8.0]
