@@ -610,3 +610,57 @@ WHERE EXISTS (
 
 EXT3_QUERIES["algebra_gran"] = q_algebra_gran
 EXT3_ORACLES["algebra_gran"] = ORACLE_ALGEBRA_GRAN
+
+
+def q_algebra_gran_cond(spark, sf_dir):
+    """``if(B > 50, A - 1, A + 1)`` in granularity mode, raster flavor
+    (the unittests_temporal_raster_algebra_grs.py test_4 shape): each
+    purchase day splits into 24 hourly granules; the value-bearing
+    condition pairs EQUAL with the merged conclusions and every click
+    hour inside a purchase day gets a-1 or a+1 by the day's average."""
+    from grass_spark.algebra import TemporalAlgebra
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.avg("value").alias("value"))
+        .withColumn("bucket_end", _usec(F.col("bucket_start"), 3600))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("bucket_start"))
+        .agg(F.avg("value").alias("value"))
+        .withColumn("bucket_end", _usec(F.col("bucket_start"), 86400))
+    )
+    alg = TemporalAlgebra(keys=["user_id"], flavor="raster")
+    out = alg.eval_gran(
+        "if(B > 50.0, A - 1.0, A + 1.0)", {"A": clicks, "B": purchases}
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket_start").alias("bucket"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_ALGEBRA_GRAN_COND = """
+WITH a AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         avg(value) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), b AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ds,
+         avg(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT a.user_id, a.bucket,
+       round(CASE WHEN b.value > 50.0 THEN a.value - 1.0
+                  ELSE a.value + 1.0 END, 6) AS value
+FROM a
+JOIN b ON b.user_id = a.user_id
+      AND CAST(date_trunc('day', a.bucket) AS TIMESTAMP) = b.ds
+"""
+
+EXT3_QUERIES["algebra_gran_cond"] = q_algebra_gran_cond
+EXT3_ORACLES["algebra_gran_cond"] = ORACLE_ALGEBRA_GRAN_COND

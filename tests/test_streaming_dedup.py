@@ -41,7 +41,7 @@ def test_stream_exact_dedup_matches_batch_hash_set(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow drains deterministically; a bound flakes under host load
 
     got = spark.read.parquet(out)
     batch = exact_dedup(docs)
@@ -73,7 +73,7 @@ def test_stream_minhash_signatures_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow drains deterministically; a bound flakes under host load
 
     streamed = {
         r["doc_id"]: tuple(r["sig"])
@@ -111,7 +111,7 @@ def test_stream_exact_dedup_state_is_watermark_bounded(spark, tmp_path):
         .option("checkpointLocation", ckpt)
     )
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow drains deterministically; a bound flakes under host load
 
     # batch 2: same text again — event time AHEAD of the current
     # watermark (~T0+6h-10m, else the row is dropped as late data) and
@@ -120,7 +120,7 @@ def test_stream_exact_dedup_state_is_watermark_bounded(spark, tmp_path):
         in_dir, mode="append"
     )
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow drains deterministically; a bound flakes under host load
 
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [0, 1, 2]  # doc 2 re-admitted: its twin's state expired
