@@ -299,15 +299,24 @@ _SQL_SIG = (
 
 
 def _sig_df(spark, sf_dir):
+    # per-row fold, no explode/groupBy: h_i = array_min(md5(s + "#i"))
+    # over the shingle array — identical values to the old shuffled
+    # min() aggregate (lexicographic md5 min either way), zero Exchange.
+    # sh_arr appears only as a top-level HOF argument (inlining-proof
+    # per PLANS.md).
     d = _t(spark, sf_dir, "documents")
-    exploded = with_shingles(d, "text", 3).select(
-        "doc_id", F.explode("sh_arr").alias("s")
-    )
-    mins = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(N_SIG)
-    ]
-    return exploded.groupBy("doc_id").agg(*mins)
+    # shingle-less docs had no exploded rows in the old form (and have
+    # none in the DuckDB oracle) — keep them absent here too
+    sh = with_shingles(d, "text", 3).where(F.size("sh_arr") > 0)
+    def _slot(i: int):
+        # NB: a 2-arg lambda would make F.transform pass the ARRAY INDEX
+        # as the second argument — bind the slot number via closure
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(F.col("sh_arr"), lambda s: F.md5(F.concat(s, suffix)))
+        ).alias(f"h{i}")
+
+    return sh.select("doc_id", *[_slot(i) for i in range(N_SIG)])
 
 
 def q_minhash_sig(spark, sf_dir):
