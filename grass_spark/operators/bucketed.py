@@ -48,6 +48,7 @@ def write_bucketed(
     buckets: int,
     key: str | Sequence[str] = "conv_id",
     sort: Sequence[str] | None = ("conv_id", "ts"),
+    partition_by: Sequence[str] | None = None,
     path: str | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
@@ -60,6 +61,13 @@ def write_bucketed(
     under ``path`` instead of the session warehouse dir).  Sort columns
     missing from ``df`` are dropped silently so one call site can serve
     raw (ts) and tier (bucket_start) schemas.
+
+    ``partition_by`` composes directory partitioning WITH bucketing —
+    the production tier layout: partition by day for resume/partition
+    pruning (the manifest's ``NOT d IN (...)`` filter never lists
+    pruned directories), bucket by conv_id inside each day so
+    per-conversation aggs/windows/joins stay shuffle-free.  Each
+    (day, bucket) pair is its own file set.
     """
     spark = df.sparkSession
     keys = [key] if isinstance(key, str) else list(key)
@@ -68,6 +76,8 @@ def write_bucketed(
         cols = [c for c in sort if c in df.columns]
         if cols:
             w = w.sortBy(*cols)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
     if path is not None:
         w = w.option("path", path)
     # a pre-existing table with a different bucket spec makes overwrite

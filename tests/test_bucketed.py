@@ -121,3 +121,34 @@ def test_sort_columns_filtered_to_schema(spark, bucketed_raw):
     t = write_bucketed(tier, "t_day_b", buckets=4, path=str(base / "day_b"))
     assert read_bucketed(spark, "t_day_b").count() == tier.count()
     spark.sql("DROP TABLE IF EXISTS t_day_b")
+
+
+def test_partitioned_and_bucketed_compose(spark, bucketed_raw):
+    """The production tier layout: partitionBy(d) for pruning +
+    bucketBy(conv_id) for shuffle-free reads, in ONE table.  Both
+    properties must hold simultaneously: the day filter prunes
+    partitions at scan time AND the per-conv agg plans no Exchange."""
+    base = bucketed_raw["base"]
+    tier = rollup_from_raw(bucketed_raw["table"], "1 hour", ORIGIN, ["conv_id"])
+    tier = tier.withColumn("d", F.to_date("bucket_start"))
+    t = write_bucketed(
+        tier, "t_pb", buckets=4, sort=("conv_id", "bucket_start"),
+        partition_by=("d",), path=str(base / "pb"),
+    )
+    days = sorted(r.d for r in t.select("d").distinct().collect())
+    assert len(days) >= 2
+    one_day = t.where(F.col("d") == days[0])
+    agg = one_day.groupBy("conv_id").agg(F.sum("turn_cnt").alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    # partition pruning: the day predicate appears as a partition filter
+    assert "PartitionFilters" in plan and "isnotnull(d" in plan
+    # correctness through the composed layout
+    got = {r.conv_id: r.n for r in agg.collect()}
+    want = {
+        r.conv_id: r.n
+        for r in tier.where(F.col("d") == days[0])
+        .groupBy("conv_id").agg(F.sum("turn_cnt").alias("n")).collect()
+    }
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS t_pb")
