@@ -565,3 +565,44 @@ def test_srp_lsh_recall_on_testdata_embeddings(spark):
     )
     assert wide > narrow, f"wide={wide:.3f} narrow={narrow:.3f}"
     assert wide >= 0.25
+
+
+def test_sig_fold_equals_exploded_aggregate(spark):
+    """The per-row md5 fold in the oracle signature path must equal the
+    exploded min() aggregate value-for-value (pins the F.transform
+    2-arg-lambda trap: a second lambda parameter silently receives the
+    ARRAY INDEX and corrupts every slot)."""
+    from grass_spark.operators.dedup import with_shingles
+    from grass_spark.queries_ext import N_SIG
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "pack my box with five dozen liquor jugs for the long trip"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "sphinx of black quartz judge my vow said the old professor"),
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+
+    # build both forms directly over the same frame
+    sh = with_shingles(d, "text", 3)
+    exploded = sh.select("doc_id", F.explode("sh_arr").alias("s"))
+    agg = exploded.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(N_SIG)
+    ])
+
+    def _slot(i):
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(F.col("sh_arr"), lambda s: F.md5(F.concat(s, suffix)))
+        ).alias(f"h{i}")
+
+    folded = sh.where(F.size("sh_arr") > 0).select(
+        "doc_id", *[_slot(i) for i in range(N_SIG)]
+    )
+    a = sorted(map(tuple, agg.collect()))
+    b = sorted(map(tuple, folded.collect()))
+    assert a == b
+    # identical docs get identical signatures; distinct docs differ
+    sig = {r[0]: r[1:] for r in b}
+    assert sig[0] == sig[2] and sig[0] != sig[1]
