@@ -664,3 +664,29 @@ JOIN b ON b.user_id = a.user_id
 
 EXT3_QUERIES["algebra_gran_cond"] = q_algebra_gran_cond
 EXT3_ORACLES["algebra_gran_cond"] = ORACLE_ALGEBRA_GRAN_COND
+
+
+# ---------------------------------------------------------------------
+# near_dedup end-to-end — the flagship training-data pipeline as a
+# driver query.  Rows-only: connected components is an iterative
+# algorithm (min-label propagation), not SQL-expressible — the driver
+# records the weaker rows+schema check, like infer_granularity.
+# ---------------------------------------------------------------------
+
+
+def q_near_dedup_keep(spark, sf_dir):
+    """LSH -> exact-Jaccard verify -> connected components -> keep
+    decisions for EVERY document (keep = smallest id per duplicate
+    cluster; singletons keep themselves).  Deterministic output."""
+    from grass_spark.operators.dedup import near_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = near_dedup(d, jaccard_threshold=0.8)
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep").cast("boolean").alias("keep"),
+    ).orderBy("doc_id")
+
+
+EXT3_QUERIES["near_dedup_keep"] = q_near_dedup_keep
