@@ -17,7 +17,7 @@ skips cleanly here and runs for real wherever the runtime exists
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import days
+from pyspark.sql.functions import bucket, days
 
 
 class IcebergUnavailable(RuntimeError):
@@ -49,14 +49,30 @@ def create_tier_table(
     like: DataFrame,
     *,
     bucket_col: str = "bucket_start",
+    conv_buckets: int | None = None,
+    key_col: str = "conv_id",
 ) -> None:
-    """CREATE TABLE … USING iceberg PARTITIONED BY (days(bucket_col)) —
-    the Iceberg twin of the parquet tier layout (partition pruning on
-    the day transform replaces directory pruning)."""
+    """CREATE TABLE … USING iceberg PARTITIONED BY (days(bucket_col)
+    [, bucket(conv_buckets, key_col)]) — the Iceberg twin of the tier
+    layout.
+
+    ``conv_buckets`` composes day pruning WITH conversation
+    co-location.  This is the composition plain parquet cannot deliver
+    incrementally: OSS Spark's ``insertInto`` rejects ``bucketBy``, so
+    a bucketed parquet table cannot take dynamic per-day overwrites —
+    Iceberg's ``bucket()`` partition transform has no such limit
+    (``overwritePartitions`` works unchanged), and with
+    ``spark.sql.sources.v2.bucketing.enabled`` (storage-partitioned
+    joins, Spark 3.3+) scans over the bucket transform expose the same
+    shuffle-free grouping ``operators/bucketed.py`` proves on
+    saveAsTable parquet."""
     _require(spark)
     # days() transform — hidden partitioning on the bucket timestamp
+    parts = [days(bucket_col)]
+    if conv_buckets is not None:
+        parts.append(bucket(conv_buckets, key_col))
     like.limit(0).writeTo(table).using("iceberg").partitionedBy(
-        days(bucket_col)
+        *parts
     ).createOrReplace()
 
 

@@ -85,3 +85,24 @@ def test_snapshot_id_advances(spark, tier_df):
     overwrite_tier_partitions(tier_df, "local.db.t1h_c")
     s2 = current_snapshot_id(spark, "local.db.t1h_c")
     assert s1 is not None and s2 is not None and s2 != s1
+
+
+def test_composed_day_and_conv_bucket_transform(spark, tier_df):
+    """days(bucket_start) + bucket(8, conv_id) in one partition spec —
+    the composition plain parquet cannot take incrementally (insertInto
+    rejects bucketBy); dynamic overwritePartitions must still work."""
+    _skip_unless_available(spark)
+    create_tier_table(
+        spark, "local.db.t1h_pb", tier_df, conv_buckets=8
+    )
+    overwrite_tier_partitions(tier_df, "local.db.t1h_pb")
+    assert read_tier(spark, "local.db.t1h_pb").count() == 8
+    # re-materializing one day leaves other days' buckets untouched
+    day2 = tier_df.filter("bucket_start >= TIMESTAMP '2024-01-02'")
+    overwrite_tier_partitions(day2.limit(2), "local.db.t1h_pb")
+    assert read_tier(spark, "local.db.t1h_pb").count() == 6
+    # the partition spec carries both transforms
+    spec = spark.sql(
+        "SELECT partition FROM local.db.t1h_pb.partitions LIMIT 1"
+    ).schema["partition"].dataType.names
+    assert any("day" in f for f in spec) and any("bucket" in f for f in spec)
