@@ -41,6 +41,11 @@ def _norm(cols, rows):
 def test_oracle_parity(spark, con, name):
     sdf = EXT3_QUERIES[name](spark, SF)
     s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    if name not in EXT3_ORACLES:
+        # rows-only query (iterative op, no SQL oracle — e.g.
+        # near_dedup_keep's connected components): non-vacuity only
+        assert len(s_rows) > 0
+        return
     rel = con.execute(EXT3_ORACLES[name])
     d_cols = [d[0] for d in rel.description]
     d_rows = rel.fetchall()
