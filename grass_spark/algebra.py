@@ -576,8 +576,12 @@ class TemporalAlgebra:
         used = {
             m.group(0) for m in re.finditer(r"[A-Za-z_]\w*", expr)
         } & set(env)
+        # the reference's ignore loop skips ONLY names preceded by a
+        # MAP/TMAP token (temporal_algebra.py:905-910) — a dataset
+        # referenced as strds(X)/stvds(X)/str3ds(X) DOES contribute to
+        # the common granularity, so those constructors are not stripped.
         stripped = re.sub(
-            r"\b(?:map|tmap|strds|stvds|str3ds)\s*\(\s*[A-Za-z_]\w*\s*\)",
+            r"\b(?:map|tmap)\s*\(\s*[A-Za-z_]\w*\s*\)",
             "", expr,
         )
         gran_names = {

@@ -85,6 +85,21 @@ def register_maps(
     """
     if isinstance(start, str):
         start = datetime.fromisoformat(start)
+    # naive-UTC base: F.lit(datetime) serializes through the HOST
+    # timezone, so every branch that stamps `start` goes through this
+    # epoch-seconds literal instead (round-2 ADVICE — the fix used to
+    # cover only the fixed-width increment branch).  Caveat that is NOT
+    # ours to fix: plain .collect() converts TimestampType back through
+    # the host timezone (PySpark TimestampType.fromInternal), so
+    # driver-side naive datetimes only display as UTC on a UTC host —
+    # the stored instants are host-independent either way.
+    base_ts = (
+        F.timestamp_seconds(
+            F.lit(int((start - datetime(1970, 1, 1)).total_seconds()))
+        )
+        if start is not None
+        else None
+    )
     if ts_col is not None:
         out = df.withColumn("start_time", F.col(ts_col).cast("timestamp"))
     elif start is not None and increment is not None:
@@ -98,23 +113,37 @@ def register_maps(
         idx = F.row_number().over(w) - 1
         if unit in ("month", "year"):
             months = num * (12 if unit == "year" else 1)
+            # Spark add_months casts to DATE (drops time-of-day); the
+            # reference's modify_datetime keeps day+time on month adds
+            # (datetime_math.py modify_datetime: dt.replace(month=...)).
+            # Re-add the start's time-of-day after the month step.  Day
+            # overflow (Jan 31 + 1 month) clamps here where the
+            # reference would raise — registering off month-end is the
+            # sane extension of an undefined reference case.
+            tod = int(
+                (start - datetime(start.year, start.month, start.day))
+                .total_seconds()
+            )
             out = df.withColumn(
                 "start_time",
-                F.add_months(F.lit(start), (idx * months).cast("int")).cast("timestamp"),
+                F.timestamp_seconds(
+                    F.unix_seconds(
+                        F.add_months(base_ts, (idx * months).cast("int"))
+                        .cast("timestamp")
+                    )
+                    + tod
+                ),
             )
         else:
             secs = granularity_seconds(increment)
             out = df.withColumn(
                 "start_time",
                 F.timestamp_seconds(
-                    # naive-UTC epoch: .timestamp() would re-interpret a
-                    # naive datetime in the *host* timezone
-                    F.lit(int((start - datetime(1970, 1, 1)).total_seconds()))
-                    + idx.cast("long") * secs
+                    F.unix_seconds(base_ts) + idx.cast("long") * secs
                 ),
             )
     elif start is not None:
-        out = df.withColumn("start_time", F.lit(start).cast("timestamp"))
+        out = df.withColumn("start_time", base_ts)
     else:
         raise ValueError("need ts_col, or start (+ optional increment)")
 
@@ -122,7 +151,14 @@ def register_maps(
         num, unit = parse_granularity(increment)
         if unit in ("month", "year"):
             months = num * (12 if unit == "year" else 1)
-            end = F.add_months(F.col("start_time"), months).cast("timestamp")
+            st = F.col("start_time")
+            tod_col = F.unix_seconds(st) - F.unix_seconds(
+                F.date_trunc("DAY", st)
+            )
+            end = F.timestamp_seconds(
+                F.unix_seconds(F.add_months(st, months).cast("timestamp"))
+                + tod_col
+            )
         else:
             end = F.timestamp_micros(
                 F.unix_micros(F.col("start_time"))

@@ -122,6 +122,18 @@ def test_reference_gran_algebra_case(alg, env_g, name, expr, n, vmin, vmax,
     assert agg["end"] == datetime(*end), f"{name}: {expr}"
 
 
+def test_strds_args_contribute_to_common_granularity(alg, env_g):
+    # The reference's setup_common_granularity ignores ONLY names
+    # preceded by MAP/TMAP tokens (temporal_algebra.py:905-910); a
+    # dataset referenced via strds(X) still contributes.  With A (1
+    # month) in scope via strds(), B (3 months) splits into 6 monthly
+    # granules; were strds(A) stripped, B : B would stay at 2 maps.
+    out = alg.eval_gran("B + (strds(A) - strds(A))", env_g)
+    assert out.count() == 6
+    vals = sorted(r.value for r in out.collect())
+    assert vals == [7.0, 7.0, 7.0, 8.0, 8.0, 8.0]
+
+
 def test_gran_mode_rejects_topology_operators(alg, env_g):
     with pytest.raises(ValueError, match="topological"):
         alg.eval_gran("A {:,during} B", env_g)

@@ -52,6 +52,24 @@ def test_register_monthly_calendar(spark):
     assert rows[0]["end_time"] == datetime(2001, 2, 1)
 
 
+def test_register_monthly_keeps_time_of_day(spark):
+    # reference modify_datetime keeps day+time on month adds
+    # (datetime_math.py: dt.replace(month=...)); Spark add_months alone
+    # would truncate to midnight
+    df = spark.createDataFrame([(f"m{i}",) for i in range(3)], ["map_id"])
+    out = register_maps(
+        df,
+        start=datetime(2001, 1, 15, 12, 5, 45),
+        increment="2 months",
+        interval=True,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["start_time"])
+    assert rows[0]["start_time"] == datetime(2001, 1, 15, 12, 5, 45)
+    assert rows[1]["start_time"] == datetime(2001, 3, 15, 12, 5, 45)
+    assert rows[0]["end_time"] == rows[1]["start_time"]
+    assert rows[2]["end_time"] == datetime(2001, 7, 15, 12, 5, 45)
+
+
 def test_register_per_row_times(spark):
     df = spark.createDataFrame(
         [("x", datetime(2020, 5, 1)), ("y", datetime(2020, 6, 1))],

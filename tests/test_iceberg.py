@@ -93,7 +93,8 @@ def test_composed_day_and_conv_bucket_transform(spark, tier_df):
     rejects bucketBy); dynamic overwritePartitions must still work."""
     _skip_unless_available(spark)
     create_tier_table(
-        spark, "local.db.t1h_pb", tier_df, conv_buckets=8
+        spark, "local.db.t1h_pb", tier_df, conv_buckets=8,
+        key_col="user_id",
     )
     overwrite_tier_partitions(tier_df, "local.db.t1h_pb")
     assert read_tier(spark, "local.db.t1h_pb").count() == 8

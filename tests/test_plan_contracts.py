@@ -81,8 +81,15 @@ def test_all_driver_queries_plan_lint(spark):
     degenerates into an all-pairs join or a per-row Python loop fails
     here before it ever reaches a benchmark.
     """
+    # Iterative/checkpointing queries EXECUTE eagerly on construction
+    # (localCheckpoint per CC round), so "building the plan" would run
+    # the full LSH + connected-components job and the lint would only
+    # see the post-checkpoint truncated plan anyway.  Their component
+    # plans are linted via minhash_pairs / jaccard_verify above and the
+    # dedup plan-contract tests.
+    eager_iterative = {"near_dedup_keep"}
     failures = []
-    for name in sorted(QUERIES):
+    for name in sorted(set(QUERIES) - eager_iterative):
         try:
             plan = _plan(spark, name)
         except Exception as ex:  # plan construction itself must work
