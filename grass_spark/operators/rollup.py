@@ -171,11 +171,17 @@ class RollupPipeline:
         write_salt: int = 4,
         compress: bool = False,
         compress_tiers: tuple[str, ...] | None = None,
+        layout: str = "plain",
+        buckets: int = 64,
     ):
+        if layout not in ("plain", "bucketed"):
+            raise ValueError(f"layout must be 'plain' or 'bucketed', got {layout!r}")
         self.base_dir = base_dir
         self.tiers = tiers
         self.keys = ["conv_id"] if keys is None else list(keys)
         self.write_salt = write_salt
+        self.layout = layout
+        self.buckets = buckets
         self.compress = compress
         # block stores only pay where groups are dense: the finest tier
         # compresses 5.8x, but a day tier's (conv, block) groups hold a
@@ -187,13 +193,74 @@ class RollupPipeline:
         )
         os.makedirs(base_dir, exist_ok=True)
         self.manifest = CheckpointManifest(os.path.join(base_dir, "manifest.json"))
+        self._check_layout_pin()
 
     def tier_path(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
 
+    # -------------------------------------------------- bucketed layout
+    def _check_layout_pin(self) -> None:
+        """Pin (layout, buckets) on first use.  Files written with a
+        different bucket count hash rows into DIFFERENT buckets — a
+        mismatched re-open would silently produce wrong shuffle-free
+        results, so it's a hard error, not a warning."""
+        import json
+
+        pin_path = os.path.join(self.base_dir, "_layout.json")
+        pin = {"layout": self.layout}
+        if self.layout == "bucketed":
+            pin["buckets"] = self.buckets
+        if os.path.exists(pin_path):
+            with open(pin_path) as f:
+                prior = json.load(f)
+            if prior != pin:
+                raise ValueError(
+                    f"tier store at {self.base_dir} was written with "
+                    f"{prior}; re-open with the same layout/buckets "
+                    f"(got {pin}) or use a fresh base_dir"
+                )
+        else:
+            with open(pin_path, "w") as f:
+                json.dump(pin, f)
+
+    def _table_name(self, name: str) -> str:
+        import hashlib
+
+        h = hashlib.md5(os.path.abspath(self.base_dir).encode()).hexdigest()[:8]
+        return f"rollup_{h}_{name}"
+
+    def _attach_bucketed(self, spark: SparkSession, name: str) -> str:
+        """Ensure the catalog entry for an on-disk bucketed tier exists
+        (the in-memory catalog is session-scoped; tier FILES survive a
+        restart, the table metadata does not).  Idempotent."""
+        table = self._table_name(name)
+        if not spark.catalog.tableExists(table):
+            path = self.tier_path(name)
+            schema = spark.read.parquet(path).drop("d").schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            ck = ", ".join(f"`{k}`" for k in self.keys)
+            spark.sql(
+                f"CREATE TABLE {table} ({cols}, d string) USING PARQUET "
+                f"PARTITIONED BY (d) CLUSTERED BY ({ck}) "
+                f"SORTED BY ({ck}, `bucket_start`) INTO {self.buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            spark.catalog.recoverPartitions(table)
+        return table
+
+    def _read_tier_frame(self, spark: SparkSession, name: str) -> DataFrame:
+        """Raw tier scan (no derived cols).  In the bucketed layout this
+        MUST go through the catalog table — a path read would drop the
+        bucket spec and re-introduce the cascade shuffles."""
+        if self.layout == "bucketed":
+            return spark.table(self._attach_bucketed(spark, name))
+        return spark.read.parquet(self.tier_path(name))
+
     def read_tier(self, spark: SparkSession, name: str) -> DataFrame:
         gran = dict(self.tiers)[name]
-        return with_derived(spark.read.parquet(self.tier_path(name)), gran)
+        return with_derived(self._read_tier_frame(spark, name), gran)
 
     def read_tier_from_blocks(self, spark: SparkSession, name: str) -> DataFrame:
         """Decode a tier back from its compressed block store (bit-exact
@@ -325,9 +392,71 @@ class RollupPipeline:
                         command=rec["command"] + f" | blocks(ratio={codec['ratio']})",
                     ),
                 )
-            lower = spark.read.parquet(self.tier_path(name))
+            lower = self._read_tier_frame(spark, name)
             lower_days = set(res.days_written)
         return results
+
+    # ------------------------------------------------------------------
+    def _write_tier_bucketed(
+        self, spark: SparkSession, tiered: DataFrame, name: str
+    ) -> None:
+        """Publish one tier in the composed partitionBy(d) +
+        bucketBy(buckets, keys) layout — day pruning AND shuffle-free
+        per-conversation plans from the SAME table.
+
+        OSS Spark's ``insertInto`` rejects ``bucketBy`` (PLANS.md
+        "Bucketed tier storage"), so incremental day overwrite cannot go
+        through the writer.  Instead changed days are written to a
+        STAGING table with the identical bucket spec and their day
+        directories are swapped into the main table's location, then the
+        catalog is refreshed — the parquet-sandbox analog of Iceberg's
+        ``overwritePartitions`` commit (operators/iceberg.py holds the
+        production mapping).  Bucket file names carry the bucket id, so
+        a moved file keeps its bucket assignment.
+        """
+        import shutil
+
+        path = self.tier_path(name)
+        # one task per bucket: repartition uses the same murmur3-pmod
+        # HashPartitioning as the bucket spec, so each task writes
+        # exactly one file per (bucket, day) — buckets × days files,
+        # never tasks × buckets × days
+        out = tiered.repartition(self.buckets, *self.keys)
+        fresh = not os.path.isdir(path)
+        if fresh:
+            table = self._table_name(name)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            (
+                out.write.mode("overwrite").format("parquet")
+                .bucketBy(self.buckets, *self.keys)
+                .sortBy(*self.keys, "bucket_start")
+                .partitionBy("d").option("path", path)
+                .saveAsTable(table)
+            )
+            return
+        stg_path, stg_table = path + "_stg", self._table_name(name) + "_stg"
+        shutil.rmtree(stg_path, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
+        (
+            out.write.mode("overwrite").format("parquet")
+            .bucketBy(self.buckets, *self.keys)
+            .sortBy(*self.keys, "bucket_start")
+            .partitionBy("d").option("path", stg_path)
+            .saveAsTable(stg_table)
+        )
+        staged = [
+            e for e in os.listdir(stg_path) if e.startswith("d=")
+        ] if os.path.isdir(stg_path) else []
+        for part in staged:
+            dst = os.path.join(path, part)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.move(os.path.join(stg_path, part), dst)
+        spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
+        shutil.rmtree(stg_path, ignore_errors=True)
+        table = self._attach_bucketed(spark, name)
+        spark.sql(f"REFRESH TABLE {table}")
+        spark.catalog.recoverPartitions(table)
 
     # ------------------------------------------------------------------
     def _write_tier(
@@ -351,16 +480,19 @@ class RollupPipeline:
             tiered = tiered.filter(~F.col("d").isin(sorted(done)))
 
         start = time.time()
-        # spread each day over `write_salt` tasks so a hot day/conv
-        # doesn't serialize the write; sort by (conv_id, bucket) for
-        # range-clustered files (predicate-prunable on both).
-        out = (
-            tiered.repartition(
-                F.col("d"), F.pmod(F.xxhash64(*self.keys), F.lit(self.write_salt))
+        if self.layout == "bucketed":
+            self._write_tier_bucketed(spark, tiered, name)
+        else:
+            # spread each day over `write_salt` tasks so a hot day/conv
+            # doesn't serialize the write; sort by (conv_id, bucket) for
+            # range-clustered files (predicate-prunable on both).
+            out = (
+                tiered.repartition(
+                    F.col("d"), F.pmod(F.xxhash64(*self.keys), F.lit(self.write_salt))
+                )
+                .sortWithinPartitions(*self.keys, "bucket_start")
             )
-            .sortWithinPartitions(*self.keys, "bucket_start")
-        )
-        out.write.mode("overwrite").partitionBy("d").parquet(path)
+            out.write.mode("overwrite").partitionBy("d").parquet(path)
         duration = time.time() - start
 
         # per-partition metrics from the files just written (metadata-only

@@ -38,12 +38,23 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--synth", type=int, default=0,
                     help="generate N synthetic conversations instead of --input")
+    ap.add_argument("--layout", choices=("plain", "bucketed"), default="plain",
+                    help="tier storage layout; 'bucketed' writes the "
+                         "composed partitionBy(d)+bucketBy(buckets, "
+                         "conv_id) layout NATIVELY — per-conversation "
+                         "aggs/windows/joins over the tiers plan with "
+                         "zero Exchange (PLANS.md 'Bucketed tier "
+                         "storage'); resume/incremental work unchanged")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="bucket count for --layout bucketed (fixed at "
+                         "first write; size for ~128-512 MB per bucket "
+                         "at target scale)")
     ap.add_argument("--bucketed", type=int, default=0, metavar="N",
-                    help="also publish each tier as a conv_id-bucketed "
-                         "table (N buckets) named <tier>_bucketed under "
-                         "--output/bucketed — downstream per-conversation "
-                         "aggs/windows/joins then plan with zero Exchange "
-                         "(PLANS.md 'Bucketed tier storage')")
+                    help="legacy: additionally publish each tier as a "
+                         "separate conv_id-bucketed COPY (N buckets) "
+                         "under --output/bucketed; superseded by "
+                         "--layout bucketed, kept for layouts that must "
+                         "stay plain")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -70,7 +81,7 @@ def main() -> None:
     else:
         ap.error("need --input or --synth")
 
-    pipe = RollupPipeline(args.output)
+    pipe = RollupPipeline(args.output, layout=args.layout, buckets=args.buckets)
     results = pipe.run(
         raw,
         input_fingerprint=args.fingerprint,
