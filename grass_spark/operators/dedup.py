@@ -313,18 +313,30 @@ def simhash_candidates(
 def dedup_clusters(
     pairs: DataFrame,
     *,
-    max_iters: int = 20,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs -> duplicate
     clusters: (doc_id, cluster_id = smallest id reachable).
 
-    Iterative min-label propagation (the simple alternating-star
-    algorithm): each round every node adopts the minimum label among
-    itself and its neighbors; converges in O(diameter) rounds.  Each
-    round is one shuffle; near-dup clusters are tiny (diameter 2-3), so
-    this terminates in 2-4 rounds in practice — the driver only checks
-    a one-row convergence aggregate per round.
+    Min-label propagation WITH pointer doubling: each round every node
+    adopts the minimum label among itself and its neighbors, then
+    shortcuts to its label's label (``l <- l[l]``).  The shortcut makes
+    label distances double per round, so convergence needs
+    O(log(diameter)) rounds instead of O(diameter) — a chain of 10^4
+    duplicates converges in ~14 rounds, no manual tuning (round-2
+    VERDICT item #8; the old fixed ``max_iters=20`` plain propagation
+    warned and returned stale labels on long chains).  Two shuffles per
+    round (neighbor join + shortcut join); near-dup clusters are tiny
+    (diameter 2-3) so real corpora still finish in 2-4 rounds, and the
+    driver only checks a one-row convergence aggregate per round.
+
+    ``max_iters``: hard safety bound; defaults to
+    ``2 * ceil(log2(n_nodes)) + 4`` — pointer doubling is GUARANTEED to
+    converge within that, so hitting the bound indicates a logic bug,
+    not a data property, and raises instead of warning.
     """
+    import math
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -337,18 +349,32 @@ def dedup_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-    )
+    ).localCheckpoint()
+    if max_iters is None:
+        n_nodes = labels.count()  # cheap: post-checkpoint count
+        max_iters = 2 * math.ceil(math.log2(max(n_nodes, 2))) + 4
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("cluster_id"))
         )
-        # localCheckpoint truncates lineage — without it each round
-        # re-executes every previous round (exponential plans)
-        new_labels = (
+        propagated = (
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer doubling: follow the label's own label.  cluster_id is
+        # always an existing node id, so the self-join resolves for
+        # every row; min() keeps the semilattice property.
+        parent = propagated.select(
+            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_cl")
+        )
+        # localCheckpoint truncates lineage — without it each round
+        # re-executes every previous round (exponential plans)
+        new_labels = (
+            propagated.join(parent, propagated.cluster_id == parent.p_id)
+            .select("id", F.least("cluster_id", "p_cl").alias("cluster_id"))
         ).localCheckpoint()
         changed = (
             new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "id")
@@ -358,18 +384,14 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    else:
-        # a component with diameter > max_iters would keep stale labels
-        # (and thus wrong keep decisions downstream) — never silent
-        import warnings
-
-        warnings.warn(
-            f"dedup_clusters did not converge within {max_iters} rounds; "
-            "labels may be stale for very long duplicate chains — raise "
-            "max_iters",
-            RuntimeWarning,
-            stacklevel=2,
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iters} pointer-"
+            "doubling rounds — impossible for valid input; check the "
+            "pairs frame for nondeterminism (e.g. ids regenerated per "
+            "action)"
         )
     edges.unpersist()
     return labels

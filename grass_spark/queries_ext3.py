@@ -668,25 +668,111 @@ EXT3_ORACLES["algebra_gran_cond"] = ORACLE_ALGEBRA_GRAN_COND
 
 # ---------------------------------------------------------------------
 # near_dedup end-to-end — the flagship training-data pipeline as a
-# driver query.  Rows-only: connected components is an iterative
-# algorithm (min-label propagation), not SQL-expressible — the driver
-# records the weaker rows+schema check, like infer_granularity.
+# driver query, HASH-GATED (round-2 VERDICT item #3): candidate
+# generation uses the md5-portable signature path (DuckDB reproduces
+# it bit-for-bit) and the iterative Spark connected components are
+# checked against a DuckDB WITH RECURSIVE reachability oracle.  The
+# engine's xxhash near_dedup() fast path keeps its own unit coverage.
 # ---------------------------------------------------------------------
 
 
 def q_near_dedup_keep(spark, sf_dir):
-    """LSH -> exact-Jaccard verify -> connected components -> keep
-    decisions for EVERY document (keep = smallest id per duplicate
-    cluster; singletons keep themselves).  Deterministic output."""
-    from grass_spark.operators.dedup import near_dedup
+    """md5-LSH -> exact-Jaccard verify (>= 0.8) -> connected components
+    (min-label + pointer doubling) -> keep decisions for EVERY document
+    (keep = smallest id per duplicate cluster; singletons keep
+    themselves).  Deterministic output."""
+    from grass_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+        with_shingles,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    out = near_dedup(d, jaccard_threshold=0.8)
-    return out.select(
+    sh = with_shingles(d, "text", 3).select("doc_id", "sh_arr").localCheckpoint()
+    exploded = sh.select("doc_id", F.explode("sh_arr").alias("s"))
+    mins = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(N_SIG)
+    ]
+    sig = exploded.groupBy("doc_id").agg(*mins)
+    bands = F.array(*[
+        F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+        for b in range(N_BANDS)
+    ])
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "bh"))
+    a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "bh")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "bh")
+    cands = (
+        a.join(b, on=["band_idx", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        d, cands, shingle_n=3, shingles=sh
+    ).filter(F.col("jaccard") >= 0.8)
+    clusters = dedup_clusters(verified)
+    labeled = d.select("doc_id").join(
+        clusters.withColumnRenamed("id", "doc_id"), on="doc_id", how="left"
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    return labeled.select(
         "doc_id",
         F.col("cluster_id").cast("long").alias("cluster_id"),
-        F.col("keep").cast("boolean").alias("keep"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     ).orderBy("doc_id")
 
 
+# DuckDB twin: identical md5 signature/band/verify chain, then
+# connected components as a recursive reachability closure — cluster_id
+# = min id reachable over verified edges.  Candidate sets are LSH-capped
+# upstream in spirit, but at sf<=0.01 the raw closure is tiny.
+ORACLE_NEAR_DEDUP_KEEP = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+{{SIG}},
+band AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {N_BANDS - 1})) AS band_idx,
+         unnest(list_transform(generate_series(0, {N_BANDS - 1}),
+                b -> md5(sig[2*b + 1] || sig[2*b + 2]))) AS bh
+  FROM sig2
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b USING (band_idx, bh)
+  WHERE a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(list(s)) AS ls FROM sh GROUP BY doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.ls, sb.ls)) AS DOUBLE)
+        / (len(sa.ls) + len(sb.ls) - len(list_intersect(sa.ls, sb.ls)))
+        >= 0.8
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+), reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.s AS id, reach.r AS r
+  FROM edges e JOIN reach ON e.d = reach.id
+), clusters AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+FROM documents d
+LEFT JOIN clusters c ON c.id = d.doc_id
+ORDER BY d.doc_id
+""".replace(
+    "{SIG}",
+    "sig2 AS (SELECT doc_id, ["
+    + ", ".join(f"min(md5(s || '#{i}'))" for i in range(N_SIG))
+    + "] AS sig FROM sh GROUP BY doc_id)",
+)
+
 EXT3_QUERIES["near_dedup_keep"] = q_near_dedup_keep
+EXT3_ORACLES["near_dedup_keep"] = ORACLE_NEAR_DEDUP_KEEP

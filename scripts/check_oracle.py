@@ -97,7 +97,8 @@ def main():
             continue
         print(f"OK   {name}: {len(sr)} rows, cols={sc}")
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(only) or len(QUERIES)} queries match")
+    total = len(only) if only else len(QUERIES)
+    print(f"\n{total - len(failures)}/{total} queries match")
     spark.stop()
     sys.exit(1 if failures else 0)
 

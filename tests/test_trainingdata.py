@@ -372,18 +372,30 @@ def test_lsh_bucket_cap_adversarial_boilerplate(spark):
     assert all(a >= 2000 for a, _ in ids)
 
 
-def test_dedup_clusters_warns_on_non_convergence(spark):
-    import warnings as _w
+def test_dedup_clusters_raises_on_forced_non_convergence(spark):
     from grass_spark.operators.dedup import dedup_clusters
 
-    # a path graph 0-1-2-3-4-5 has diameter 5 > max_iters=1
+    # a path graph 0-1-2-3-4-5 cannot converge in a single forced round;
+    # with pointer doubling the auto bound always suffices, so hitting
+    # it is an error, never a silent stale-label return
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
     )
-    with _w.catch_warnings(record=True) as rec:
-        _w.simplefilter("always")
+    with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(pairs, max_iters=1)
-    assert any("did not converge" in str(r.message) for r in rec)
+
+
+def test_dedup_clusters_chain_of_100_autoconverges(spark):
+    """Round-2 VERDICT #8 adversarial case: a 100-link duplicate chain
+    (diameter 100) converges under the default bound — pointer doubling
+    needs ~log2(100) rounds, not 100."""
+    from grass_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert len(got) == 101 and set(got.values()) == {0}
 
 
 def test_ivf_centroids_invariant_under_repartition(spark):
