@@ -76,6 +76,24 @@ HEADLINE = [
     "algebra_condition",
 ]
 
+#: every other driver query, timed in one single pass (no warm run) so
+#: regressions anywhere in the 54-query surface are visible without
+#: doubling the bench budget (round-2 VERDICT item #7).  Headline
+#: entries keep the warm+timed protocol, so their numbers stay
+#: comparable across rounds; tier-2 numbers carry plan-compile + first
+#: IO and are for regression DETECTION, not absolute comparison.
+TIER2 = [
+    "agg_weekly_mode_div", "series_overall", "series_where", "argminmax",
+    "snap", "doc_fingerprint", "token_count", "lang_guess", "embed_norms",
+    "weighted_avg_daily", "weighted_median_mode", "accumulate_cycle",
+    "resample_priority", "gaps_daily", "pivot_daily", "minhash_sig",
+    "what_wide", "accdetect", "algebra_expr", "masked_agg",
+    "weighted_quantile", "weighted_regression", "what_long",
+    "shift_extents", "agg_relative", "simhash_portable", "group_granules",
+    "algebra_select", "merge_extract", "algebra_gran", "algebra_gran_cond",
+    "near_dedup_keep",
+]
+
 #: rollup bench size — big enough that a local[32] run takes seconds,
 #: not milliseconds (scaled down from the 10^12-turn spec)
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "24000"))
@@ -96,6 +114,11 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, sf_dir).count()  # warm (plan + IO cache)
+        t0 = time.perf_counter()
+        _noop(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    for name in TIER2:  # single-pass: detection coverage, not comparison
+        fn = QUERIES[name]
         t0 = time.perf_counter()
         _noop(fn(spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)

@@ -599,19 +599,31 @@ class TemporalAlgebra:
             if not isinstance(v, DataFrame):
                 passthrough[name] = v
                 continue
-            nd = self._norm(v)
-            if nd.limit(1).count() == 0:
+            # granularity mode probes every dataset repeatedly (empty
+            # check, start time, delta inference, then the split +
+            # eval); checkpoint ONCE so the upstream plan executes a
+            # single time instead of per probe — datasets here are
+            # catalog-scale map lists (the reference reads granularity
+            # from STDS metadata; this inference is its substitute)
+            nd = self._norm(v).localCheckpoint()
+            probe = nd.agg(
+                F.count(F.lit(1)).alias("n"), F.min("__time").alias("s")
+            ).collect()[0]
+            if probe["n"] == 0:
                 # an empty dataset (e.g. an all-null map dropped on
                 # ingest) contributes no granularity; downstream equal-
                 # topology joins against it produce the empty result the
                 # reference registers (grs test_3)
                 frames[name] = nd
                 continue
-            st = nd.agg(F.min("__time")).collect()[0][0]
+            st = probe["s"]
             if name in gran_names:
                 g = G.infer_granularity_from_df(
                     self._denorm(nd), ts_col=self.time_col,
                     end_col=self.end_col if "__end" in nd.columns else None,
+                    # checkpointed catalog-scale map list: single-task
+                    # lag beats the range-stitch scale path here
+                    assume_small=True,
                 )
                 if g is None:
                     raise ValueError(f"cannot infer granularity of {name!r}")

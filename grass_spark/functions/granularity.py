@@ -407,6 +407,7 @@ def distinct_delta_components(
     ts_col: str = "ts",
     end_col: str | None = None,
     keys: list[str] | None = None,
+    assume_small: bool = False,
 ):
     """DISTINCT unit-decomposed deltas (interval lengths + gaps) of a
     possibly huge table, computed entirely JVM-side.
@@ -423,6 +424,13 @@ def distinct_delta_components(
     cross-partition boundary pairs are stitched from a P-row frame.
     Returns a DataFrame of (keys..., year, month, day, hour, minute,
     second, max_days), distinct.
+
+    ``assume_small``: callers that KNOW the frame is catalog-scale (a
+    dataset's map list, like ``eval_gran``'s inputs — the reference
+    reads these from STDS metadata tables) skip the range-stitch
+    machinery for a single-task lag window: 2 stages instead of ~6,
+    saving multiple fixed-latency rounds per dataset.  Never pass it
+    for data-scale tables — the single task would serialize.
     """
     from pyspark.sql import Window
 
@@ -441,6 +449,11 @@ def distinct_delta_components(
         d = d.withColumn("__prev_s", F.lag("__s").over(w))
         d = d.withColumn("__prev_e", F.lag(e_col).over(w))
         pairs = d
+    elif assume_small:
+        w = Window.orderBy(*order)  # single task — caller-asserted small
+        pairs = d.coalesce(1).withColumn(
+            "__prev_s", F.lag("__s").over(w)
+        ).withColumn("__prev_e", F.lag(e_col).over(w))
     else:
         npart = max(df.sparkSession.sparkContext.defaultParallelism, 1)
         d = d.repartitionByRange(npart, "__s").withColumn(
@@ -485,13 +498,20 @@ def distinct_delta_components(
     return out.select(*keys, "__d.*").distinct()
 
 
-def infer_granularity_from_df(df, ts_col: str = "ts", end_col: str | None = None) -> str | None:
+def infer_granularity_from_df(
+    df,
+    ts_col: str = "ts",
+    end_col: str | None = None,
+    assume_small: bool = False,
+) -> str | None:
     """Infer granularity of a (possibly huge) table: consecutive-pair
     deltas are decomposed JVM-side (``distinct_delta_components``) and
     only the distinct delta structs — a handful of rows for any regular
     series — are collected; the unit assignment + GCD run on the
     driver, exactly as ``temporal_granularity.py:339-529``."""
-    rows = distinct_delta_components(df, ts_col=ts_col, end_col=end_col).collect()
+    rows = distinct_delta_components(
+        df, ts_col=ts_col, end_col=end_col, assume_small=assume_small
+    ).collect()
     return _granularity_from_deltas([r.asDict() for r in rows])
 
 

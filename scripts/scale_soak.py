@@ -1,0 +1,101 @@
+"""Order-of-magnitude scale soak (round-2 VERDICT item #6).
+
+Runs the FULL PERSISTED pipeline — not the in-memory bench cascade —
+over ~10^8 synthesized turns at a fixed parallelism, to surface the
+behaviors 30-second runs cannot: block-store month-group memory, the
+bucketed staging-swap publish at thousands of day×bucket files, spill
+under real write pressure, and manifest bookkeeping at ~10^2 days ×
+10^2 buckets.
+
+    python scripts/scale_soak.py [--turns 100000000] [--cores 8]
+        [--layout bucketed] [--compress] [--data /tmp/grass_soak]
+
+Prints one JSON line: {"turns": N, "gen_sec": g, "pipeline_sec": p,
+"turns_per_sec": r, ...}.  The generated raw table is cached on disk
+(marker file) so re-runs measure only the pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=100_000_000)
+    ap.add_argument("--avg-turns", type=int, default=500)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--layout", choices=("plain", "bucketed"), default="bucketed")
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--compress", action="store_true")
+    ap.add_argument("--data", default="/tmp/grass_soak")
+    args = ap.parse_args()
+
+    from grass_spark.datagen import synth_transcripts
+    from grass_spark.operators.rollup import RollupPipeline
+    from grass_spark.session import get_spark
+
+    n_convs = args.turns // args.avg_turns
+    raw_path = os.path.join(args.data, f"raw_{n_convs}_{args.avg_turns}")
+    marker = raw_path + "_done"
+
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_gen", cores=None, shuffle_partitions=256)
+        t0 = time.perf_counter()
+        df = synth_transcripts(
+            spark, n_convs=n_convs, avg_turns=args.avg_turns, seed=42,
+            partitions=256,
+        )
+        df.write.mode("overwrite").parquet(raw_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    tiers_dir = os.path.join(
+        args.data, f"tiers_{args.layout}{'_c' if args.compress else ''}"
+    )
+    shutil.rmtree(tiers_dir, ignore_errors=True)
+
+    spark = get_spark(
+        "soak_pipeline", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+        extra_conf={"spark.sql.warehouse.dir": os.path.join(args.data, "wh")},
+    )
+    raw = spark.read.parquet(raw_path)
+    turns = raw.count()
+    pipe = RollupPipeline(
+        tiers_dir, layout=args.layout, buckets=args.buckets,
+        compress=args.compress,
+    )
+    t0 = time.perf_counter()
+    results = pipe.run(raw, input_fingerprint="soak")
+    pipeline_sec = round(time.perf_counter() - t0, 1)
+
+    out = {
+        "turns": int(turns),
+        "n_convs": n_convs,
+        "cores": args.cores,
+        "layout": args.layout,
+        "compress": bool(args.compress),
+        "gen_sec": gen_sec,
+        "pipeline_sec": pipeline_sec,
+        "turns_per_sec": round(turns / pipeline_sec),
+        "tiers": [
+            {"tier": r.name, "rows": r.rows_out, "days": len(r.days_written)}
+            for r in results
+        ],
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
