@@ -129,6 +129,61 @@ def synth_transcripts(
     return df
 
 
+def synth_documents(
+    spark: SparkSession,
+    n_docs: int = 100_000,
+    seed: int = 7,
+    dup_frac: float = 0.3,
+    cluster_size: int = 3,
+    n_words: int = 40,
+    vocab: int = 5000,
+    boiler_every: int = 50,
+) -> DataFrame:
+    """Deterministic document corpus with known near-duplicate
+    structure — the dedup-stack stress input (scripts/scale_soak.py).
+
+    * the first ``dup_frac`` share of doc ids form near-dup clusters of
+      ``cluster_size``: copies share their base's words with ONE word
+      perturbed (word-3-gram Jaccard ≈ 0.85 for ``n_words=40``, above
+      the 0.8 keep threshold);
+    * every ``boiler_every``-th remaining doc carries the SAME
+      boilerplate text — a pathological hot LSH bucket that must hit
+      ``_cap_buckets`` instead of a quadratic pair join;
+    * everything else is unique pseudo-text.
+
+    Purely expression-based and seed-deterministic at any parallelism,
+    like :func:`synth_transcripts`.  ``true_cluster`` carries the
+    ground truth (drop it before feeding ``near_dedup``).
+    """
+    n_dup = (int(n_docs * dup_frac) // cluster_size) * cluster_size
+    h = lambda *cols: F.abs(F.xxhash64(F.lit(seed), *cols))  # noqa: E731
+
+    d = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    is_dup = F.col("doc_id") < n_dup
+    is_boiler = ~is_dup & (F.col("doc_id") % boiler_every == 0)
+    base = (
+        F.when(is_boiler, F.lit(-1).cast("long"))
+        .when(is_dup, F.col("doc_id") - F.col("doc_id") % cluster_size)
+        .otherwise(F.col("doc_id"))
+    )
+    d = d.withColumn("true_cluster", base)
+    is_copy = is_dup & (F.col("doc_id") != F.col("true_cluster"))
+    perturb_pos = (h(F.lit(1), F.col("doc_id")) % n_words).cast("int")
+    d = d.withColumn("_copy", is_copy).withColumn("_pp", perturb_pos)
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda j: F.when(
+            F.col("_copy") & (j == F.col("_pp")),
+            F.concat(F.lit("x"), (h(F.lit(2), F.col("doc_id"), j) % vocab).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("w"), (h(F.col("true_cluster"), j) % vocab).cast("string"))
+        ),
+    )
+    return d.select(
+        "doc_id", "true_cluster", F.concat_ws(" ", words).alias("text")
+    )
+
+
 def write_transcripts(
     spark: SparkSession,
     path: str,

@@ -27,6 +27,61 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _dedup_soak(args) -> None:
+    """near_dedup end-to-end over a duplicate-rich corpus: exercises the
+    LSH bucket caps (a deliberate boilerplate hot bucket) and the
+    pointer-doubling CC rounds at a scale the unit tests never reach."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.dedup import near_dedup
+    from grass_spark.session import get_spark
+
+    n = args.dedup_docs
+    docs_path = os.path.join(args.data, f"docs_{n}")
+    marker = docs_path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_docs_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_documents(spark, n_docs=n).write.mode("overwrite").parquet(docs_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    spark = get_spark(
+        "soak_dedup", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    docs = spark.read.parquet(docs_path)
+    t0 = time.perf_counter()
+    out = near_dedup(docs.select("doc_id", "text"), jaccard_threshold=0.8)
+    dropped = out.filter(~F.col("keep")).count()
+    dedup_sec = round(time.perf_counter() - t0, 1)
+
+    # ground-truth recall on the near-dup copies (exact boilerplate
+    # clusters above the LSH cap are EXPECTED to be dropped from
+    # pairing — they belong to exact_dedup)
+    truth = docs.filter(
+        (F.col("true_cluster") >= 0) & (F.col("doc_id") != F.col("true_cluster"))
+    ).select("doc_id")
+    n_copies = truth.count()
+    caught = truth.join(out.filter(~F.col("keep")), "doc_id").count()
+
+    print(json.dumps({
+        "docs": n,
+        "cores": args.cores,
+        "gen_sec": gen_sec,
+        "dedup_sec": dedup_sec,
+        "docs_per_sec": round(n / dedup_sec),
+        "dropped": int(dropped),
+        "near_dup_copies": int(n_copies),
+        "copies_caught": int(caught),
+        "recall": round(caught / max(n_copies, 1), 4),
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=100_000_000)
@@ -36,7 +91,15 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--compress", action="store_true")
     ap.add_argument("--data", default="/tmp/grass_soak")
+    ap.add_argument("--dedup-docs", type=int, default=0,
+                    help="instead of the rollup soak, run the dedup "
+                         "stack (LSH caps + CC rounds) over N synthetic "
+                         "documents with known duplicate structure")
     args = ap.parse_args()
+
+    if args.dedup_docs:
+        _dedup_soak(args)
+        return
 
     from grass_spark.datagen import synth_transcripts
     from grass_spark.operators.rollup import RollupPipeline

@@ -385,6 +385,29 @@ def test_dedup_clusters_raises_on_forced_non_convergence(spark):
         dedup_clusters(pairs, max_iters=1)
 
 
+def test_synth_documents_near_dedup_recall(spark):
+    """The soak corpus generator (datagen.synth_documents) has known
+    duplicate structure; near_dedup must catch essentially all near-dup
+    copies, and the boilerplate hot set must not blow up the pair join
+    (it either pairs under the cap at this size, or is culled above it
+    — both bounded)."""
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.dedup import near_dedup
+
+    docs = synth_documents(spark, n_docs=2000, seed=11).cache()
+    out = near_dedup(docs.select("doc_id", "text"), jaccard_threshold=0.8)
+    copies = docs.filter(
+        (F.col("true_cluster") >= 0) & (F.col("doc_id") != F.col("true_cluster"))
+    ).select("doc_id")
+    n_copies = copies.count()
+    caught = copies.join(out.filter(~F.col("keep")), "doc_id").count()
+    assert n_copies > 300
+    assert caught / n_copies >= 0.99
+    # determinism: same seed regenerates the identical corpus
+    again = synth_documents(spark, n_docs=2000, seed=11)
+    assert docs.exceptAll(again).count() == 0
+
+
 def test_dedup_clusters_chain_of_100_autoconverges(spark):
     """Round-2 VERDICT #8 adversarial case: a 100-link duplicate chain
     (diameter 100) converges under the default bound — pointer doubling
