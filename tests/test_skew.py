@@ -66,3 +66,24 @@ def test_skewed_per_conv_totals_exact(spark):
     got = {r.conv_id: r.n for r in per_conv.collect()}
     want = {r.conv_id: r.n for r in raw.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_bucketed_pipeline_exact_under_skew(spark, tmp_path):
+    """The native bucketed layout hashes conv_id into a FIXED bucket
+    set, so the hot conversation owns one bucket file per day — results
+    must stay exact and the tier re-aggregation shuffle-free
+    (correctness twin of the bucketed.py 1000x-skew plan test, now on
+    the pipeline-written layout)."""
+    from grass_spark.operators.rollup import RollupPipeline
+
+    raw = _skewed_raw(spark)
+    pipe = RollupPipeline(
+        str(tmp_path / "tiers"), layout="bucketed", buckets=8
+    )
+    pipe.run(raw, input_fingerprint="fp")
+    t1d = pipe.read_tier(spark, "t1d")
+    assert t1d.agg(F.sum("turn_cnt")).collect()[0][0] == raw.count()
+    hot = t1d.where(F.col("conv_id") == "conv-hot")
+    # the hot conv spans ~41 days of day buckets, one row each
+    assert hot.count() >= 40
+    assert hot.agg(F.max("turn_cnt")).collect()[0][0] <= 24 * 60
