@@ -283,12 +283,18 @@ def main() -> None:
         scaling = run_scaling(lo, hi)
 
     queries = run_headline(sf_dir, cores)
-    total = round(sum(queries.values()), 3)
+    # "value" stays the warm HEADLINE sum so it remains comparable with
+    # earlier rounds; the single-pass tier-2 times are summed separately
+    # (they include plan compile + first IO by design)
+    total = round(sum(queries[n] for n in HEADLINE), 3)
+    tier2_total = round(sum(queries[n] for n in TIER2), 3)
 
     result = {
-        "metric": "headline query wall time (sum) + 3-tier rollup turns/sec",
+        "metric": "headline query wall time (sum of 22 warm-timed; "
+                  "tier2_sec = 32 more single-pass) + 3-tier rollup turns/sec",
         "value": total,
         "unit": "sec",
+        "tier2_sec": tier2_total,
         "queries": queries,
         "sf": sf,
     }

@@ -113,24 +113,29 @@ def register_maps(
         idx = F.row_number().over(w) - 1
         if unit in ("month", "year"):
             months = num * (12 if unit == "year" else 1)
-            # Spark add_months casts to DATE (drops time-of-day); the
-            # reference's modify_datetime keeps day+time on month adds
-            # (datetime_math.py modify_datetime: dt.replace(month=...)).
-            # Re-add the start's time-of-day after the month step.  Day
+            # month stepping in PURE date arithmetic (make_date /
+            # add_months / unix_date are all session-timezone-free, so
+            # this branch is host-independent like the fixed-width one;
+            # add_months through a timestamp would round-trip DATE in
+            # the session zone).  The reference's modify_datetime keeps
+            # day+time on month adds (datetime_math.py: dt.replace(
+            # month=...)), so re-add the start's time-of-day.  Day
             # overflow (Jan 31 + 1 month) clamps here where the
-            # reference would raise — registering off month-end is the
-            # sane extension of an undefined reference case.
+            # reference would raise — the sane extension of an
+            # undefined reference case.
             tod = int(
                 (start - datetime(start.year, start.month, start.day))
                 .total_seconds()
             )
+            base_date = F.make_date(
+                F.lit(start.year), F.lit(start.month), F.lit(start.day)
+            )
             out = df.withColumn(
                 "start_time",
                 F.timestamp_seconds(
-                    F.unix_seconds(
-                        F.add_months(base_ts, (idx * months).cast("int"))
-                        .cast("timestamp")
-                    )
+                    F.unix_date(
+                        F.add_months(base_date, (idx * months).cast("int"))
+                    ).cast("long") * 86400
                     + tod
                 ),
             )
@@ -151,12 +156,16 @@ def register_maps(
         num, unit = parse_granularity(increment)
         if unit in ("month", "year"):
             months = num * (12 if unit == "year" else 1)
-            st = F.col("start_time")
-            tod_col = F.unix_seconds(st) - F.unix_seconds(
-                F.date_trunc("DAY", st)
-            )
+            # same pure-date month step as the start branch (date_trunc/
+            # add_months on a timestamp would pass through the session
+            # timezone)
+            st_secs = F.unix_seconds(F.col("start_time"))
+            st_days = F.floor(st_secs / F.lit(86400)).cast("int")
+            tod_col = st_secs - st_days.cast("long") * 86400
             end = F.timestamp_seconds(
-                F.unix_seconds(F.add_months(st, months).cast("timestamp"))
+                F.unix_date(
+                    F.add_months(F.date_from_unix_date(st_days), months)
+                ).cast("long") * 86400
                 + tod_col
             )
         else:

@@ -353,7 +353,26 @@ def dedup_clusters(
     if max_iters is None:
         n_nodes = labels.count()  # cheap: post-checkpoint count
         max_iters = 2 * math.ceil(math.log2(max(n_nodes, 2))) + 4
-    converged = False
+    try:
+        return _propagate_rounds(edges, labels, max_iters)
+    except _NotConverged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iters} pointer-"
+            "doubling rounds — impossible for valid input; check the "
+            "pairs frame for nondeterminism (e.g. ids regenerated per "
+            "action)"
+        ) from None
+    finally:
+        # the cached edge set must not outlive the call, including on
+        # the non-convergence raise or a mid-loop Spark failure
+        edges.unpersist()
+
+
+class _NotConverged(Exception):
+    pass
+
+
+def _propagate_rounds(edges, labels, max_iters: int):
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
@@ -384,17 +403,8 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"dedup_clusters did not converge within {max_iters} pointer-"
-            "doubling rounds — impossible for valid input; check the "
-            "pairs frame for nondeterminism (e.g. ids regenerated per "
-            "action)"
-        )
-    edges.unpersist()
-    return labels
+            return labels
+    raise _NotConverged
 
 
 def near_dedup(

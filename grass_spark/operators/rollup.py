@@ -219,9 +219,23 @@ class RollupPipeline:
                     f"{prior}; re-open with the same layout/buckets "
                     f"(got {pin}) or use a fresh base_dir"
                 )
-        else:
-            with open(pin_path, "w") as f:
-                json.dump(pin, f)
+            return
+        # no pin: a pre-pin store (tier dirs already on disk) can only
+        # be the plain layout — adopting a 'bucketed' claim for files
+        # that were never bucket-hashed would plan shuffle-free over
+        # mis-clustered data (silently wrong results)
+        has_tier_data = any(
+            os.path.isdir(os.path.join(self.base_dir, name))
+            for name, _ in self.tiers
+        )
+        if has_tier_data and self.layout == "bucketed":
+            raise ValueError(
+                f"tier store at {self.base_dir} predates the layout pin "
+                "and its files are not bucketed; re-open with "
+                "layout='plain' or publish into a fresh base_dir"
+            )
+        with open(pin_path, "w") as f:
+            json.dump(pin, f)
 
     def _table_name(self, name: str) -> str:
         import hashlib

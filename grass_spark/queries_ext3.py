@@ -234,24 +234,29 @@ EXT3_ORACLES["topology_census"] = ORACLE_TOPOLOGY_CENSUS
 # ---------------------------------------------------------------------
 # exact n-gram Jaccard verification over the md5-LSH candidate pairs
 # (the verify pass of near_dedup — fully portable: DuckDB runs the
-# identical shingle/minhash/band algorithm)
+# identical shingle/minhash/band algorithm).  The candidate chain is
+# shared between jaccard_verify and near_dedup_keep — one place for the
+# signature/band algorithm in Spark AND in SQL.
 # ---------------------------------------------------------------------
 
 
-def q_jaccard_verify(spark, sf_dir):
-    """Exact word-3-gram Jaccard for every banded-LSH candidate pair."""
-    from grass_spark.operators.dedup import ngram_jaccard_pairs, with_shingles
+def _md5_cands(sh):
+    """Banded md5-LSH candidate pairs from a prepared (doc_id, sh_arr)
+    frame.  Signatures use the per-row fold (`_sig_df`'s 0-Exchange
+    shape — identical values to a shuffled min() aggregate, PLANS.md
+    "Signature-path fold"); the fold output is checkpointed so the band
+    self-join doesn't recompute it per side."""
+    nz = sh.where(F.size("sh_arr") > 0)
 
-    d = _t(spark, sf_dir, "documents")
-    # one shingle build for the whole query: the md5 signature path and
-    # the exact-verify joins both read this checkpointed frame
-    sh = with_shingles(d, "text", 3).select("doc_id", "sh_arr").localCheckpoint()
-    exploded = sh.select("doc_id", F.explode("sh_arr").alias("s"))
-    mins = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(N_SIG)
-    ]
-    sig = exploded.groupBy("doc_id").agg(*mins).localCheckpoint()
+    def _slot(i: int):
+        # NB: a 2-arg lambda would make F.transform pass the ARRAY
+        # INDEX as the second argument — bind the slot via closure
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(F.col("sh_arr"), lambda s: F.md5(F.concat(s, suffix)))
+        ).alias(f"h{i}")
+
+    sig = nz.select("doc_id", *[_slot(i) for i in range(N_SIG)]).localCheckpoint()
     bands = F.array(*[
         F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
         for b in range(N_BANDS)
@@ -259,19 +264,22 @@ def q_jaccard_verify(spark, sf_dir):
     banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "bh"))
     a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "bh")
     b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "bh")
-    cands = (
+    return (
         a.join(b, on=["band_idx", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    out = ngram_jaccard_pairs(d, cands, shingle_n=3, shingles=sh)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-ORACLE_JACCARD_VERIFY = f"""
-WITH {_SQL_SHINGLES},
-{{SIG}},
+_SQL_SIG2 = (
+    "sig2 AS (SELECT doc_id, ["
+    + ", ".join(f"min(md5(s || '#{i}'))" for i in range(N_SIG))
+    + "] AS sig FROM sh GROUP BY doc_id)"
+)
+
+#: shared oracle chain: band buckets -> candidate pairs -> shingle sets
+_SQL_CANDS = f"""{_SQL_SIG2},
 band AS (
   SELECT doc_id,
          unnest(generate_series(0, {N_BANDS - 1})) AS band_idx,
@@ -284,7 +292,24 @@ band AS (
   WHERE a.doc_id < b.doc_id
 ), sets AS (
   SELECT doc_id, list_distinct(list(s)) AS ls FROM sh GROUP BY doc_id
-)
+)"""
+
+
+def q_jaccard_verify(spark, sf_dir):
+    """Exact word-3-gram Jaccard for every banded-LSH candidate pair."""
+    from grass_spark.operators.dedup import ngram_jaccard_pairs, with_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    # one shingle build for the whole query: the md5 signature path and
+    # the exact-verify joins both read this checkpointed frame
+    sh = with_shingles(d, "text", 3).select("doc_id", "sh_arr").localCheckpoint()
+    out = ngram_jaccard_pairs(d, _md5_cands(sh), shingle_n=3, shingles=sh)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_JACCARD_VERIFY = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_CANDS}
 SELECT c.id_a, c.id_b,
        round(CAST(len(list_intersect(sa.ls, sb.ls)) AS DOUBLE)
              / (len(sa.ls) + len(sb.ls) - len(list_intersect(sa.ls, sb.ls))),
@@ -292,12 +317,7 @@ SELECT c.id_a, c.id_b,
 FROM cands c
 JOIN sets sa ON sa.doc_id = c.id_a
 JOIN sets sb ON sb.doc_id = c.id_b
-""".replace(
-    "{SIG}",
-    "sig2 AS (SELECT doc_id, ["
-    + ", ".join(f"min(md5(s || '#{i}'))" for i in range(N_SIG))
-    + "] AS sig FROM sh GROUP BY doc_id)",
-)
+"""
 
 EXT3_QUERIES["jaccard_verify"] = q_jaccard_verify
 EXT3_ORACLES["jaccard_verify"] = ORACLE_JACCARD_VERIFY
@@ -689,27 +709,8 @@ def q_near_dedup_keep(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     sh = with_shingles(d, "text", 3).select("doc_id", "sh_arr").localCheckpoint()
-    exploded = sh.select("doc_id", F.explode("sh_arr").alias("s"))
-    mins = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(N_SIG)
-    ]
-    sig = exploded.groupBy("doc_id").agg(*mins)
-    bands = F.array(*[
-        F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
-        for b in range(N_BANDS)
-    ])
-    banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "bh"))
-    a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "bh")
-    b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "bh")
-    cands = (
-        a.join(b, on=["band_idx", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
     verified = ngram_jaccard_pairs(
-        d, cands, shingle_n=3, shingles=sh
+        d, _md5_cands(sh), shingle_n=3, shingles=sh
     ).filter(F.col("jaccard") >= 0.8)
     clusters = dedup_clusters(verified)
     labeled = d.select("doc_id").join(
@@ -728,20 +729,7 @@ def q_near_dedup_keep(spark, sf_dir):
 # upstream in spirit, but at sf<=0.01 the raw closure is tiny.
 ORACLE_NEAR_DEDUP_KEEP = f"""
 WITH RECURSIVE {_SQL_SHINGLES},
-{{SIG}},
-band AS (
-  SELECT doc_id,
-         unnest(generate_series(0, {N_BANDS - 1})) AS band_idx,
-         unnest(list_transform(generate_series(0, {N_BANDS - 1}),
-                b -> md5(sig[2*b + 1] || sig[2*b + 2]))) AS bh
-  FROM sig2
-), cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM band a JOIN band b USING (band_idx, bh)
-  WHERE a.doc_id < b.doc_id
-), sets AS (
-  SELECT doc_id, list_distinct(list(s)) AS ls FROM sh GROUP BY doc_id
-), verified AS (
+{_SQL_CANDS}, verified AS (
   SELECT c.id_a, c.id_b
   FROM cands c
   JOIN sets sa ON sa.doc_id = c.id_a
@@ -767,12 +755,7 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN clusters c ON c.id = d.doc_id
 ORDER BY d.doc_id
-""".replace(
-    "{SIG}",
-    "sig2 AS (SELECT doc_id, ["
-    + ", ".join(f"min(md5(s || '#{i}'))" for i in range(N_SIG))
-    + "] AS sig FROM sh GROUP BY doc_id)",
-)
+"""
 
 EXT3_QUERIES["near_dedup_keep"] = q_near_dedup_keep
 EXT3_ORACLES["near_dedup_keep"] = ORACLE_NEAR_DEDUP_KEEP

@@ -159,16 +159,26 @@ def stream_accdetect(
     range_min: float,
     range_max: float,
     *,
-    cycle: str | None = None,
-    origin: datetime | None = None,
+    cycle: str,
+    origin: datetime,
     lower: float | None = None,
     upper: float | None = None,
     method: str = "gdd",
     raw_schema: str = "conv_id string, ts timestamp, value double",
 ) -> DataFrame:
-    """readStream -> stateful accumulate + per-closed-cycle detection."""
-    if cycle is not None and origin is None:
-        raise ValueError("cycle requires an origin")
+    """readStream -> stateful accumulate + per-closed-cycle detection.
+
+    Unlike ``stream_accumulate`` (where ``cycle=None`` is a meaningful
+    single running total), detection EMITS per closed cycle — without a
+    cycle nothing would ever close, the stream would emit zero rows and
+    buffer every input row in state forever, so both ``cycle`` and
+    ``origin`` are required here."""
+    if cycle is None or origin is None:
+        raise ValueError(
+            "stream_accdetect requires cycle and origin: a cycle is the "
+            "unit of emission (cycle=None would never emit and grow "
+            "state unboundedly; use the batch accdetect for acyclic data)"
+        )
     raw = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 16)

@@ -145,6 +145,20 @@ def test_bucketed_reattach_after_catalog_loss(spark, tmp_path):
     assert all(r.days_written == [] for r in third)
 
 
+def test_pre_pin_store_rejects_bucketed_claim(spark, tmp_path):
+    """A tier store written before the layout pin existed (plain files,
+    no _layout.json) must refuse a 'bucketed' re-open — adopting the
+    claim would plan shuffle-free over non-bucketed files."""
+    raw = _raw(spark, n_convs=5, avg_turns=5)
+    base = str(tmp_path / "tiers")
+    RollupPipeline(base).run(raw)
+    os.remove(os.path.join(base, "_layout.json"))  # simulate pre-pin
+    with pytest.raises(ValueError, match="predates the layout pin"):
+        RollupPipeline(base, layout="bucketed", buckets=8)
+    # a plain re-open of the same store is fine (legacy stores ARE plain)
+    RollupPipeline(base)
+
+
 def test_layout_pin_rejects_mismatch(spark, tmp_path):
     raw = _raw(spark, n_convs=5, avg_turns=5)
     base = str(tmp_path / "tiers")

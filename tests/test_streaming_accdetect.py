@@ -108,3 +108,11 @@ def test_final_cycle_stays_in_state(spark, tmp_path):
     # 30 hourly rows span two days; only day 0 (24 rows) is closed
     assert len(got) == 24
     assert {r.cycle_idx for r in got} == {0}
+
+
+def test_stream_accdetect_requires_cycle(spark):
+    import pytest
+    from grass_spark.streaming.accdetect import stream_accdetect
+
+    with pytest.raises(ValueError, match="requires cycle"):
+        stream_accdetect(spark, "/tmp/nope", 0.0, 1.0, cycle=None, origin=None)
