@@ -22,6 +22,12 @@ Design choices:
   older than the watermark (late data inside the horizon is merged by
   the state store; later than that is dropped — GRASS has no analog,
   this is the streaming-only semantic).
+* layout: the stream writes plain ``(d, epoch)``-partitioned parquet —
+  freshness over clustering.  Consumers who want the 0-Exchange
+  bucketed layout run the batch publish over the closed days
+  (``RollupPipeline(layout="bucketed").run(raw, incremental=True)``):
+  streaming owns the live edge, the pipeline owns the storage layout —
+  the standard lambda split, both reading the same raw directory.
 """
 
 from __future__ import annotations
