@@ -385,6 +385,47 @@ def test_dedup_clusters_raises_on_forced_non_convergence(spark):
         dedup_clusters(pairs, max_iters=1)
 
 
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    """Pointer-doubling CC vs a driver-side union-find oracle on seeded
+    random graphs (cycles, multi-components, self-dup edges) — armor
+    for the shortcut step's semilattice argument."""
+    import random
+
+    from grass_spark.operators.dedup import dedup_clusters
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = rng.randint(5, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, 2 * n))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in edges for x in e}
+        roots: dict[int, set[int]] = {}
+        for x in nodes:
+            roots.setdefault(find(x), set()).add(x)
+        expected = {x: min(s) for s in roots.values() for x in s}
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+        assert got == expected, f"seed {seed}"
+
+
 def test_synth_documents_near_dedup_recall(spark):
     """The soak corpus generator (datagen.synth_documents) has known
     duplicate structure; near_dedup must catch essentially all near-dup
