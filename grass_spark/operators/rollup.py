@@ -172,7 +172,7 @@ class RollupPipeline:
         compress: bool = False,
         compress_tiers: tuple[str, ...] | None = None,
         layout: str = "plain",
-        buckets: int = 64,
+        buckets: int | dict[str, int] = 64,
     ):
         if layout not in ("plain", "bucketed"):
             raise ValueError(f"layout must be 'plain' or 'bucketed', got {layout!r}")
@@ -181,6 +181,13 @@ class RollupPipeline:
         self.keys = ["conv_id"] if keys is None else list(keys)
         self.write_salt = write_salt
         self.layout = layout
+        # per-tier bucket counts: upper tiers hold ~1/60th and ~1/1440th
+        # of the rows, so one shared count explodes their (day, bucket)
+        # file product on day-sparse data (measured 2x write premium at
+        # 10^8 turns, BASELINE.md "Layout write-cost comparison").  Keep
+        # counts power-of-two multiples of each other and enable
+        # spark.sql.bucketing.coalesceBucketsInJoin.enabled if you need
+        # cross-tier co-located joins with differing counts.
         self.buckets = buckets
         self.compress = compress
         # block stores only pay where groups are dense: the finest tier
@@ -237,6 +244,16 @@ class RollupPipeline:
         with open(pin_path, "w") as f:
             json.dump(pin, f)
 
+    def _buckets_for(self, name: str) -> int:
+        if isinstance(self.buckets, dict):
+            try:
+                return int(self.buckets[name])
+            except KeyError:
+                raise ValueError(
+                    f"buckets dict has no entry for tier {name!r}"
+                ) from None
+        return int(self.buckets)
+
     def _table_name(self, name: str) -> str:
         import hashlib
 
@@ -258,7 +275,7 @@ class RollupPipeline:
             spark.sql(
                 f"CREATE TABLE {table} ({cols}, d string) USING PARQUET "
                 f"PARTITIONED BY (d) CLUSTERED BY ({ck}) "
-                f"SORTED BY ({ck}, `bucket_start`) INTO {self.buckets} BUCKETS "
+                f"SORTED BY ({ck}, `bucket_start`) INTO {self._buckets_for(name)} BUCKETS "
                 f"LOCATION '{path}'"
             )
             spark.catalog.recoverPartitions(table)
@@ -435,14 +452,15 @@ class RollupPipeline:
         # HashPartitioning as the bucket spec, so each task writes
         # exactly one file per (bucket, day) — buckets × days files,
         # never tasks × buckets × days
-        out = tiered.repartition(self.buckets, *self.keys)
+        nb = self._buckets_for(name)
+        out = tiered.repartition(nb, *self.keys)
         fresh = not os.path.isdir(path)
         if fresh:
             table = self._table_name(name)
             spark.sql(f"DROP TABLE IF EXISTS {table}")
             (
                 out.write.mode("overwrite").format("parquet")
-                .bucketBy(self.buckets, *self.keys)
+                .bucketBy(nb, *self.keys)
                 .sortBy(*self.keys, "bucket_start")
                 .partitionBy("d").option("path", path)
                 .saveAsTable(table)
@@ -453,7 +471,7 @@ class RollupPipeline:
         spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
         (
             out.write.mode("overwrite").format("parquet")
-            .bucketBy(self.buckets, *self.keys)
+            .bucketBy(nb, *self.keys)
             .sortBy(*self.keys, "bucket_start")
             .partitionBy("d").option("path", stg_path)
             .saveAsTable(stg_table)

@@ -28,6 +28,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _parse_buckets(s: str):
+    if "=" in s:
+        return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
+    return int(s)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet/Iceberg path of raw transcripts")
@@ -45,10 +51,13 @@ def main() -> None:
                          "aggs/windows/joins over the tiers plan with "
                          "zero Exchange (PLANS.md 'Bucketed tier "
                          "storage'); resume/incremental work unchanged")
-    ap.add_argument("--buckets", type=int, default=64,
+    ap.add_argument("--buckets", type=_parse_buckets, default=64,
                     help="bucket count for --layout bucketed (fixed at "
                          "first write; size for ~128-512 MB per bucket "
-                         "at target scale)")
+                         "at target scale).  Either one int or a "
+                         "per-tier spec 't1m=256,t1h=64,t1d=16' — upper "
+                         "tiers hold ~1/60th the rows and want smaller "
+                         "counts (see BASELINE.md write-cost table)")
     ap.add_argument("--bucketed", type=int, default=0, metavar="N",
                     help="legacy: additionally publish each tier as a "
                          "separate conv_id-bucketed COPY (N buckets) "

@@ -82,13 +82,20 @@ def _dedup_soak(args) -> None:
     spark.stop()
 
 
+def _parse_buckets(s: str):
+    if "=" in s:
+        return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
+    return int(s)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=100_000_000)
     ap.add_argument("--avg-turns", type=int, default=500)
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--layout", choices=("plain", "bucketed"), default="bucketed")
-    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--buckets", type=_parse_buckets, default=256,
+                    help="int or per-tier spec 't1m=256,t1h=64,t1d=16'")
     ap.add_argument("--compress", action="store_true")
     ap.add_argument("--data", default="/tmp/grass_soak")
     ap.add_argument("--dedup-docs", type=int, default=0,
@@ -147,6 +154,7 @@ def main() -> None:
         "n_convs": n_convs,
         "cores": args.cores,
         "layout": args.layout,
+        "buckets": args.buckets,
         "compress": bool(args.compress),
         "gen_sec": gen_sec,
         "pipeline_sec": pipeline_sec,

@@ -169,6 +169,32 @@ def test_layout_pin_rejects_mismatch(spark, tmp_path):
         RollupPipeline(base, layout="plain")
 
 
+def test_per_tier_bucket_counts(spark, tmp_path):
+    """buckets may be a per-tier dict — upper tiers hold far fewer rows
+    and want smaller counts (measured write premium, BASELINE.md)."""
+    raw = _raw(spark)
+    base = str(tmp_path / "tiers")
+    counts = {"t1m": 8, "t1h": 4, "t1d": 2}
+    pipe = RollupPipeline(base, layout="bucketed", buckets=counts)
+    pipe.run(raw, input_fingerprint="fp")
+    for name, nb in counts.items():
+        root = pipe.tier_path(name)
+        for part in os.listdir(root):
+            if part.startswith("d="):
+                files = [f for f in os.listdir(os.path.join(root, part))
+                         if f.endswith(".parquet")]
+                assert len(files) <= nb, f"{name}/{part}"
+        # per-tier aggs stay 0-Exchange at each count
+        lower = pipe._read_tier_frame(spark, name)
+        agg = lower.groupBy("conv_id", "bucket_start").agg(F.sum("turn_cnt"))
+        assert _n_exchanges(agg) == 0, name
+    # resume still clean
+    second = RollupPipeline(base, layout="bucketed", buckets=counts).run(
+        raw, input_fingerprint="fp"
+    )
+    assert all(r.days_written == [] for r in second)
+
+
 def test_bucketed_file_count_is_buckets_per_day(spark, tmp_path):
     """The pre-write repartition aligns tasks with the bucket spec, so
     each (day, bucket) pair gets exactly one file — never
