@@ -410,6 +410,7 @@ class RollupPipeline:
                 input_fingerprint=input_fingerprint,
                 done=done_now if resume else set(),
                 rows_in_map=raw_day_counts if i == 0 else None,
+                n_days=len(raw_day_counts),
             )
             results.append(res)
             if self.compress and name in self.compress_tiers and res.days_written:
@@ -429,7 +430,8 @@ class RollupPipeline:
 
     # ------------------------------------------------------------------
     def _write_tier_bucketed(
-        self, spark: SparkSession, tiered: DataFrame, name: str
+        self, spark: SparkSession, tiered: DataFrame, name: str,
+        n_days: int | None = None,
     ) -> None:
         """Publish one tier in the composed partitionBy(d) +
         bucketBy(buckets, keys) layout — day pruning AND shuffle-free
@@ -448,12 +450,24 @@ class RollupPipeline:
         import shutil
 
         path = self.tier_path(name)
-        # one task per bucket: repartition uses the same murmur3-pmod
-        # HashPartitioning as the bucket spec, so each task writes
-        # exactly one file per (bucket, day) — buckets × days files,
-        # never tasks × buckets × days
+        # Route rows by (day, writer-bucket-id): a (day, bucket) group
+        # never splits across tasks (F.hash IS the writer's murmur3
+        # bucket hash), so each task writes one file per group it holds
+        # — total files stay days × buckets either way, but parallelism
+        # follows the data instead of the bucket count.  At cluster
+        # scale this is the standard dynamic-partition write shape
+        # (one ~128-512 MB file per task); one-task-per-bucket (the
+        # first cut) serialized every day's file behind one task.  The
+        # task count is capped relative to the session's parallelism —
+        # an uncapped days×buckets product schedules hundreds of
+        # thousands of near-empty tasks on a small box (measured: the
+        # launch overhead eats the parallelism win).
         nb = self._buckets_for(name)
-        out = tiered.repartition(nb, *self.keys)
+        bucket_id = F.pmod(F.hash(*self.keys), F.lit(nb))
+        par = spark.sparkContext.defaultParallelism
+        cap = max(4096, 64 * par)
+        n_tasks = min(n_days * nb, cap) if n_days else nb
+        out = tiered.repartition(n_tasks, F.col("d"), bucket_id)
         fresh = not os.path.isdir(path)
         if fresh:
             table = self._table_name(name)
@@ -500,6 +514,7 @@ class RollupPipeline:
         input_fingerprint: str,
         done: set[str],
         rows_in_map: dict[str, int] | None,
+        n_days: int | None = None,
     ) -> TierResult:
         """Write one tier partitioned by bucket day, skipping ``done``
         days (already excluded upstream; the filter here is the safety
@@ -513,7 +528,7 @@ class RollupPipeline:
 
         start = time.time()
         if self.layout == "bucketed":
-            self._write_tier_bucketed(spark, tiered, name)
+            self._write_tier_bucketed(spark, tiered, name, n_days=n_days)
         else:
             # spread each day over `write_salt` tasks so a hot day/conv
             # doesn't serialize the write; sort by (conv_id, bucket) for
