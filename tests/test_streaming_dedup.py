@@ -98,10 +98,15 @@ def test_stream_exact_dedup_state_is_watermark_bounded(spark, tmp_path):
         rows, "doc_id bigint, text string, ts timestamp"
     )
     # batch 1: original at T0 (+ a far-future row to advance the
-    # watermark well past T0 + horizon)
-    mk([(0, "dup body", T0), (1, "advance wm", T0 + timedelta(hours=6))]).write.parquet(
-        in_dir, mode="append"
-    )
+    # watermark well past T0 + horizon).  coalesce(1): with
+    # maxFilesPerTrigger=1 each FILE is a micro-batch, and if the two
+    # rows split across files the watermark-advancing row can be
+    # processed first, dropping doc 0 as late data (file listing order
+    # is not guaranteed) — both rows must share one micro-batch for the
+    # watermark to advance only after doc 0 is admitted.
+    mk([(0, "dup body", T0), (1, "advance wm", T0 + timedelta(hours=6))]).coalesce(
+        1
+    ).write.parquet(in_dir, mode="append")
     deduped = stream_exact_dedup(
         stream_docs(spark, in_dir, max_files=1), watermark="10 minutes"
     )
