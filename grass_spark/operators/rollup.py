@@ -217,24 +217,31 @@ class RollupPipeline:
         pin = {"layout": self.layout}
         if self.layout == "bucketed":
             pin["buckets"] = self.buckets
-        if os.path.exists(pin_path):
-            with open(pin_path) as f:
-                prior = json.load(f)
-            if prior != pin:
-                raise ValueError(
-                    f"tier store at {self.base_dir} was written with "
-                    f"{prior}; re-open with the same layout/buckets "
-                    f"(got {pin}) or use a fresh base_dir"
-                )
-            return
-        # no pin: a pre-pin store (tier dirs already on disk) can only
-        # be the plain layout — adopting a 'bucketed' claim for files
-        # that were never bucket-hashed would plan shuffle-free over
-        # mis-clustered data (silently wrong results)
         has_tier_data = any(
             os.path.isdir(os.path.join(self.base_dir, name))
             for name, _ in self.tiers
         )
+        if os.path.exists(pin_path):
+            with open(pin_path) as f:
+                prior = json.load(f)
+            if prior == pin:
+                return
+            if not has_tier_data:
+                # a pin with no tier files behind it (constructed-but-
+                # never-run pipeline, or a first run that crashed before
+                # any write) constrains nothing — re-pin
+                with open(pin_path, "w") as f:
+                    json.dump(pin, f)
+                return
+            raise ValueError(
+                f"tier store at {self.base_dir} was written with "
+                f"{prior}; re-open with the same layout/buckets "
+                f"(got {pin}) or use a fresh base_dir"
+            )
+        # no pin: a pre-pin store (tier dirs already on disk) can only
+        # be the plain layout — adopting a 'bucketed' claim for files
+        # that were never bucket-hashed would plan shuffle-free over
+        # mis-clustered data (silently wrong results)
         if has_tier_data and self.layout == "bucketed":
             raise ValueError(
                 f"tier store at {self.base_dir} predates the layout pin "
@@ -287,7 +294,13 @@ class RollupPipeline:
         bucket spec and re-introduce the cascade shuffles."""
         if self.layout == "bucketed":
             return spark.table(self._attach_bucketed(spark, name))
-        return spark.read.parquet(self.tier_path(name))
+        # partition-type inference would surface d as DATE here while the
+        # bucketed catalog table declares d STRING — cast so both layouts
+        # expose the identical schema (predicates on cast(d) still prune:
+        # they only involve the partition column)
+        return spark.read.parquet(self.tier_path(name)).withColumn(
+            "d", F.col("d").cast("string")
+        )
 
     def read_tier(self, spark: SparkSession, name: str) -> DataFrame:
         gran = dict(self.tiers)[name]
@@ -458,10 +471,14 @@ class RollupPipeline:
         # scale this is the standard dynamic-partition write shape
         # (one ~128-512 MB file per task); one-task-per-bucket (the
         # first cut) serialized every day's file behind one task.  The
-        # task count is capped relative to the session's parallelism —
-        # an uncapped days×buckets product schedules hundreds of
-        # thousands of near-empty tasks on a small box (measured: the
-        # launch overhead eats the parallelism win).
+        # task count is capped: an uncapped days×buckets product
+        # schedules hundreds of thousands of near-empty tasks on a
+        # small box (measured 65k-task pathology; the launch overhead
+        # eats the parallelism win).  4096 is a deliberate FLOOR, not a
+        # parallelism-relative value — tasks below ~4k are cheap on the
+        # measured hardware and the floor keeps per-task file batches
+        # small so a hot day still spreads; 64×parallelism takes over
+        # on big sessions.
         nb = self._buckets_for(name)
         bucket_id = F.pmod(F.hash(*self.keys), F.lit(nb))
         par = spark.sparkContext.defaultParallelism
@@ -493,11 +510,29 @@ class RollupPipeline:
         staged = [
             e for e in os.listdir(stg_path) if e.startswith("d=")
         ] if os.path.isdir(stg_path) else []
+        # Crash-consistent swap: old day -> hidden aside dir (leading
+        # dot: invisible to Spark's file listing / partition discovery),
+        # staged day in, THEN delete the aside.  A crash at any point
+        # leaves either the old day, the aside (restored below), or the
+        # new day — never a half-swapped directory a reader could see.
+        # Leftover asides from a prior crash: restore when the original
+        # day dir is missing (crash fell between aside and move-in —
+        # the restore stands even if this run doesn't re-stage that
+        # day), else the move-in completed and the aside is garbage.
+        for e in os.listdir(path):
+            if e.startswith(".d=") and e.endswith(".old"):
+                orig = os.path.join(path, e[1:-len(".old")])
+                if not os.path.isdir(orig):
+                    os.rename(os.path.join(path, e), orig)
+                else:
+                    shutil.rmtree(os.path.join(path, e), ignore_errors=True)
         for part in staged:
             dst = os.path.join(path, part)
+            aside = os.path.join(path, f".{part}.old")
             if os.path.isdir(dst):
-                shutil.rmtree(dst)
+                os.rename(dst, aside)
             shutil.move(os.path.join(stg_path, part), dst)
+            shutil.rmtree(aside, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
         shutil.rmtree(stg_path, ignore_errors=True)
         table = self._attach_bucketed(spark, name)

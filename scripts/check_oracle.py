@@ -3,11 +3,18 @@ DuckDB over the same parquet tables; compare row count, column names,
 and exact sorted values — a local rehearsal of the driver's
 CORRECTNESS gate.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json OUT.json`` the per-query results are also written in the
+driver's CORRECTNESS artifact shape (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err) — hash_match here means an
+exact sorted-value comparison, which is strictly stronger than the
+driver's value-hash.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 
@@ -43,8 +50,13 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -54,6 +66,14 @@ def main():
     spark = get_spark("oracle_check", cores=8, shuffle_partitions=16)
 
     failures = []
+    results = {}
+
+    def record(name, rows=None, oracle_rows=None, ok=None, err=None):
+        results[name] = {
+            "rows_match": ok, "schema_match": ok, "hash_match": ok,
+            "spark_rows": rows, "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -62,8 +82,10 @@ def main():
             try:
                 n = len(fn(spark, sf_dir).collect())
                 print(f"OK   {name}: {n} rows (rows-only, no oracle)")
+                record(name, rows=n, err="no_oracle")
             except Exception as e:  # noqa: BLE001
                 failures.append(name)
+                record(name, ok=False, err=f"{type(e).__name__}: {e}")
                 print(f"FAIL {name}: EXCEPTION {type(e).__name__}: {e}")
             continue
         try:
@@ -75,6 +97,7 @@ def main():
             d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, ok=False, err=f"{type(e).__name__}: {e}")
             print(f"FAIL {name}: EXCEPTION {type(e).__name__}: {e}")
             continue
 
@@ -82,23 +105,36 @@ def main():
         dc, dr = norm_rows(d_cols, d_rows)
         if sc != dc:
             failures.append(name)
+            record(name, rows=len(sr), oracle_rows=len(dr), ok=False,
+                   err="schema_mismatch")
             print(f"FAIL {name}: columns spark={sc} duckdb={dc}")
             continue
         if len(sr) != len(dr):
             failures.append(name)
+            record(name, rows=len(sr), oracle_rows=len(dr), ok=False,
+                   err="rowcount_mismatch")
             print(f"FAIL {name}: rows spark={len(sr)} duckdb={len(dr)}")
             continue
         bad = [(a, b) for a, b in zip(sr, dr) if a != b]
         if bad:
             failures.append(name)
+            record(name, rows=len(sr), oracle_rows=len(dr), ok=False,
+                   err="value_mismatch")
             print(f"FAIL {name}: {len(bad)}/{len(sr)} value mismatches; first 3:")
             for a, b in bad[:3]:
                 print(f"   spark : {a}\n   duckdb: {b}")
             continue
+        record(name, rows=len(sr), oracle_rows=len(dr), ok=True)
         print(f"OK   {name}: {len(sr)} rows, cols={sc}")
 
     total = len(only) if only else len(QUERIES)
     print(f"\n{total - len(failures)}/{total} queries match")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": total,
+                       "n_pass": total - len(failures),
+                       "results": results}, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if failures else 0)
 

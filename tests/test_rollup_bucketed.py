@@ -210,3 +210,166 @@ def test_bucketed_file_count_is_buckets_per_day(spark, tmp_path):
         files = [f for f in os.listdir(os.path.join(root, part))
                  if f.endswith(".parquet")]
         assert len(files) <= 4, f"{part}: {len(files)} files"
+
+
+# ---------------------------------------------------------------- crash swap
+def _days_of(raw):
+    return sorted(
+        str(r["d"]) for r in raw.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().collect()
+    )
+
+
+def _backfill(raw, day, n=5):
+    extra = raw.filter(F.date_format("ts", "yyyy-MM-dd") == day).limit(n)
+    return raw.unionByName(extra)
+
+
+def test_swap_crash_between_aside_and_movein_recovers(spark, tmp_path, monkeypatch):
+    """Inject a crash AFTER the old day is moved aside but BEFORE the
+    staged day moves in (the round-3 VERDICT swap-window nit).  Readers
+    must never see a half-swapped partition, and a resume run must
+    restore the day."""
+    import shutil
+
+    raw = _raw(spark)
+    base = str(tmp_path / "tiers")
+    RollupPipeline(base, layout="bucketed", buckets=4).run(raw, incremental=True)
+    day = _days_of(raw)[0]
+    fuller = _backfill(raw, day).cache()
+
+    real_move = shutil.move
+
+    def crashing_move(src, dst):
+        raise RuntimeError("injected crash between aside and move-in")
+
+    monkeypatch.setattr(shutil, "move", crashing_move)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        RollupPipeline(base, layout="bucketed", buckets=4).run(
+            fuller, incremental=True
+        )
+    monkeypatch.setattr(shutil, "move", real_move)
+
+    pipe = RollupPipeline(base, layout="bucketed", buckets=4)
+    root = pipe.tier_path("t1m")
+    # old day preserved in the hidden aside; no visible half-swapped dir
+    assert os.path.isdir(os.path.join(root, f".d={day}.old"))
+    assert not os.path.isdir(os.path.join(root, f"d={day}"))
+    visible = spark.read.parquet(root).select(
+        F.col("d").cast("string")).distinct().collect()
+    days_seen = {r["d"] for r in visible}
+    assert day not in days_seen and not any(d.endswith(".old") for d in days_seen)
+
+    # resume restores the day and the cascade reconciles end-to-end
+    RollupPipeline(base, layout="bucketed", buckets=4).run(
+        fuller, incremental=True
+    )
+    assert (
+        pipe.read_tier(spark, "t1d").agg(F.sum("turn_cnt")).collect()[0][0]
+        == fuller.count()
+    )
+    assert not any(e.endswith(".old") for e in os.listdir(root))
+    fuller.unpersist()
+
+
+def test_swap_crash_after_movein_keeps_new_day(spark, tmp_path, monkeypatch):
+    """Crash AFTER the staged day moved in but BEFORE the aside is
+    deleted: readers see exactly the new day once; the leftover aside is
+    garbage-collected by the next run's sweep."""
+    import shutil
+
+    raw = _raw(spark)
+    base = str(tmp_path / "tiers")
+    RollupPipeline(base, layout="bucketed", buckets=4).run(raw, incremental=True)
+    day = _days_of(raw)[0]
+    fuller = _backfill(raw, day).cache()
+
+    real_rmtree = shutil.rmtree
+
+    def crashing_rmtree(p, *a, **kw):
+        if str(p).endswith(".old"):
+            raise RuntimeError("injected crash before aside delete")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        RollupPipeline(base, layout="bucketed", buckets=4).run(
+            fuller, incremental=True
+        )
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    pipe = RollupPipeline(base, layout="bucketed", buckets=4)
+    root = pipe.tier_path("t1m")
+    # new day is visible exactly once (no duplication from the aside)
+    day_rows = spark.read.parquet(root).filter(
+        F.col("d").cast("string") == day
+    )
+    expect = fuller.filter(F.date_format("ts", "yyyy-MM-dd") == day).count()
+    assert day_rows.agg(F.sum("turn_cnt")).collect()[0][0] == expect
+    # recovery run reconciles and sweeps the aside
+    RollupPipeline(base, layout="bucketed", buckets=4).run(
+        fuller, incremental=True
+    )
+    assert not any(e.endswith(".old") for e in os.listdir(root))
+    assert (
+        pipe.read_tier(spark, "t1d").agg(F.sum("turn_cnt")).collect()[0][0]
+        == fuller.count()
+    )
+    fuller.unpersist()
+
+
+def test_swap_sweep_restores_orphaned_aside(spark, tmp_path):
+    """An aside whose original day dir is MISSING (crash between aside
+    and move-in) is RESTORED by the next swap's sweep, not deleted —
+    old data survives even if that day isn't re-staged."""
+    import shutil
+
+    raw = _raw(spark)
+    base = str(tmp_path / "tiers")
+    RollupPipeline(base, layout="bucketed", buckets=4).run(raw, incremental=True)
+    pipe = RollupPipeline(base, layout="bucketed", buckets=4)
+    root = pipe.tier_path("t1m")
+    days = _days_of(raw)
+    victim, other = days[0], days[1]
+    before = spark.read.parquet(root).filter(
+        F.col("d").cast("string") == victim).agg(
+        F.sum("turn_cnt")).collect()[0][0]
+    # simulate the crash window by hand on `victim`
+    os.rename(os.path.join(root, f"d={victim}"),
+              os.path.join(root, f".d={victim}.old"))
+    # trigger a swap that stages a DIFFERENT day only
+    fuller = _backfill(raw, other)
+    RollupPipeline(base, layout="bucketed", buckets=4).run(
+        fuller, incremental=True
+    )
+    after = spark.read.parquet(root).filter(
+        F.col("d").cast("string") == victim).agg(
+        F.sum("turn_cnt")).collect()[0][0]
+    assert after == before
+    assert not os.path.isdir(os.path.join(root, f".d={victim}.old"))
+
+
+def test_layout_pin_repins_when_store_empty(spark, tmp_path):
+    """A pin written by a constructed-but-never-run pipeline (ADVICE
+    rollup.py:204) must not permanently lock an empty store."""
+    base = str(tmp_path / "tiers")
+    RollupPipeline(base, layout="bucketed", buckets=8)  # never run
+    RollupPipeline(base, layout="bucketed", buckets=16)  # re-pin ok: no data
+    pipe = RollupPipeline(base)  # plain re-pin ok too
+    pipe.run(_raw(spark, n_convs=5, avg_turns=5))
+    with pytest.raises(ValueError, match="layout"):
+        RollupPipeline(base, layout="bucketed", buckets=8)  # now locked
+
+
+def test_read_tier_schema_identical_across_layouts(spark, tmp_path):
+    """read_tier must expose the SAME schema (incl. d: string) in both
+    layouts (ADVICE rollup.py:270)."""
+    raw = _raw(spark, n_convs=10, avg_turns=10)
+    plain = RollupPipeline(str(tmp_path / "p"))
+    plain.run(raw)
+    buck = RollupPipeline(str(tmp_path / "b"), layout="bucketed", buckets=4)
+    buck.run(raw)
+    for name in ("t1m", "t1h", "t1d"):
+        a, b = plain.read_tier(spark, name), buck.read_tier(spark, name)
+        assert dict(a.dtypes) == dict(b.dtypes), name
+        assert dict(a.dtypes)["d"] == "string", name
