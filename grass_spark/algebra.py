@@ -588,17 +588,16 @@ class TemporalAlgebra:
             m.group(0) for m in re.finditer(r"[A-Za-z_]\w*", stripped)
         } & set(env)
 
-        grans: list[str] = []
-        starts: list[datetime] = []
-        frames: dict[str, DataFrame] = {}
-        start_of: dict[str, datetime] = {}
-        passthrough: dict[str, object] = {}
-        for name, v in env.items():
-            if name not in used:
-                continue
-            if not isinstance(v, DataFrame):
-                passthrough[name] = v
-                continue
+        passthrough = {
+            n: v for n, v in env.items()
+            if n in used and not isinstance(v, DataFrame)
+        }
+        df_items = [
+            (n, v) for n, v in env.items()
+            if n in used and isinstance(v, DataFrame)
+        ]
+
+        def _prep(name: str, v: DataFrame):
             # granularity mode probes every dataset repeatedly (empty
             # check, start time, delta inference, then the split +
             # eval); checkpoint ONCE so the upstream plan executes a
@@ -614,9 +613,9 @@ class TemporalAlgebra:
                 # ingest) contributes no granularity; downstream equal-
                 # topology joins against it produce the empty result the
                 # reference registers (grs test_3)
-                frames[name] = nd
-                continue
+                return name, nd, None, None
             st = probe["s"]
+            g = None
             if name in gran_names:
                 g = G.infer_granularity_from_df(
                     self._denorm(nd), ts_col=self.time_col,
@@ -627,10 +626,34 @@ class TemporalAlgebra:
                 )
                 if g is None:
                     raise ValueError(f"cannot infer granularity of {name!r}")
+            return name, nd, st, g
+
+        # each dataset's checkpoint + probe + inference is an independent
+        # chain of small Spark jobs; the driver-side waits dominated the
+        # build (round-3 PLANS.md "Granularity-mode build cost"), so
+        # submit them concurrently — Spark's scheduler interleaves jobs
+        # from multiple threads — and keep env order (ex.map preserves
+        # input order) so common_granularity sees a deterministic list.
+        if len(df_items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(df_items))) as ex:
+                prepped = list(ex.map(lambda t: _prep(*t), df_items))
+        else:
+            prepped = [_prep(n, v) for n, v in df_items]
+
+        grans: list[str] = []
+        starts: list[datetime] = []
+        frames: dict[str, DataFrame] = {}
+        start_of: dict[str, datetime] = {}
+        for name, nd, st, g in prepped:
+            frames[name] = nd
+            if st is None:
+                continue
+            start_of[name] = st
+            if g is not None:
                 grans.append(g)
                 starts.append(st)
-            frames[name] = nd
-            start_of[name] = st
         if not grans:
             raise ValueError(
                 "granularity mode needs at least one dataset outside "

@@ -451,6 +451,11 @@ def distinct_delta_components(
         pairs = d
     elif assume_small:
         w = Window.orderBy(*order)  # single task — caller-asserted small
+        # coalesce(1) (not repartition): it propagates the single
+        # partition up into the distinct too, but on a caller-asserted
+        # catalog-scale frame the one-task aggregate is cheaper than an
+        # extra shuffle stage (measured: repartition(1) cost ~0.5 s of
+        # fixed stage latency per inference here)
         pairs = d.coalesce(1).withColumn(
             "__prev_s", F.lag("__s").over(w)
         ).withColumn("__prev_e", F.lag(e_col).over(w))
@@ -484,16 +489,27 @@ def distinct_delta_components(
         )
         e_col = F.col("__e")
 
+    # gap deltas and interval lengths in ONE pass over `pairs` (a union
+    # of two filtered branches computes the window subtree twice);
+    # when() without otherwise yields a null struct, filtered below.
     origin = F.coalesce(F.col("__prev_e"), F.col("__prev_s"))
-    gap = pairs.where(
-        F.col("__prev_s").isNotNull() & (F.col("__s") > origin)
-    ).select(*keys, delta_components_col(origin, F.col("__s")).alias("__d"))
-    out = gap
-    if has_end:
-        lengths = pairs.where(e_col.isNotNull()).select(
-            *keys, delta_components_col(F.col("__s"), e_col).alias("__d")
+    comps = [
+        F.when(
+            F.col("__prev_s").isNotNull() & (F.col("__s") > origin),
+            delta_components_col(origin, F.col("__s")),
         )
-        out = out.unionByName(lengths)
+    ]
+    if has_end:
+        comps.append(
+            F.when(
+                e_col.isNotNull(),
+                delta_components_col(F.col("__s"), e_col),
+            )
+        )
+    out = (
+        pairs.select(*keys, F.explode(F.array(*comps)).alias("__d"))
+        .where(F.col("__d").isNotNull())
+    )
     out = out.select(*keys, _normalize_delta_struct(F.col("__d")).alias("__d"))
     return out.select(*keys, "__d.*").distinct()
 
