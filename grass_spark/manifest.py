@@ -114,6 +114,14 @@ class CheckpointManifest:
             if e["tier"] == tier and e["status"] == "ok"
         }
 
+    # -- free-form metadata (layout decisions, run config) -------------
+    def set_meta(self, key: str, value) -> None:
+        self._data.setdefault("meta", {})[key] = value
+        self._save()
+
+    def get_meta(self, key: str, default=None):
+        return self._data.get("meta", {}).get(key, default)
+
     def metrics(self, tier: str | None = None) -> list[dict]:
         return [
             dict(e) for e in self._data["partitions"]

@@ -173,14 +173,24 @@ class RollupPipeline:
         compress_tiers: tuple[str, ...] | None = None,
         layout: str = "plain",
         buckets: int | dict[str, int] = 64,
+        min_bucket_day_rows: int = 4096,
     ):
-        if layout not in ("plain", "bucketed"):
-            raise ValueError(f"layout must be 'plain' or 'bucketed', got {layout!r}")
+        if layout not in ("plain", "bucketed", "auto"):
+            raise ValueError(
+                f"layout must be 'plain', 'bucketed' or 'auto', got {layout!r}"
+            )
         self.base_dir = base_dir
         self.tiers = tiers
         self.keys = ["conv_id"] if keys is None else list(keys)
         self.write_salt = write_salt
         self.layout = layout
+        # auto-layout density threshold: raw rows per (day, tier-0
+        # bucket) below which the bucketed publish premium (measured
+        # 1.4-2.1x on day-sparse shapes, BASELINE.md "Layout write-cost
+        # comparison") is not repaid — the adversarial 10^8-turn shape
+        # sits at ~220 rows/bucket-day (plain wins), the dense bench
+        # shape at ~6k (bucketed wins); 4096 splits the measured configs
+        self.min_bucket_day_rows = min_bucket_day_rows
         # per-tier bucket counts: upper tiers hold ~1/60th and ~1/1440th
         # of the rows, so one shared count explodes their (day, bucket)
         # file product on day-sparse data (measured 2x write premium at
@@ -214,13 +224,26 @@ class RollupPipeline:
         import json
 
         pin_path = os.path.join(self.base_dir, "_layout.json")
-        pin = {"layout": self.layout}
-        if self.layout == "bucketed":
-            pin["buckets"] = self.buckets
         has_tier_data = any(
             os.path.isdir(os.path.join(self.base_dir, name))
             for name, _ in self.tiers
         )
+        if self.layout == "auto":
+            if os.path.exists(pin_path):
+                # an existing store's layout is a fact, not a choice —
+                # adopt the pin (re-deciding would mix layouts)
+                with open(pin_path) as f:
+                    prior = json.load(f)
+                self.layout = prior["layout"]
+                if "buckets" in prior:
+                    self.buckets = prior["buckets"]
+                return
+            if not has_tier_data:
+                return  # defer: run() resolves from measured day density
+            self.layout = "plain"  # legacy pre-pin files are plain
+        pin = {"layout": self.layout}
+        if self.layout == "bucketed":
+            pin["buckets"] = self.buckets
         if os.path.exists(pin_path):
             with open(pin_path) as f:
                 prior = json.load(f)
@@ -250,6 +273,28 @@ class RollupPipeline:
             )
         with open(pin_path, "w") as f:
             json.dump(pin, f)
+
+    def _resolve_auto_layout(self, day_counts: dict[str, int]) -> None:
+        """Pick plain vs bucketed from MEASURED day density (the rule
+        BASELINE.md's write-cost matrix derives): the bucketed publish
+        pays a 1.4-2.1x write premium when (day, bucket) files are tiny
+        — day-sparse shapes route to plain; dense conversation-keyed
+        days repay the premium with 0-Exchange reads.  The decision is
+        pinned (a store never mixes layouts) and recorded in the
+        manifest with its evidence."""
+        vals = sorted(day_counts.values())
+        median_day_rows = vals[len(vals) // 2]
+        nb = self._buckets_for(self.tiers[0][0])
+        dense = median_day_rows >= self.min_bucket_day_rows * nb
+        self.layout = "bucketed" if dense else "plain"
+        self._check_layout_pin()
+        self.manifest.set_meta("layout_decision", {
+            "layout": self.layout,
+            "median_day_rows": int(median_day_rows),
+            "n_days": len(vals),
+            "buckets_t0": nb,
+            "threshold_rows_per_bucket_day": self.min_bucket_day_rows,
+        })
 
     def _buckets_for(self, name: str) -> int:
         if isinstance(self.buckets, dict):
@@ -374,6 +419,9 @@ class RollupPipeline:
                 F.date_format("ts", "yyyy-MM-dd").alias("d")
             ).agg(F.count(F.lit(1)).alias("n")).collect()
         }
+
+        if self.layout == "auto":
+            self._resolve_auto_layout(raw_day_counts)
 
         results: list[TierResult] = []
         lower: DataFrame | None = None
