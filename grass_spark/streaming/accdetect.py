@@ -21,11 +21,14 @@ state.
 
 Contract (documented, pinned by tests): a conversation's FINAL cycle
 stays in state at drain — an unbounded stream cannot know the cycle is
-over.  Producers that need final-cycle flushes append a sentinel row in
-a later cycle (the test does exactly that), or run the batch operator
-over the closed data; the reference itself is batch-only (SURVEY
-§2.10).  Same per-key event-time-order ingestion contract as
-streaming/sessionize.py.
+over.  Terminating producers have two exits: append a sentinel row in
+a later cycle (one test does exactly that), or call
+:func:`finalize_accdetect` after the last drain — the explicit
+end-of-stream flush (round-3 VERDICT item #6), which emits every
+conversation's live cycle batch-exactly (``run_accdetect_once(...,
+finalize=True)`` composes the two).  The reference itself is
+batch-only (SURVEY §2.10).  Same per-key event-time-order ingestion
+contract as streaming/sessionize.py.
 """
 
 from __future__ import annotations
@@ -207,6 +210,7 @@ def run_accdetect_once(
     checkpoint: str,
     range_min: float,
     range_max: float,
+    finalize: bool = False,
     **kw,
 ) -> None:
     q = (
@@ -219,3 +223,91 @@ def run_accdetect_once(
         .start()
     )
     q.awaitTermination()
+    if finalize:
+        finalize_accdetect(
+            spark, input_path, output_path, range_min, range_max,
+            cycle=kw["cycle"], origin=kw["origin"],
+            lower=kw.get("lower"), upper=kw.get("upper"),
+            method=kw.get("method", "gdd"),
+        )
+
+
+def finalize_accdetect(
+    spark,
+    input_path: str,
+    output_path: str,
+    range_min: float,
+    range_max: float,
+    *,
+    cycle: str,
+    origin: datetime,
+    lower: float | None = None,
+    upper: float | None = None,
+    method: str = "gdd",
+) -> None:
+    """End-of-stream flush: emit every conversation's FINAL (still-live)
+    cycle batch-exactly and append it to the sink.
+
+    A terminated stream means all data is on disk, and the only thing
+    state still holds is each conversation's max cycle — every lower
+    cycle was emitted at close.  acc/occurrence/indicator are all
+    CYCLE-LOCAL (the accumulator resets at cycle start), so recomputing
+    just those max-cycle rows with the batch operator reproduces
+    exactly what the stream would have emitted had one more cycle
+    arrived.  Call after the final drain; calling it mid-stream would
+    emit a cycle that later input re-opens (same caveat as any
+    end-of-stream sentinel).
+
+    The flush lands in ``output_path + "_final"``, not the sink dir:
+    the file sink's ``_spark_metadata`` log governs reads of its
+    directory, so a batch append there would be invisible (and editing
+    the log would forfeit the sink's exactly-once contract).  Writing
+    the sibling with overwrite also makes the flush idempotent.  Read
+    the combined result with :func:`read_accdetect`.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from grass_spark.functions.granularity import bucket_idx_col
+    from grass_spark.operators.accumulate import accdetect, accumulate
+
+    raw = (
+        spark.read.parquet(input_path)
+        .select("conv_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    w = Window.partitionBy("conv_id")
+    cyc = bucket_idx_col(F.col("ts"), cycle, origin)
+    live = (
+        raw.withColumn("__cyc", cyc)
+        .withColumn("__max", F.max("__cyc").over(w))
+        .filter(F.col("__cyc") == F.col("__max"))
+        .drop("__cyc", "__max")
+    )
+    acc = accumulate(
+        live, keys=["conv_id"], cycle=cycle, origin=origin,
+        lower=lower, upper=upper, method=method,
+    )
+    out = accdetect(acc, float(range_min), float(range_max), keys=["conv_id"])
+    (
+        out.select(
+            "conv_id", "ts", "value",
+            F.col("cycle_idx").cast("long").alias("cycle_idx"),
+            F.col("acc").cast("double").alias("acc"),
+            "in_range", "occurrence",
+            F.col("indicator").cast("int").alias("indicator"),
+        )
+        .write.mode("overwrite").parquet(output_path + "_final")
+    )
+
+
+def read_accdetect(spark, output_path: str) -> DataFrame:
+    """The complete detection output: the streamed sink (closed cycles,
+    listed via its own ``_spark_metadata`` log — a batch append there
+    would be invisible) plus the :func:`finalize_accdetect` flush of
+    live cycles, if one exists."""
+    import os
+
+    out = spark.read.parquet(output_path)
+    if os.path.isdir(output_path + "_final"):
+        out = out.unionByName(spark.read.parquet(output_path + "_final"))
+    return out

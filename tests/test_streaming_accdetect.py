@@ -14,7 +14,7 @@ from __future__ import annotations
 import datetime as dt
 
 from grass_spark.operators.accumulate import accdetect, accumulate
-from grass_spark.streaming.accdetect import run_accdetect_once
+from grass_spark.streaming.accdetect import read_accdetect, run_accdetect_once
 
 ORIGIN = dt.datetime(2024, 3, 1)
 SCHEMA = "conv_id string, ts timestamp, value double"
@@ -116,3 +116,52 @@ def test_stream_accdetect_requires_cycle(spark):
 
     with pytest.raises(ValueError, match="requires cycle"):
         stream_accdetect(spark, "/tmp/nope", 0.0, 1.0, cycle=None, origin=None)
+
+
+def _batch_full(spark, rows, rmin, rmax, **kw):
+    """Batch reference over ALL cycles (no sentinel trimming)."""
+    df = spark.createDataFrame(rows, SCHEMA)
+    acc = accumulate(df, keys=["conv_id"], **kw)
+    return (
+        accdetect(acc, rmin, rmax, keys=["conv_id"])
+        .select(*COLS).orderBy("conv_id", "ts").collect()
+    )
+
+
+def test_finalize_emits_final_cycle_batch_exact(spark, tmp_path):
+    """run_accdetect_once(finalize=True) after the last drain: the sink
+    equals the FULL batch output — final live cycle included, no
+    sentinel needed (round-3 VERDICT item #6)."""
+    rows = sorted(
+        [(conv, ORIGIN + dt.timedelta(hours=3 * i + (1 if conv == "c2" else 0)),
+          float((i * 7 + len(conv)) % 40))
+         for conv in ("c1", "c2") for i in range(48)],
+        key=lambda r: (r[1], r[0]),
+    )
+    kw = dict(cycle="1 day", origin=ORIGIN, lower=5.0, upper=30.0, method="gdd")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    per = len(rows) // 2
+    spark.createDataFrame(rows[:per], SCHEMA).coalesce(1).write.mode(
+        "append").parquet(inp)
+    run_accdetect_once(spark, inp, out, ckpt, 10.0, 60.0, **kw)
+    spark.createDataFrame(rows[per:], SCHEMA).coalesce(1).write.mode(
+        "append").parquet(inp)
+    run_accdetect_once(spark, inp, out, ckpt, 10.0, 60.0, finalize=True, **kw)
+    got = read_accdetect(spark, out).select(*COLS).orderBy("conv_id", "ts").collect()
+    want = _batch_full(spark, rows, 10.0, 60.0, **kw)
+    assert got == want
+    # the finalize really contributed: the max cycle is present
+    assert max(r.cycle_idx for r in got) == max(r.cycle_idx for r in want)
+
+
+def test_finalize_conv_with_single_live_cycle(spark, tmp_path):
+    """A conversation whose ONLY cycle never closed (stream emitted
+    nothing for it) is flushed whole by finalize."""
+    rows = [("c1", ORIGIN + dt.timedelta(hours=i), 10.0) for i in range(10)]
+    kw = dict(cycle="1 day", origin=ORIGIN, method="sum")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(inp)
+    run_accdetect_once(spark, inp, out, ckpt, 0.0, 1e9, finalize=True, **kw)
+    got = read_accdetect(spark, out).select(*COLS).orderBy("conv_id", "ts").collect()
+    want = _batch_full(spark, rows, 0.0, 1e9, **kw)
+    assert got == want and len(got) == 10
