@@ -74,6 +74,12 @@ HEADLINE = [
     "sample_granules",
     # round 2 fourth wave: raster-conditional mapcalc pipeline
     "algebra_condition",
+    # round 4: the 3 heaviest tier-2 queries promoted so their
+    # regressions are measured WARM (tier-2 carries compile+IO by
+    # design); their r03 tier-2 numbers are not comparable to these
+    "algebra_gran",
+    "algebra_gran_cond",
+    "near_dedup_keep",
 ]
 
 #: every other driver query, timed in one single pass (no warm run) so
@@ -90,8 +96,9 @@ TIER2 = [
     "what_wide", "accdetect", "algebra_expr", "masked_agg",
     "weighted_quantile", "weighted_regression", "what_long",
     "shift_extents", "agg_relative", "simhash_portable", "group_granules",
-    "algebra_select", "merge_extract", "algebra_gran", "algebra_gran_cond",
-    "near_dedup_keep",
+    "algebra_select", "merge_extract",
+    # round 4: the opt-in mergeable-sketch cascade
+    "sketch_cascade_day",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

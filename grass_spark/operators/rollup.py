@@ -62,14 +62,34 @@ def _role_count(role: str):
     return F.sum(F.when(F.col("role") == role, 1).otherwise(0)).alias(f"n_{role}")
 
 
-def rollup_from_raw(df: DataFrame, granularity: str, origin, keys: list[str]) -> DataFrame:
+def rollup_from_raw(
+    df: DataFrame, granularity: str, origin, keys: list[str],
+    sketches: bool = False,
+) -> DataFrame:
     """First tier: aggregate raw turns into buckets.
 
     All metrics are algebraic so upper tiers can re-aggregate exactly.
     ``len_*`` skip NULL text like every GRASS kernel skips NULL cells.
+
+    ``sketches=True`` additionally carries two mergeable DataSketches
+    per bucket (operators/sketches.py): a KLL quantile sketch over turn
+    length and an HLL distinct sketch over turn text — so upper tiers
+    can answer approximate HOLISTIC stats (len quantiles, distinct
+    messages) by sketch merge instead of a raw re-scan.  Opt-in, never
+    a parity substitute for the exact kernels.
     """
     length = F.length("text")
     bucketed = df.withColumn("bucket_start", bucket_start_col("ts", granularity, origin))
+    extra = []
+    if sketches:
+        from grass_spark.operators.sketches import DEFAULT_K, DEFAULT_LG_K
+
+        extra = [
+            F.kll_sketch_agg_double(
+                length.cast("double"), F.lit(DEFAULT_K)
+            ).alias("len_kll"),
+            F.hll_sketch_agg(F.col("text"), F.lit(DEFAULT_LG_K)).alias("txt_hll"),
+        ]
     return bucketed.groupBy(*keys, "bucket_start").agg(
         F.count(F.lit(1)).alias("turn_cnt"),
         *[_role_count(r) for r in ROLES],
@@ -78,16 +98,25 @@ def rollup_from_raw(df: DataFrame, granularity: str, origin, keys: list[str]) ->
         F.sum(length).alias("len_sum"),
         F.min(length).alias("len_min"),
         F.max(length).alias("len_max"),
+        *extra,
     )
 
 
 def rollup_from_tier(lower: DataFrame, granularity: str, origin, keys: list[str]) -> DataFrame:
     """Re-aggregate an existing tier into coarser buckets (exact for all
     algebraic metrics — this is what makes the cascade read 1/60th of
-    the data instead of rescanning raw)."""
+    the data instead of rescanning raw).  Sketch columns, when the
+    lower tier carries them, fold by MERGE — the holistic-stat analog
+    of the same property."""
     bucketed = lower.withColumn(
         "bucket_start", bucket_start_col(F.col("bucket_start"), granularity, origin)
     )
+    extra = []
+    if "len_kll" in lower.columns:
+        extra = [
+            F.kll_merge_agg_double("len_kll").alias("len_kll"),
+            F.hll_union_agg("txt_hll", True).alias("txt_hll"),
+        ]
     return bucketed.groupBy(*keys, "bucket_start").agg(
         F.sum("turn_cnt").alias("turn_cnt"),
         *[F.sum(f"n_{r}").alias(f"n_{r}") for r in ROLES],
@@ -96,6 +125,7 @@ def rollup_from_tier(lower: DataFrame, granularity: str, origin, keys: list[str]
         F.sum("len_sum").alias("len_sum"),
         F.min("len_min").alias("len_min"),
         F.max("len_max").alias("len_max"),
+        *extra,
     )
 
 
@@ -174,6 +204,7 @@ class RollupPipeline:
         layout: str = "plain",
         buckets: int | dict[str, int] = 64,
         min_bucket_day_rows: int = 4096,
+        sketches: bool = False,
     ):
         if layout not in ("plain", "bucketed", "auto"):
             raise ValueError(
@@ -191,6 +222,18 @@ class RollupPipeline:
         # sits at ~220 rows/bucket-day (plain wins), the dense bench
         # shape at ~6k (bucketed wins); 4096 splits the measured configs
         self.min_bucket_day_rows = min_bucket_day_rows
+        # opt-in mergeable-sketch tier path (operators/sketches.py):
+        # tiers additionally carry KLL(len)/HLL(text) sketches so
+        # approximate holistic stats fold tier-to-tier by merge instead
+        # of re-scanning raw.  Incompatible with the block store (the
+        # Gorilla codec covers INT_METRICS only).
+        self.sketches = sketches
+        if sketches and compress:
+            raise ValueError(
+                "sketches=True is incompatible with compress=True: the "
+                "block store round-trips INT_METRICS only and would "
+                "drop the sketch columns"
+            )
         # per-tier bucket counts: upper tiers hold ~1/60th and ~1/1440th
         # of the rows, so one shared count explodes their (day, bucket)
         # file product on day-sparse data (measured 2x write premium at
@@ -351,6 +394,28 @@ class RollupPipeline:
         gran = dict(self.tiers)[name]
         return with_derived(self._read_tier_frame(spark, name), gran)
 
+    def read_tier_approx(
+        self, spark: SparkSession, name: str,
+        quantiles: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Approximate holistic stats of a sketch-carrying tier
+        (``sketches=True`` pipelines): per-bucket approx turn-length
+        quantiles + distinct-message estimate, straight from the stored
+        sketches — no raw re-scan.  Never a parity substitute for the
+        exact kernels (rank-error bounds pinned in
+        tests/test_sketches.py)."""
+        tier = self._read_tier_frame(spark, name)
+        if "len_kll" not in tier.columns:
+            raise ValueError(
+                f"tier {name!r} carries no sketches; build the store "
+                "with RollupPipeline(sketches=True)"
+            )
+        from grass_spark.operators.sketches import sketch_stats
+
+        return sketch_stats(
+            tier, quantiles, kll_col="len_kll", hll_col="txt_hll"
+        )
+
     def read_tier_from_blocks(self, spark: SparkSession, name: str) -> DataFrame:
         """Decode a tier back from its compressed block store (bit-exact
         inverse of the codec; see operators/blocks.py)."""
@@ -457,7 +522,9 @@ class RollupPipeline:
                     # pushable ts-range prefilter: row-group stats /
                     # Iceberg day() partitions skip done days at the scan
                     src = src.filter(_ts_not_in_days("ts", done_now))
-                tiered = rollup_from_raw(src, gran, origin, self.keys)
+                tiered = rollup_from_raw(
+                    src, gran, origin, self.keys, sketches=self.sketches
+                )
             else:
                 src = lower
                 if done_now:

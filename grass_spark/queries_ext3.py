@@ -759,3 +759,86 @@ ORDER BY d.doc_id
 
 EXT3_QUERIES["near_dedup_keep"] = q_near_dedup_keep
 EXT3_ORACLES["near_dedup_keep"] = ORACLE_NEAR_DEDUP_KEEP
+
+
+# ---------------------------------------------------------------------
+# Mergeable-sketch tier cascade (opt-in approx holistic path —
+# operators/sketches.py; round-3 VERDICT item #7)
+# ---------------------------------------------------------------------
+
+
+def q_sketch_cascade_day(spark, sf_dir):
+    """Approximate day-level holistic stats from MERGED minute-tier
+    sketches (KLL quantiles + HLL distinct) — never re-scanning raw for
+    the estimates.  KLL compaction is randomized, so raw estimates are
+    not bit-stable; what IS deterministic is the CONTRACT: the sketch
+    stream length ``n`` is exact, and the estimates respect their rank
+    and relative-error bounds.  The query therefore emits ``n`` plus
+    per-group bound booleans (rank of the median/p90 estimate within
+    0.03 + 1/n of its target; HLL within 5 %) — the DuckDB twin emits
+    the exact counts with TRUE constants, so any bound violation
+    hash-fails the gate.  tests/test_sketches.py pins tighter bounds.
+    """
+    from datetime import datetime
+
+    from grass_spark.operators.sketches import (
+        sketch_from_raw, sketch_from_tier, sketch_stats,
+    )
+
+    epoch = datetime(1970, 1, 1)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mins = sketch_from_raw(ev, "1 minute", epoch, ["user_id"])
+    days = sketch_from_tier(mins, "1 day", epoch, ["user_id"])
+    st = sketch_stats(days, {"median": 0.5, "perc90": 0.9})
+
+    raw = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("bucket_start"),
+        "value",
+    )
+    j = raw.join(st, ["user_id", "bucket_start"])
+
+    def _rk(est, cmp):
+        return (F.sum(cmp(F.col("value"), F.col(est)).cast("long"))
+                / F.count("value"))
+
+    g = j.groupBy("user_id", "bucket_start").agg(
+        F.count("value").alias("cnt"),
+        _rk("approx_median", lambda v, e: v < e).alias("med_lt"),
+        _rk("approx_median", lambda v, e: v <= e).alias("med_le"),
+        _rk("approx_perc90", lambda v, e: v < e).alias("p90_lt"),
+        _rk("approx_perc90", lambda v, e: v <= e).alias("p90_le"),
+        F.count_distinct("value").alias("nd"),
+        F.first("approx_diversity").alias("adiv"),
+        F.first("n").alias("sk_n"),
+    )
+    # tie-robust rank error: distance from q to the estimate's rank
+    # interval [count_lt, count_le]/n (an element whose duplicate mass
+    # spans q is exactly right; point ranks jump by the tie mass)
+    eps = F.lit(0.03) + F.lit(1.0) / F.col("cnt")
+
+    def _ok(lt, le, q):
+        err = F.greatest(F.lit(0.0), F.col(lt) - F.lit(q),
+                         F.lit(q) - F.col(le))
+        return err <= eps
+
+    return g.select(
+        "user_id",
+        F.col("bucket_start").alias("bucket"),
+        F.col("sk_n").cast("long").alias("n"),
+        _ok("med_lt", "med_le", 0.5).alias("median_rank_ok"),
+        _ok("p90_lt", "p90_le", 0.9).alias("p90_rank_ok"),
+        (F.abs(F.col("adiv") / F.col("nd") - 1.0) <= 0.05).alias("diversity_ok"),
+    )
+
+
+ORACLE_SKETCH_CASCADE_DAY = """
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       CAST(count(value) AS BIGINT) AS n,
+       TRUE AS median_rank_ok, TRUE AS p90_rank_ok, TRUE AS diversity_ok
+FROM events
+GROUP BY 1, 2
+"""
+
+EXT3_QUERIES["sketch_cascade_day"] = q_sketch_cascade_day
+EXT3_ORACLES["sketch_cascade_day"] = ORACLE_SKETCH_CASCADE_DAY
