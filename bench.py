@@ -97,8 +97,9 @@ TIER2 = [
     "weighted_quantile", "weighted_regression", "what_long",
     "shift_extents", "agg_relative", "simhash_portable", "group_granules",
     "algebra_select", "merge_extract",
-    # round 4: the opt-in mergeable-sketch cascade
+    # round 4: the opt-in mergeable-sketch cascade + heavy-hitters
     "sketch_cascade_day",
+    "heavy_hitters",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -842,3 +842,35 @@ GROUP BY 1, 2
 
 EXT3_QUERIES["sketch_cascade_day"] = q_sketch_cascade_day
 EXT3_ORACLES["sketch_cascade_day"] = ORACLE_SKETCH_CASCADE_DAY
+
+
+# ---------------------------------------------------------------------
+# Corpus heavy-hitters (operators/heavyhitters.py) — boilerplate
+# detection: top-k word trigrams by document frequency
+# ---------------------------------------------------------------------
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Top-20 word trigrams by document frequency over the documents
+    corpus — the boilerplate-detection heavy-hitters query.  Plan
+    shape: partial-agg groupBy + TakeOrderedAndProject (per-partition
+    top-k, no global sort); ties broken by gram ascending so the k-cut
+    is deterministic and hash-gateable."""
+    from grass_spark.operators.heavyhitters import ngram_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ngram_heavy_hitters(docs, n=3, k=20)
+    return out.select("gram", F.col("doc_freq").cast("long").alias("doc_freq"))
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH {_SQL_SHINGLES}
+SELECT s AS gram, CAST(count(*) AS BIGINT) AS doc_freq
+FROM sh
+GROUP BY s
+ORDER BY doc_freq DESC, gram ASC
+LIMIT 20
+"""
+
+EXT3_QUERIES["heavy_hitters"] = q_heavy_hitters
+EXT3_ORACLES["heavy_hitters"] = ORACLE_HEAVY_HITTERS

@@ -97,6 +97,11 @@ def main() -> None:
     ap.add_argument("--buckets", type=_parse_buckets, default=256,
                     help="int or per-tier spec 't1m=256,t1h=64,t1d=16'")
     ap.add_argument("--compress", action="store_true")
+    ap.add_argument("--sketches", action="store_true",
+                    help="carry KLL/HLL sketches through the tiers and "
+                         "measure the approx-holistic read path (day "
+                         "quantiles from stored sketches) against the "
+                         "exact raw re-scan it replaces")
     ap.add_argument("--data", default="/tmp/grass_soak")
     ap.add_argument("--dedup-docs", type=int, default=0,
                     help="instead of the rollup soak, run the dedup "
@@ -130,7 +135,9 @@ def main() -> None:
         open(marker, "w").write("ok")
 
     tiers_dir = os.path.join(
-        args.data, f"tiers_{args.layout}{'_c' if args.compress else ''}"
+        args.data,
+        f"tiers_{args.layout}{'_c' if args.compress else ''}"
+        f"{'_sk' if args.sketches else ''}",
     )
     shutil.rmtree(tiers_dir, ignore_errors=True)
 
@@ -143,11 +150,40 @@ def main() -> None:
     turns = raw.count()
     pipe = RollupPipeline(
         tiers_dir, layout=args.layout, buckets=args.buckets,
-        compress=args.compress,
+        compress=args.compress, sketches=args.sketches,
     )
     t0 = time.perf_counter()
     results = pipe.run(raw, input_fingerprint="soak")
     pipeline_sec = round(time.perf_counter() - t0, 1)
+
+    sketch_read = None
+    if args.sketches:
+        from pyspark.sql import functions as F
+
+        def _noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        # the read the sketch path buys: day-level holistic stats from
+        # the STORED day-tier sketches (no raw scan) ...
+        t0 = time.perf_counter()
+        _noop(pipe.read_tier_approx(spark, "t1d", {"median": 0.5, "perc90": 0.9}))
+        approx_sec = round(time.perf_counter() - t0, 2)
+        # ... vs the exact raw re-scan it replaces
+        t0 = time.perf_counter()
+        _noop(
+            raw.withColumn("value", F.length("text").cast("double"))
+            .groupBy("conv_id", F.date_trunc("day", "ts").alias("d"))
+            .agg(
+                F.expr("percentile(value, array(0.5D, 0.9D))").alias("q"),
+                F.count_distinct("text").alias("nd"),
+            )
+        )
+        exact_sec = round(time.perf_counter() - t0, 2)
+        sketch_read = {
+            "approx_day_stats_sec": approx_sec,
+            "exact_raw_rescan_sec": exact_sec,
+            "read_speedup": round(exact_sec / max(approx_sec, 1e-9), 2),
+        }
 
     out = {
         "turns": int(turns),
@@ -164,6 +200,9 @@ def main() -> None:
             for r in results
         ],
     }
+    if sketch_read:
+        out["sketches"] = True
+        out["sketch_read"] = sketch_read
     spark.stop()
     print(json.dumps(out))
 
