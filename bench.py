@@ -298,8 +298,11 @@ def main() -> None:
     tier2_total = round(sum(queries[n] for n in TIER2), 3)
 
     result = {
-        "metric": "headline query wall time (sum of 22 warm-timed; "
-                  "tier2_sec = 32 more single-pass) + 3-tier rollup turns/sec",
+        "metric": (
+            f"headline query wall time (sum of {len(HEADLINE)} warm-timed; "
+            f"tier2_sec = {len(TIER2)} more single-pass) "
+            "+ 3-tier rollup turns/sec"
+        ),
         "value": total,
         "unit": "sec",
         "tier2_sec": tier2_total,
