@@ -100,6 +100,9 @@ TIER2 = [
     # round 4: the opt-in mergeable-sketch cascade + heavy-hitters
     "sketch_cascade_day",
     "heavy_hitters",
+    # round 4: benchmark decontamination (13-gram overlap rule)
+    "contamination",
+    "decontaminate_keep",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

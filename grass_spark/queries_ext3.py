@@ -874,3 +874,101 @@ LIMIT 20
 
 EXT3_QUERIES["heavy_hitters"] = q_heavy_hitters
 EXT3_ORACLES["heavy_hitters"] = ORACLE_HEAVY_HITTERS
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination (operators/decontaminate.py) — the 13-gram
+# overlap rule: flag and drop training docs sharing a word 13-gram
+# with a held-out benchmark split
+# ---------------------------------------------------------------------
+
+#: deterministic benchmark split: every 10th doc_id is "the eval suite"
+_SQL_SH13 = """
+  nrm AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+    FROM documents
+  ), w13 AS (
+    SELECT doc_id, t, regexp_split_to_array(t, ' ') AS ws FROM nrm
+  ), sh13 AS (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ws) >= 13
+           THEN list_distinct(list_transform(
+                  generate_series(1, len(ws) - 12),
+                  i -> array_to_string(ws[i:i+12], ' ')))
+           ELSE [t] END) AS s
+    FROM w13
+  ),
+  bench13 AS (
+    SELECT DISTINCT doc_id AS bench_id, s FROM sh13 WHERE doc_id % 10 = 0
+  ),
+  corpus13 AS (SELECT doc_id, s FROM sh13 WHERE doc_id % 10 <> 0)
+"""
+
+
+def _bench_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Per-document benchmark-contamination report (13-gram overlap).
+
+    Plan shape: corpus shingles are a map-side explode; the benchmark
+    shingle set is broadcast (eval-suite-sized), so the probe is a BHJ
+    and the only corpus-keyed shuffle is the per-doc report groupBy
+    over *hit rows only*."""
+    from grass_spark.operators.decontaminate import contamination_report
+
+    corpus, bench = _bench_split(spark, sf_dir)
+    rep = contamination_report(corpus, bench, n=13)
+    return rep.select(
+        "doc_id", "n_shingles", "n_hit_shingles", "n_bench_docs",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH {_SQL_SH13},
+nsh AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM corpus13 GROUP BY doc_id
+),
+hits AS (
+  SELECT c.doc_id, c.s, b.bench_id FROM corpus13 c JOIN bench13 b USING (s)
+)
+SELECT h.doc_id, n.n_shingles,
+       CAST(count(DISTINCT h.s) AS BIGINT) AS n_hit_shingles,
+       CAST(count(DISTINCT h.bench_id) AS BIGINT) AS n_bench_docs,
+       round(CAST(count(DISTINCT h.s) AS DOUBLE) / n.n_shingles, 6)
+         AS contamination
+FROM hits h JOIN nsh n USING (doc_id)
+GROUP BY h.doc_id, n.n_shingles
+"""
+
+EXT3_QUERIES["contamination"] = q_contamination
+EXT3_ORACLES["contamination"] = ORACLE_CONTAMINATION
+
+
+def q_decontaminate_keep(spark, sf_dir):
+    """Surviving doc_ids after dropping benchmark-contaminated docs —
+    the end-to-end ``decontaminate`` anti-join (corpus never shuffles:
+    flagged ids broadcast into a left-anti BHJ)."""
+    from grass_spark.operators.decontaminate import decontaminate
+
+    corpus, bench = _bench_split(spark, sf_dir)
+    return decontaminate(corpus, bench, n=13).select("doc_id")
+
+
+ORACLE_DECONTAMINATE_KEEP = f"""
+WITH {_SQL_SH13}
+SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+  AND doc_id NOT IN (
+    SELECT DISTINCT c.doc_id FROM corpus13 c JOIN bench13 b USING (s)
+  )
+"""
+
+EXT3_QUERIES["decontaminate_keep"] = q_decontaminate_keep
+EXT3_ORACLES["decontaminate_keep"] = ORACLE_DECONTAMINATE_KEEP
