@@ -103,6 +103,11 @@ TIER2 = [
     # round 4: benchmark decontamination (13-gram overlap rule)
     "contamination",
     "decontaminate_keep",
+    # round 4: segment dedup, sequence packing, mixture sampling
+    "chunk_dedup",
+    "pack_sequences",
+    "corpus_mixture",
+    "mixture_sample",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -1,0 +1,101 @@
+"""Sequence packing: concat-and-chunk documents into training examples.
+
+Pre-training dataloaders concatenate documents (within a shard, in a
+deterministic order) into one token stream and cut it into fixed-length
+sequences; a document can straddle a sequence boundary.  This operator
+computes that assignment declaratively: one row per (document,
+sequence) overlap with the exact token span, so a downstream writer can
+slice each doc's tokens into its sequences without ever materializing
+the concatenated stream.
+
+Scale shape (100 TB corpus): a prefix sum per group via a window — the
+group is the PACKING SHARD (source file / day / language bucket), which
+a real pipeline keeps bounded (tens of GB), so one shard = one window
+partition parallelizes across shards.  The explode emits
+``ceil(n_tokens / seq_len) + 1`` rows per doc — output-proportional,
+no shuffle beyond the window's own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    *,
+    group_col: str | None = None,
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    tokens_col: str | Column = "n_tokens",
+    drop_partial: bool = False,
+) -> DataFrame:
+    """Assign each document its (sequence, token-span) slots.
+
+    Documents are ordered by ``order_col`` within each ``group_col``
+    shard, concatenated, and cut every ``seq_len`` tokens.  Output: one
+    row per (doc, sequence) overlap —
+
+    * ``seq_id``        — 0-based sequence index within the group;
+    * ``doc_tok_start`` / ``doc_tok_end`` — the [start, end) token
+      range OF THE DOCUMENT that lands in this sequence;
+    * ``seq_off``       — where that span starts INSIDE the sequence.
+
+    Zero-token documents are dropped (they occupy no slot).  With
+    ``drop_partial`` the trailing under-full sequence of each group is
+    omitted (the usual "drop_last" training convention).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    toks = (
+        F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    ).cast("bigint")
+    gcols = [group_col] if group_col else []
+    part = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    w = part.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+
+    L = F.lit(int(seq_len)).cast("bigint")
+    d = (
+        docs.filter(toks > 0)
+        .withColumn("_n", toks)
+        .withColumn("_cum_end", F.sum("_n").over(w))
+        .withColumn("_cum_start", F.col("_cum_end") - F.col("_n"))
+    )
+    if drop_partial:
+        # same partitioning as the prefix-sum window — no extra shuffle
+        d = d.withColumn("_total", F.max("_cum_end").over(part))
+    out = (
+        d.select(
+            *gcols,
+            F.col(id_col),
+            F.col("_n").alias("n_tokens"),
+            "_cum_start",
+            *(["_total"] if drop_partial else []),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_cum_start") / L),
+                    F.floor((F.col("_cum_end") - 1) / L),
+                )
+            ).alias("seq_id"),
+        )
+        .withColumn(
+            "doc_tok_start",
+            F.greatest(F.lit(0).cast("bigint"), F.col("seq_id") * L - F.col("_cum_start")),
+        )
+        .withColumn(
+            "doc_tok_end",
+            F.least(F.col("n_tokens"), (F.col("seq_id") + 1) * L - F.col("_cum_start")),
+        )
+        .withColumn(
+            "seq_off",
+            F.col("_cum_start") + F.col("doc_tok_start") - F.col("seq_id") * L,
+        )
+    )
+    if drop_partial:
+        out = out.filter(
+            # a sequence is full iff the stream extends to its end
+            (F.col("seq_id") + 1) * L <= F.col("_total")
+        ).drop("_total")
+    return out.drop("_cum_start")

@@ -1,0 +1,111 @@
+"""Deterministic corpus sampling + mixture targeting.
+
+Training-data pipelines downsample sources/languages to hit a target
+mixture.  Random sampling is not reproducible across runs or engines;
+the standard fix is HASH sampling: a document is kept iff a uniform
+deterministic hash of its id falls below the group's keep rate.  The
+hash here is the first 8 hex digits of md5 (portable — any engine
+reproduces the exact same sample; DuckDB oracle-gated).
+
+Scale shape (100 TB corpus):
+
+* ``hash_sample`` with a dict of rates is a pure column filter — no
+  shuffle at all, evaluated in the scan's codegen stage;
+* with a rates *DataFrame* (e.g. ``mixture_rates`` output, which is
+  group-cardinality tiny) the rates side is **broadcast**, so the
+  corpus still never shuffles;
+* ``mixture_rates`` is one map-side-combined ``groupBy`` over the
+  group column (bounded cardinality) — driver-safe by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def uniform_hash(id_col: Column, salt: str = "") -> Column:
+    """Deterministic uniform double in [0, 1) from ``md5(id ":" salt)``.
+
+    First 8 hex digits as a uint32 over 2^32 — exact in a double, and
+    bit-identical in any engine with md5 (the DuckDB twin is
+    ``CAST('0x' || substr(md5(id || ':' || salt), 1, 8) AS UBIGINT) /
+    4294967296.0``).
+    """
+    h = F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(salt)))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(2.0**32)
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rates: float | dict[str, float] | DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    salt: str = "",
+    rate_col: str = "keep_rate",
+) -> DataFrame:
+    """Keep rows whose uniform hash < the (per-group) keep rate.
+
+    ``rates`` may be a global float, a ``{group value: rate}`` dict
+    (groups absent from the dict are DROPPED — rate 0), or a tiny
+    (group, rate) DataFrame such as :func:`mixture_rates` output
+    (broadcast-joined; absent groups drop).  Passes all input columns
+    through unchanged.
+    """
+    u = uniform_hash(F.col(id_col), salt)
+    if isinstance(rates, DataFrame):
+        rdf = rates.select(group_col, F.col(rate_col).alias("_rate"))
+        return (
+            df.join(F.broadcast(rdf), group_col)
+            .filter(u < F.col("_rate"))
+            .drop("_rate")
+            .select(*df.columns)
+        )
+    if isinstance(rates, dict):
+        expr = F.lit(0.0)
+        for g, r in rates.items():
+            expr = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(expr)
+        return df.filter(u < expr)
+    return df.filter(u < F.lit(float(rates)))
+
+
+def mixture_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    *,
+    group_col: str = "lang",
+    weight_col: str | Column = "n_tokens",
+) -> DataFrame:
+    """Per-group keep rates that realize a target mixture in expectation.
+
+    ``targets`` maps group values to token SHARES of a ``budget_tokens``
+    output corpus; each group's rate is ``min(1, share * budget /
+    group_tokens)`` (a group smaller than its allocation is kept whole
+    — the classic up-capped allocation; no up-sampling).  Returns one
+    tiny row per group: ``(group, n_docs, tokens, target_share,
+    keep_rate)``.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    share = F.lit(0.0)
+    for g, s in targets.items():
+        share = F.when(F.col(group_col) == g, F.lit(float(s))).otherwise(share)
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(w).cast("bigint").alias("tokens"),
+        )
+        .withColumn("target_share", share)
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                F.col("target_share") * F.lit(float(budget_tokens))
+                / F.col("tokens"),
+            ),
+        )
+    )

@@ -972,3 +972,177 @@ SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
 
 EXT3_QUERIES["decontaminate_keep"] = q_decontaminate_keep
 EXT3_ORACLES["decontaminate_keep"] = ORACLE_DECONTAMINATE_KEEP
+
+
+# ---------------------------------------------------------------------
+# Segment-level dedup (operators/segdedup.py) — CCNet-style span dedup:
+# keep the corpus-wide first occurrence of every 10-word chunk
+# ---------------------------------------------------------------------
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Per-document segment-dedup report: non-overlapping 10-word
+    chunks, corpus-wide first occurrence (by doc_id, position) kept,
+    cleaned text reconstructed in order."""
+    from grass_spark.operators.segdedup import dedup_segments, segments_by_words
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_segments(segments_by_words(d, "text", 10)).select(
+        "doc_id", "n_segments", "n_kept", "dedup_text"
+    )
+
+
+ORACLE_CHUNK_DEDUP = """
+WITH sel AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents
+), chunks AS (
+  SELECT doc_id, CAST((g.s - 1) // 10 AS BIGINT) AS seg_idx,
+         array_to_string(ws[g.s:g.s+9], ' ') AS seg
+  FROM sel, unnest(generate_series(1, len(ws), 10)) AS g(s)
+), nz AS (
+  SELECT * FROM chunks WHERE seg <> ''
+), rn AS (
+  SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+           AS rn
+  FROM nz
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS dedup_text
+FROM rn GROUP BY doc_id
+"""
+
+EXT3_QUERIES["chunk_dedup"] = q_chunk_dedup
+EXT3_ORACLES["chunk_dedup"] = ORACLE_CHUNK_DEDUP
+
+
+# ---------------------------------------------------------------------
+# Sequence packing (operators/pack.py) — concat-and-chunk documents
+# into fixed 256-token training sequences, per-language shards
+# ---------------------------------------------------------------------
+
+
+def q_pack_sequences(spark, sf_dir):
+    """One row per (doc, sequence) overlap: language-sharded streams,
+    docs ordered by doc_id, cut every 256 whitespace tokens."""
+    from grass_spark.operators.dedup import normalize_text
+    from grass_spark.operators.pack import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(F.split(normalize_text(F.col("text")), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(d, 256, group_col="lang").select(
+        "lang", "seq_id", "doc_id", "n_tokens",
+        "doc_tok_start", "doc_tok_end", "seq_off",
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+',
+                                              ' ', 'g'), ' '))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_end
+  FROM toks WHERE n_tokens > 0
+), spans AS (
+  SELECT *, cum_end - n_tokens AS cum_start FROM cum
+)
+SELECT lang, CAST(g.s AS BIGINT) AS seq_id, doc_id, n_tokens,
+       CAST(greatest(0, g.s * 256 - cum_start) AS BIGINT)
+         AS doc_tok_start,
+       CAST(least(n_tokens, (g.s + 1) * 256 - cum_start) AS BIGINT)
+         AS doc_tok_end,
+       CAST(cum_start + greatest(0, g.s * 256 - cum_start) - g.s * 256
+            AS BIGINT) AS seq_off
+FROM spans,
+     unnest(generate_series(cum_start // 256, (cum_end - 1) // 256))
+       AS g(s)
+"""
+
+EXT3_QUERIES["pack_sequences"] = q_pack_sequences
+EXT3_ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES
+
+
+# ---------------------------------------------------------------------
+# Corpus mixture + deterministic hash sampling (operators/sampling.py)
+# ---------------------------------------------------------------------
+
+#: target language mixture for the sampling queries (token shares of a
+#: 20k-char output budget, weighted by the n_chars column)
+_MIX_TARGETS = {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.15, "zh": 0.15}
+_MIX_BUDGET = 20000
+
+_SQL_MIX_SHARE = (
+    "CAST(CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.2 "
+    "WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 "
+    "ELSE 0.0 END AS DOUBLE)"
+)
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Per-language keep rates realizing the target mixture: rate =
+    min(1, share * budget / group_chars)."""
+    from grass_spark.operators.sampling import mixture_rates
+
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return mixture_rates(
+        d, _MIX_TARGETS, _MIX_BUDGET, weight_col="n_chars"
+    ).select(
+        "lang", "n_docs", "tokens", "target_share",
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )
+
+
+ORACLE_CORPUS_MIXTURE = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS tokens,
+       {_SQL_MIX_SHARE} AS target_share,
+       round(least(1.0, {_SQL_MIX_SHARE} * {_MIX_BUDGET}
+                        / CAST(sum(n_chars) AS BIGINT)), 6) AS keep_rate
+FROM documents GROUP BY lang
+"""
+
+EXT3_QUERIES["corpus_mixture"] = q_corpus_mixture
+EXT3_ORACLES["corpus_mixture"] = ORACLE_CORPUS_MIXTURE
+
+
+def q_mixture_sample(spark, sf_dir):
+    """End-to-end mixture sampling: the tiny mixture_rates frame
+    broadcasts into a deterministic md5-hash filter — the corpus side
+    never shuffles, and any engine reproduces the same sample."""
+    from grass_spark.operators.sampling import hash_sample, mixture_rates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    rates = mixture_rates(d, _MIX_TARGETS, _MIX_BUDGET, weight_col="n_chars")
+    return hash_sample(d, rates, salt="mix1").select("doc_id", "lang")
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH r AS (
+  SELECT lang,
+         least(1.0, {_SQL_MIX_SHARE} * {_MIX_BUDGET}
+                    / CAST(sum(n_chars) AS BIGINT)) AS keep_rate
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(d.doc_id || ':mix1'), 1, 8)) AS UBIGINT)
+      / 4294967296.0 < r.keep_rate
+"""
+
+EXT3_QUERIES["mixture_sample"] = q_mixture_sample
+EXT3_ORACLES["mixture_sample"] = ORACLE_MIXTURE_SAMPLE

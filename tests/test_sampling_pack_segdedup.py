@@ -1,0 +1,203 @@
+"""Unit tests: sampling.py (hash sampling + mixture), pack.py (sequence
+packing), segdedup.py (segment-level dedup)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from grass_spark.operators.pack import pack_sequences
+from grass_spark.operators.sampling import (
+    hash_sample,
+    mixture_rates,
+    uniform_hash,
+)
+from grass_spark.operators.segdedup import (
+    dedup_segments,
+    segments_by_separator,
+    segments_by_words,
+)
+
+# ---------------- sampling ----------------
+
+
+def test_uniform_hash_matches_hashlib(spark):
+    df = spark.range(50).select(
+        F.col("id"), uniform_hash(F.col("id"), "s1").alias("u")
+    )
+    for r in df.collect():
+        want = int(hashlib.md5(f"{r['id']}:s1".encode()).hexdigest()[:8], 16) / 2**32
+        assert r["u"] == pytest.approx(want, abs=0), (r["id"], r["u"], want)
+        assert 0.0 <= r["u"] < 1.0
+
+
+def test_hash_sample_global_rate_is_deterministic(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    kept1 = sorted(r["doc_id"] for r in hash_sample(df, 0.25).collect())
+    kept2 = sorted(r["doc_id"] for r in hash_sample(df, 0.25).collect())
+    assert kept1 == kept2
+    # a uniform hash keeps ~25%; 2000 trials, generous 5-sigma band
+    assert 380 <= len(kept1) <= 620
+
+
+def test_hash_sample_dict_rates_and_absent_group_drops(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(200)],
+        ["doc_id", "lang"],
+    )
+    kept = hash_sample(df, {"en": 1.0}, salt="t").collect()
+    assert all(r["lang"] == "en" for r in kept)
+    assert len(kept) == 100  # rate 1.0 keeps every en doc; xx dropped
+
+
+def test_hash_sample_rates_frame_matches_dict(spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(400)], ["doc_id", "lang"]
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    rdf = spark.createDataFrame(
+        list(rates.items()), ["lang", "keep_rate"]
+    )
+    via_dict = sorted(r["doc_id"] for r in hash_sample(df, rates).collect())
+    via_frame = sorted(r["doc_id"] for r in hash_sample(df, rdf).collect())
+    assert via_dict == via_frame
+    assert hash_sample(df, rdf).columns == df.columns
+
+
+def test_mixture_rates_upcapped_allocation(spark):
+    # en: 1000 toks, de: 100 toks; equal 0.5 shares of a 400 budget:
+    # en rate = 200/1000 = .2, de = min(1, 200/100) = 1.0 (kept whole)
+    df = spark.createDataFrame(
+        [(1, "en", 1000), (2, "de", 60), (3, "de", 40)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    r = {x["lang"]: x for x in
+         mixture_rates(df, {"en": 0.5, "de": 0.5}, 400).collect()}
+    assert r["en"]["keep_rate"] == pytest.approx(0.2)
+    assert r["de"]["keep_rate"] == 1.0
+    assert r["de"]["n_docs"] == 2 and r["de"]["tokens"] == 100
+
+
+def test_mixture_sample_plan_broadcasts_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en", 10) for i in range(100)], ["doc_id", "lang", "n_tokens"]
+    )
+    rates = mixture_rates(df, {"en": 1.0}, 10_000)
+    plan = hash_sample(df, rates)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------- sequence packing ----------------
+
+
+def _pack_rows(spark, docs, L, **kw):
+    df = spark.createDataFrame(docs, ["g", "doc_id", "n_tokens"])
+    return sorted(
+        pack_sequences(df, L, group_col="g", **kw).collect(),
+        key=lambda r: (r["g"], r["seq_id"], r["doc_id"]),
+    )
+
+
+def test_pack_straddling_doc_spans_sequences(spark):
+    # stream: a=3, b=10, c=3 tokens, L=4 -> 16 tokens = 4 sequences
+    rows = _pack_rows(spark, [("s", 1, 3), ("s", 2, 10), ("s", 3, 3)], 4)
+    got = [
+        (r["seq_id"], r["doc_id"], r["doc_tok_start"], r["doc_tok_end"], r["seq_off"])
+        for r in rows
+    ]
+    assert got == [
+        (0, 1, 0, 3, 0),   # doc1 fills seq0[0:3]
+        (0, 2, 0, 1, 3),   # doc2 token 0 completes seq0
+        (1, 2, 1, 5, 0),   # doc2 tokens 1..5 fill seq1
+        (2, 2, 5, 9, 0),   # ... seq2
+        (3, 2, 9, 10, 0),  # last doc2 token opens seq3
+        (3, 3, 0, 3, 1),   # doc3 follows inside seq3
+    ]
+
+
+def test_pack_spans_tile_each_sequence_exactly(spark):
+    docs = [("s", i, (i * 7) % 13 + 1) for i in range(60)]
+    rows = _pack_rows(spark, docs, 16)
+    per_seq: dict = {}
+    for r in rows:
+        per_seq.setdefault(r["seq_id"], []).append(r)
+    total = sum(n for _, _, n in docs)
+    for sid, rs in per_seq.items():
+        covered = sum(r["doc_tok_end"] - r["doc_tok_start"] for r in rs)
+        want = 16 if sid < total // 16 else total % 16
+        assert covered == want, (sid, covered)
+        # spans are contiguous inside the sequence
+        rs.sort(key=lambda r: r["seq_off"])
+        off = rs[0]["seq_off"]
+        assert off == 0 or sid == 0
+        for r in rs:
+            assert r["seq_off"] == off
+            off += r["doc_tok_end"] - r["doc_tok_start"]
+
+
+def test_pack_drop_partial_and_zero_token_docs(spark):
+    docs = [("s", 1, 5), ("s", 2, 0), ("s", 3, 6)]  # 11 tokens, L=4
+    rows = _pack_rows(spark, docs, 4, drop_partial=True)
+    assert all(r["doc_id"] != 2 for r in rows)
+    assert {r["seq_id"] for r in rows} == {0, 1}  # seq2 (3 tokens) dropped
+    full = _pack_rows(spark, docs, 4)
+    assert {r["seq_id"] for r in full} == {0, 1, 2}
+
+
+def test_pack_groups_are_independent_streams(spark):
+    rows = _pack_rows(spark, [("a", 1, 6), ("b", 2, 6)], 4)
+    by_g = {r["g"]: r for r in rows if r["seq_id"] == 0}
+    assert by_g["a"]["doc_id"] == 1 and by_g["b"]["doc_id"] == 2
+    assert all(r["seq_id"] in (0, 1) for r in rows)
+
+
+def test_pack_rejects_bad_seq_len(spark):
+    df = spark.createDataFrame([("s", 1, 3)], ["g", "doc_id", "n_tokens"])
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, 0, group_col="g")
+
+
+# ---------------- segment dedup ----------------
+
+
+def test_segdedup_separator_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Unique intro\n\nCopyright Footer\n\nmore body"),
+            (2, "Other text\n\ncopyright   footer"),  # dup modulo norm
+            (3, "copyright footer"),                  # nothing survives
+        ],
+        ["doc_id", "text"],
+    )
+    segs = segments_by_separator(df, "text", r"\n\n")
+    out = {r["doc_id"]: r for r in dedup_segments(segs).collect()}
+    assert out[1]["n_segments"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["dedup_text"] == "unique intro copyright footer more body"
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == "other text"
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+
+
+def test_segdedup_words_chunks_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y a b c")], ["doc_id", "text"]
+    )
+    segs = segments_by_words(df, "text", 2)
+    rows = {(r["doc_id"], r["seg_idx"]): r["seg"] for r in segs.collect()}
+    assert rows[(1, 0)] == "a b" and rows[(1, 2)] == "e"
+    assert rows[(2, 0)] == "x y"
+    out = {r["doc_id"]: r for r in dedup_segments(segs).collect()}
+    # doc2's "a b" chunk is a dup of doc1's first chunk; "c" chunk is
+    # NOT a dup of doc1's "c d" (chunks, not words)
+    assert out[2]["dedup_text"] == "x y c"
+    assert out[1]["n_kept"] == 3
+
+
+def test_segdedup_single_shuffle_on_segment(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    plan = (
+        dedup_segments(segments_by_words(df, "text", 2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
