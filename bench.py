@@ -108,6 +108,9 @@ TIER2 = [
     "pack_sequences",
     "corpus_mixture",
     "mixture_sample",
+    # round 4: PII redaction + repetition quality signals
+    "pii_redact",
+    "repetition_stats",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

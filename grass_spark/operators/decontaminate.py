@@ -8,18 +8,23 @@ documents are dropped before training.
 
 Scale shape (100 TB corpus, benchmark = eval-suite-sized, i.e. tiny):
 
-* corpus shingling is an ``explode`` — map-side, no shuffle;
+* corpus shingling is an index-``explode`` + slice — map-side, no
+  shuffle, and the split words array is materialized ONCE per row by
+  the Generate (the n=13 zip_with fold used by the MinHash family was
+  measured 23x slower here: 12 layers of string-concat churn; the
+  fold's sweet spot is small n — see dedup.shingles_of_words);
 * the benchmark shingle set is distinct-ed and **broadcast**, so the
   overlap probe is a broadcast hash join against every corpus
   partition — the 100-TB side never shuffles;
+* per-document counts are defined over window POSITIONS (doc i's
+  ``size(words) - n + 1`` shingle slots), so ``n_shingles`` is a
+  map-side expression — no corpus-wide distinct aggregation exists
+  anywhere in the plan;
 * the per-document report is one ``groupBy(doc_id)`` over *hit rows
   only* (candidate-sized, not corpus-sized);
 * ``decontaminate`` itself is a broadcast **left-anti** join of the
   corpus against the (tiny) flagged-id frame — again no corpus
   shuffle.
-
-Shingling reuses :mod:`grass_spark.operators.dedup`'s zip_with fold
-(JVM expressions only; see its perf note on lambda capture).
 """
 
 from __future__ import annotations
@@ -27,7 +32,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from grass_spark.operators.dedup import with_shingles
+from grass_spark.operators.dedup import normalize_text
+
+
+def shingle_positions(
+    df: DataFrame, text_col: str, n: int, *id_cols: str
+) -> DataFrame:
+    """One row per word-n-gram window position: ``(*id_cols,
+    n_shingles, idx, s)``.
+
+    Documents shorter than ``n`` words get a single position holding
+    the whole normalized text (same fallback rule as the dedup
+    family).  The words array is carried through the Generate row and
+    sliced per position — never re-split per element (the
+    lambda-capture hazard documented in dedup.shingles_of_words)."""
+    d = df.withColumn("_ws", F.split(normalize_text(F.col(text_col)), " "))
+    return (
+        d.select(
+            *id_cols,
+            F.greatest(F.size("_ws") - (n - 1), F.lit(1))
+            .cast("bigint")
+            .alias("n_shingles"),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("_ws") - n, F.lit(0)))
+            ).alias("idx"),
+            "_ws",
+        )
+        .withColumn("s", F.array_join(F.slice("_ws", F.col("idx") + 1, n), " "))
+        .drop("_ws")
+    )
 
 
 def contamination_report(
@@ -45,38 +78,31 @@ def contamination_report(
 
     Returns one row per contaminated corpus document:
 
-    * ``n_shingles``      — distinct shingles in the document;
-    * ``n_hit_shingles``  — distinct shingles also present anywhere in
+    * ``n_shingles``      — n-gram window positions in the document;
+    * ``n_hit_shingles``  — positions whose n-gram appears anywhere in
                             the benchmark;
     * ``n_bench_docs``    — distinct benchmark documents sharing at
-                            least one shingle;
+                            least one n-gram;
     * ``contamination``   — ``n_hit_shingles / n_shingles``.
 
     Documents shorter than ``n`` words fall back to a single
-    whole-text shingle (same rule as the dedup family), so a short doc
-    is contaminated iff its full normalized text appears verbatim.
+    whole-text position (same rule as the dedup family), so a short
+    doc is contaminated iff its full normalized text appears verbatim.
     """
     bench_id_col = bench_id_col or id_col
     bench_text_col = bench_text_col or text_col
 
-    sh = with_shingles(corpus, text_col, n).select(
-        F.col(id_col),
-        F.size("sh_arr").cast("bigint").alias("n_shingles"),
-        F.explode("sh_arr").alias("s"),
-    )
+    sh = shingle_positions(corpus, text_col, n, id_col)
     bsh = (
-        with_shingles(benchmark, bench_text_col, n)
-        .select(
-            F.col(bench_id_col).alias("bench_id"),
-            F.explode("sh_arr").alias("s"),
-        )
+        shingle_positions(benchmark, bench_text_col, n, bench_id_col)
+        .select(F.col(bench_id_col).alias("bench_id"), "s")
         .distinct()
     )
     hits = sh.join(F.broadcast(bsh), "s")
     return (
         hits.groupBy(id_col, "n_shingles")
         .agg(
-            F.countDistinct("s").alias("n_hit_shingles"),
+            F.countDistinct("idx").alias("n_hit_shingles"),
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
         .withColumn(
@@ -96,10 +122,11 @@ def decontaminate(
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
 ) -> DataFrame:
-    """Drop corpus documents sharing >= ``min_hit_shingles`` distinct
-    word ``n``-grams with the benchmark; passes through all corpus
-    columns unchanged.  The flagged-id side is benchmark-bounded
-    (tiny), so the anti-join broadcasts and the corpus never shuffles.
+    """Drop corpus documents with >= ``min_hit_shingles`` positions
+    whose word ``n``-gram appears in the benchmark; passes through all
+    corpus columns unchanged.  The flagged-id side is
+    benchmark-bounded (tiny), so the anti-join broadcasts and the
+    corpus never shuffles.
     """
     rep = contamination_report(
         corpus,

@@ -888,20 +888,20 @@ _SQL_SH13 = """
     SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
     FROM documents
   ), w13 AS (
-    SELECT doc_id, t, regexp_split_to_array(t, ' ') AS ws FROM nrm
+    SELECT doc_id, string_split(t, ' ') AS ws FROM nrm
   ), sh13 AS (
-    SELECT doc_id, unnest(
-      CASE WHEN len(ws) >= 13
-           THEN list_distinct(list_transform(
-                  generate_series(1, len(ws) - 12),
-                  i -> array_to_string(ws[i:i+12], ' ')))
-           ELSE [t] END) AS s
-    FROM w13
+    SELECT doc_id,
+           CAST(greatest(len(ws) - 12, 1) AS BIGINT) AS n_shingles,
+           CAST(g.i - 1 AS BIGINT) AS idx,
+           array_to_string(ws[g.i:g.i+12], ' ') AS s
+    FROM w13, unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS g(i)
   ),
   bench13 AS (
     SELECT DISTINCT doc_id AS bench_id, s FROM sh13 WHERE doc_id % 10 = 0
   ),
-  corpus13 AS (SELECT doc_id, s FROM sh13 WHERE doc_id % 10 <> 0)
+  corpus13 AS (
+    SELECT doc_id, n_shingles, idx, s FROM sh13 WHERE doc_id % 10 <> 0
+  )
 """
 
 
@@ -931,21 +931,14 @@ def q_contamination(spark, sf_dir):
 
 
 ORACLE_CONTAMINATION = f"""
-WITH {_SQL_SH13},
-nsh AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
-  FROM corpus13 GROUP BY doc_id
-),
-hits AS (
-  SELECT c.doc_id, c.s, b.bench_id FROM corpus13 c JOIN bench13 b USING (s)
-)
-SELECT h.doc_id, n.n_shingles,
-       CAST(count(DISTINCT h.s) AS BIGINT) AS n_hit_shingles,
-       CAST(count(DISTINCT h.bench_id) AS BIGINT) AS n_bench_docs,
-       round(CAST(count(DISTINCT h.s) AS DOUBLE) / n.n_shingles, 6)
+WITH {_SQL_SH13}
+SELECT c.doc_id, c.n_shingles,
+       CAST(count(DISTINCT c.idx) AS BIGINT) AS n_hit_shingles,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+       round(CAST(count(DISTINCT c.idx) AS DOUBLE) / c.n_shingles, 6)
          AS contamination
-FROM hits h JOIN nsh n USING (doc_id)
-GROUP BY h.doc_id, n.n_shingles
+FROM corpus13 c JOIN bench13 b USING (s)
+GROUP BY c.doc_id, c.n_shingles
 """
 
 EXT3_QUERIES["contamination"] = q_contamination
@@ -1146,3 +1139,157 @@ WHERE CAST(('0x' || substr(md5(d.doc_id || ':mix1'), 1, 8)) AS UBIGINT)
 
 EXT3_QUERIES["mixture_sample"] = q_mixture_sample
 EXT3_ORACLES["mixture_sample"] = ORACLE_MIXTURE_SAMPLE
+
+
+# ---------------------------------------------------------------------
+# PII redaction (operators/redact.py) — documents enriched with
+# deterministic synthetic PII (both engines build the same strings), so
+# the regex rules are exercised for real on every row
+# ---------------------------------------------------------------------
+
+_SQL_PII_ENRICH = """
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com'
+              || ' from 10.0.' || (doc_id % 256) || '.1'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ssn '
+                           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                           || '-'
+                           || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                           || '-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' call +1 (415) 555-0199' ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _pii_enrich(d):
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@mail.example.com"),
+            F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" ssn "),
+                    F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+                    F.lpad((did % 100).cast("string"), 2, "0"), F.lit("-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" call +1 (415) 555-0199"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """Typed PII scrubbing: per-rule match counts + the redacted text.
+    Pure regexp column expressions — zero shuffles, zero UDFs."""
+    from grass_spark.operators.redact import redact
+
+    d = _pii_enrich(_t(spark, sf_dir, "documents"))
+    out = redact(d)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_digits", "text"
+    )
+
+
+def _oracle_pii_redact() -> str:
+    """Build the DuckDB twin FROM the same PII_RULES table the engine
+    uses — one source of truth for the patterns."""
+    from grass_spark.operators.redact import PII_RULES
+
+    sql = f"WITH s0 AS (\n{_SQL_PII_ENRICH}\n)"
+    prev, counts = "s0", []
+    for i, (kind, pat, token) in enumerate(PII_RULES, start=1):
+        counts.append(f"n_{kind}")
+        keep = ", ".join(counts[:-1])
+        keep = keep + ", " if keep else ""
+        sql += (
+            f", s{i} AS (\n"
+            f"  SELECT doc_id, {keep}"
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+            f" AS n_{kind},\n"
+            f"         regexp_replace(text, '{pat}', '{token}', 'g') AS text\n"
+            f"  FROM {prev}\n)"
+        )
+        prev = f"s{i}"
+    return (
+        sql
+        + f"\nSELECT doc_id, {', '.join(counts)}, text FROM {prev}"
+    )
+
+
+EXT3_QUERIES["pii_redact"] = q_pii_redact
+EXT3_ORACLES["pii_redact"] = _oracle_pii_redact()
+
+
+# ---------------------------------------------------------------------
+# Repetition quality signals (operators/repetition.py) — the Gopher /
+# MassiveText repetition-fraction filters
+# ---------------------------------------------------------------------
+
+
+def q_repetition(spark, sf_dir):
+    """Per-doc word repetition, top-2-gram share, duplicated-5-gram
+    share — the standard low-quality-document signals."""
+    from grass_spark.operators.repetition import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = repetition_stats(d, top_n=2, dup_n=5)
+    return r.select(
+        "doc_id", "n_words",
+        F.round("word_rep_frac", 6).alias("word_rep_frac"),
+        F.round("top2_frac", 6).alias("top2_frac"),
+        F.round("dup5_frac", 6).alias("dup5_frac"),
+    )
+
+
+ORACLE_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+           AS word_rep_frac
+  FROM w
+), g2 AS (
+  SELECT doc_id, array_to_string(ws[g.i:g.i+1], ' ') AS g
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+), a2 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, max(c) AS top
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, array_to_string(ws[g.i:g.i+4], ' ') AS g
+  FROM w, unnest(generate_series(1, len(ws) - 4)) AS g(i)
+  WHERE len(ws) >= 5
+), a5 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, b.word_rep_frac,
+       round(coalesce(a2.top / CAST(a2.total AS DOUBLE), 0.0), 6)
+         AS top2_frac,
+       round(coalesce(a5.dup / CAST(a5.total AS DOUBLE), 0.0), 6)
+         AS dup5_frac
+FROM base b
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a5 USING (doc_id)
+"""
+
+EXT3_QUERIES["repetition_stats"] = q_repetition
+EXT3_ORACLES["repetition_stats"] = ORACLE_REPETITION

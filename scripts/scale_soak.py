@@ -82,6 +82,97 @@ def _dedup_soak(args) -> None:
     spark.stop()
 
 
+def _corpus_soak(args) -> None:
+    """Corpus-hygiene stack (round-4 operators) at 10^6 docs: benchmark
+    decontamination, segment dedup, sequence packing, mixture sampling.
+    Exercises the broadcast-probe and window shapes at a scale where a
+    stray corpus-side shuffle or per-element re-eval would dominate."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.decontaminate import decontaminate
+    from grass_spark.operators.pack import pack_sequences
+    from grass_spark.operators.sampling import hash_sample, mixture_rates
+    from grass_spark.operators.segdedup import dedup_segments, segments_by_words
+    from grass_spark.session import get_spark
+
+    n = args.corpus_docs
+    docs_path = os.path.join(args.data, f"docs_{n}")
+    marker = docs_path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_docs_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_documents(spark, n_docs=n).write.mode("overwrite").parquet(docs_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    spark = get_spark(
+        "soak_corpus", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    docs = (
+        spark.read.parquet(docs_path)
+        .select(
+            "doc_id", "text",
+            (F.abs(F.xxhash64(F.lit(9), "doc_id")) % 5).cast("string").alias("lang"),
+        )
+    )
+    out: dict = {"docs": n, "cores": args.cores, "gen_sec": gen_sec}
+
+    # 1. benchmark decontamination: eval suite = every 997th doc
+    bench = docs.filter(F.col("doc_id") % 997 == 0)
+    corpus = docs.filter(F.col("doc_id") % 997 != 0)
+    t0 = time.perf_counter()
+    kept = decontaminate(corpus, bench, n=13).count()
+    s = time.perf_counter() - t0
+    out["decontaminate_sec"] = round(s, 1)
+    out["decontaminate_docs_per_sec"] = round(n / s)
+    out["decontaminate_kept"] = int(kept)
+
+    # 2. segment dedup (10-word chunks, corpus-wide first occurrence)
+    t0 = time.perf_counter()
+    rep = dedup_segments(segments_by_words(docs, "text", 10))
+    agg = rep.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_segments").alias("segs"),
+        F.sum("n_kept").alias("kept"),
+    ).collect()[0]
+    s = time.perf_counter() - t0
+    out["segdedup_sec"] = round(s, 1)
+    out["segdedup_docs_per_sec"] = round(n / s)
+    out["segdedup_segments"] = int(agg["segs"])
+    out["segdedup_kept"] = int(agg["kept"])
+
+    # 3. sequence packing: 2048-token sequences, language shards
+    toks = docs.select(
+        "lang", "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    t0 = time.perf_counter()
+    n_slots = pack_sequences(toks, 2048, group_col="lang").count()
+    s = time.perf_counter() - t0
+    out["pack_sec"] = round(s, 1)
+    out["pack_docs_per_sec"] = round(n / s)
+    out["pack_slots"] = int(n_slots)
+
+    # 4. mixture sampling to equal language shares at 20% token budget
+    total = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    rates = mixture_rates(
+        toks, {str(g): 0.2 for g in range(5)}, int(total * 0.2)
+    )
+    t0 = time.perf_counter()
+    n_sampled = hash_sample(docs, rates, salt="soak").count()
+    s = time.perf_counter() - t0
+    out["sample_sec"] = round(s, 1)
+    out["sample_docs_per_sec"] = round(n / s)
+    out["sample_kept"] = int(n_sampled)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -107,10 +198,17 @@ def main() -> None:
                     help="instead of the rollup soak, run the dedup "
                          "stack (LSH caps + CC rounds) over N synthetic "
                          "documents with known duplicate structure")
+    ap.add_argument("--corpus-docs", type=int, default=0,
+                    help="instead of the rollup soak, run the corpus-"
+                         "hygiene stack (decontaminate, segment dedup, "
+                         "packing, mixture sampling) over N docs")
     args = ap.parse_args()
 
     if args.dedup_docs:
         _dedup_soak(args)
+        return
+    if args.corpus_docs:
+        _corpus_soak(args)
         return
 
     from grass_spark.datagen import synth_transcripts
