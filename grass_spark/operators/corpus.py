@@ -1,0 +1,157 @@
+"""End-to-end pre-training corpus preparation.
+
+``prepare_corpus`` composes the individually-tested hygiene operators
+into the standard pipeline order (the C4 / MassiveText / RefinedWeb
+recipe), all as ONE declarative Spark plan per stage:
+
+1. **PII redaction** (``redact``) — scrub before anything else reads
+   the text;
+2. **quality + repetition filter** — drop docs outside length bounds
+   or above the repetition-fraction thresholds;
+3. **exact dedup** — keep the smallest id per content hash;
+4. **near dedup** (MinHash-LSH, optional) — drop non-representative
+   members of near-duplicate clusters;
+5. **segment dedup** (optional) — strip corpus-wide repeated spans
+   and keep docs that retain ≥ ``min_kept_frac`` of their segments;
+6. **benchmark decontamination** — drop docs sharing a 13-gram with
+   the held-out eval suite;
+7. **mixture sampling** (optional) — deterministic hash sampling to a
+   target group mixture.
+
+Every stage is the same operator the driver queries gate one-by-one;
+this module only sequences them.  Stages that re-use the corpus more
+than once (near/segment dedup) checkpoint their input so lineage does
+not re-execute the upstream stages per action.
+
+Returns the surviving documents plus a ``stats`` dict of per-stage
+counts (each count is one cheap job on the stage's already-pruned
+frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grass_spark.operators.decontaminate import decontaminate
+from grass_spark.operators.dedup import exact_dedup, near_dedup
+from grass_spark.operators.redact import redact
+from grass_spark.operators.repetition import repetition_stats
+from grass_spark.operators.sampling import hash_sample, mixture_rates
+from grass_spark.operators.segdedup import dedup_segments, segments_by_words
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int | None = None,
+    max_word_rep_frac: float = 0.6,
+    max_dup5_frac: float = 0.6,
+    near_dedup_threshold: float | None = 0.8,
+    segment_words: int | None = None,
+    min_kept_frac: float = 0.5,
+    decontaminate_n: int = 13,
+    mixture_targets: dict[str, float] | None = None,
+    mixture_budget_tokens: int | None = None,
+    group_col: str = "lang",
+    collect_stats: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Run the full hygiene pipeline; see module docstring for stages.
+
+    ``None`` disables a stage (``benchmark=None`` skips
+    decontamination, ``near_dedup_threshold=None`` skips near dedup,
+    ``segment_words=None`` skips segment dedup, ``mixture_targets=None``
+    skips sampling).  ``collect_stats=False`` skips the per-stage count
+    jobs and returns an empty stats dict (pure-plan mode).
+    """
+    stats: dict = {}
+
+    def _count(stage: str, df: DataFrame) -> None:
+        if collect_stats:
+            stats[stage] = df.count()
+
+    _count("input", docs)
+
+    # 1. redaction (adds n_<kind> count columns, scrubs text in place)
+    cur = redact(docs, text_col=text_col)
+
+    # 2. quality gates: length bounds + repetition fractions
+    rep = repetition_stats(cur, id_col=id_col, text_col=text_col)
+    bounds = (F.col("n_words") >= min_words) & (
+        F.lit(True) if max_words is None else (F.col("n_words") <= max_words)
+    )
+    good = rep.filter(
+        bounds
+        & (F.col("word_rep_frac") <= max_word_rep_frac)
+        & (F.col("dup5_frac") <= max_dup5_frac)
+    ).select(id_col)
+    cur = cur.join(good, id_col, "left_semi")
+    _count("after_quality", cur)
+
+    # 3. exact dedup: keep the smallest id per content hash
+    keep_exact = exact_dedup(cur, id_col=id_col, text_col=text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    cur = cur.join(keep_exact, id_col, "left_semi")
+    _count("after_exact_dedup", cur)
+
+    # later stages scan `cur` repeatedly — cut lineage once
+    cur = cur.localCheckpoint(eager=False)
+
+    # 4. near dedup (MinHash-LSH + CC keep decisions)
+    if near_dedup_threshold is not None:
+        keep_near = near_dedup(
+            cur.select(id_col, text_col),
+            id_col=id_col, text_col=text_col,
+            jaccard_threshold=near_dedup_threshold,
+        ).filter(F.col("keep")).select(id_col)
+        cur = cur.join(keep_near, id_col, "left_semi")
+        _count("after_near_dedup", cur)
+
+    # 5. segment dedup: strip repeated spans, keep docs retaining
+    #    enough of themselves, swap in the cleaned text
+    if segment_words is not None:
+        seg = dedup_segments(
+            segments_by_words(cur, text_col, segment_words), id_col=id_col
+        ).filter(
+            F.col("n_kept") >= F.lit(min_kept_frac) * F.col("n_segments")
+        )
+        cur = (
+            cur.drop(text_col)
+            .join(
+                seg.select(id_col, F.col("dedup_text").alias(text_col)),
+                id_col,
+            )
+        )
+        _count("after_segment_dedup", cur)
+
+    # 6. benchmark decontamination
+    if benchmark is not None:
+        cur = decontaminate(
+            cur, benchmark, n=decontaminate_n,
+            id_col=id_col, text_col=text_col,
+        )
+        _count("after_decontaminate", cur)
+
+    # 7. mixture sampling
+    if mixture_targets is not None:
+        toks = cur.withColumn(
+            "_nt", F.size(F.split(F.col(text_col), r"\s+")).cast("bigint")
+        )
+        if mixture_budget_tokens is None:
+            total = toks.agg(F.sum("_nt")).collect()[0][0] or 0
+            mixture_budget_tokens = int(total * 0.5)
+        rates = mixture_rates(
+            toks, mixture_targets, mixture_budget_tokens,
+            group_col=group_col, weight_col="_nt",
+        )
+        cur = hash_sample(
+            toks, rates, id_col=id_col, group_col=group_col, salt="corpus"
+        ).drop("_nt")
+        _count("after_mixture_sample", cur)
+
+    return cur, stats

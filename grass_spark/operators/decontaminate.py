@@ -128,14 +128,33 @@ def decontaminate(
     benchmark-bounded (tiny), so the anti-join broadcasts and the
     corpus never shuffles.
     """
-    rep = contamination_report(
-        corpus,
-        benchmark,
-        n=n,
-        id_col=id_col,
-        text_col=text_col,
-        bench_id_col=bench_id_col,
-        bench_text_col=bench_text_col,
-    )
-    bad = rep.filter(F.col("n_hit_shingles") >= min_hit_shingles).select(id_col)
+    if min_hit_shingles <= 1:
+        # fast path: "any overlap" needs no per-doc counting — a semi
+        # join against the broadcast benchmark set + distinct over HIT
+        # ids only (candidate-sized), skipping the countDistinct expand
+        bench_text_col = bench_text_col or text_col
+        sh = shingle_positions(corpus, text_col, n, id_col)
+        bsh = (
+            shingle_positions(benchmark, bench_text_col, n)
+            .select("s")
+            .distinct()
+        )
+        bad = (
+            sh.join(F.broadcast(bsh), "s", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        rep = contamination_report(
+            corpus,
+            benchmark,
+            n=n,
+            id_col=id_col,
+            text_col=text_col,
+            bench_id_col=bench_id_col,
+            bench_text_col=bench_text_col,
+        )
+        bad = rep.filter(
+            F.col("n_hit_shingles") >= min_hit_shingles
+        ).select(id_col)
     return corpus.join(F.broadcast(bad), id_col, "left_anti")

@@ -1,0 +1,93 @@
+"""End-to-end prepare_corpus pipeline (operators/corpus.py): every
+stage drops exactly the docs it should, in the standard recipe order."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grass_spark.operators.corpus import prepare_corpus
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some food for the long cold winter"
+)
+GOOD2 = (
+    "completely different content about spark engines aggregating huge "
+    "tables with shuffles joins and windows at massive petabyte scale"
+)
+EVAL_Q = (
+    "what is the capital of the ancient kingdom that ruled the northern "
+    "river valley for three hundred years before the flood"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "en", GOOD),
+        (2, "en", GOOD),                          # exact dup of 1
+        (3, "en", GOOD.replace("green", "dark")),  # near dup of 1
+        (4, "en", "too short"),                   # quality: < 5 words
+        (5, "en", " ".join(["spam"] * 40)),       # quality: repetition
+        (6, "en", "leak " + EVAL_Q + " answer here okay"),  # contaminated
+        (7, "de", GOOD2),
+        (8, "de", "mail me at a@b.example.com " + GOOD2.replace("spark", "flink")),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame([(100, EVAL_Q)], ["doc_id", "text"])
+
+
+def test_stages_drop_expected_docs(spark, corpus, bench):
+    out, stats = prepare_corpus(corpus, bench, near_dedup_threshold=0.7)
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # 2 exact-dup, 3 near-dup, 4+5 quality, 6 contaminated -> 1, 7, 8
+    assert kept == [1, 7, 8]
+    assert stats["input"] == 8
+    assert stats["after_quality"] == 6          # 4, 5 gone
+    assert stats["after_exact_dedup"] == 5      # 2 gone
+    assert stats["after_near_dedup"] == 4       # 3 gone
+    assert stats["after_decontaminate"] == 3    # 6 gone
+
+
+def test_redaction_applied_before_output(spark, corpus, bench):
+    out, _ = prepare_corpus(corpus, bench, near_dedup_threshold=0.7,
+                            collect_stats=False)
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert "<EMAIL>" in r[8]["text"] and "a@b.example.com" not in r[8]["text"]
+    assert r[8]["n_email"] == 1
+
+
+def test_optional_stages_disabled(spark, corpus):
+    out, stats = prepare_corpus(
+        corpus, None, near_dedup_threshold=None, collect_stats=True
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # only quality + exact dedup run: near-dup 3 and "contaminated" 6 stay
+    assert kept == [1, 3, 6, 7, 8]
+    assert "after_near_dedup" not in stats
+    assert "after_decontaminate" not in stats
+
+
+def test_segment_dedup_and_mixture_stages(spark, corpus, bench):
+    out, stats = prepare_corpus(
+        corpus,
+        bench,
+        near_dedup_threshold=0.7,
+        segment_words=10,
+        min_kept_frac=0.3,
+        mixture_targets={"en": 0.5, "de": 0.5},
+        mixture_budget_tokens=10_000,  # huge budget -> rates cap at 1.0
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert kept == [1, 7, 8]  # rates 1.0: sampling drops nothing
+    # segment dedup runs BEFORE decontamination: doc 6 still present
+    assert stats["after_segment_dedup"] == 4
+    assert stats["after_mixture_sample"] == 3
+    # segment dedup rewrote text from normalized segments
+    t = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert t[1].startswith("the quick brown fox")
