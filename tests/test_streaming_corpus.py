@@ -1,0 +1,66 @@
+"""Streaming corpus hygiene: the stateless stages (PII redaction,
+map-side quality gates, deterministic hash sampling) compose onto a
+file stream unchanged and emit batch-identical rows.
+
+The stateful stages stay batch/foreachBatch territory by design:
+near/segment dedup and decontamination aggregate across documents
+(first-occurrence election, per-doc hit counts), which in a stream
+means unbounded state; the ingest pattern is stream the stateless
+scrub, micro-batch the corpus-wide ops via foreachBatch (same split as
+streaming/continuous.py's cascade)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grass_spark.operators.redact import redact
+from grass_spark.operators.sampling import hash_sample
+
+
+def _hygiene(df):
+    """Stateless scrub: redact, keep docs >= 5 words with word-rep
+    <= 0.6 (map-side array exprs), 50% deterministic hash sample."""
+    ws = F.split(F.col("text"), r"\s+")
+    scrubbed = redact(df).withColumn("n_words", F.size(ws).cast("bigint"))
+    kept = scrubbed.filter(
+        (F.col("n_words") >= 5)
+        & (1.0 - F.size(F.array_distinct(ws)) / F.size(ws).cast("double")
+           <= 0.6)
+    )
+    return hash_sample(kept, 0.5, salt="stream")
+
+
+def test_stream_hygiene_matches_batch(spark, tmp_path):
+    rows = [
+        (1, "mail a@b.example.com the quick brown fox jumps over dogs"),
+        (2, "too short"),
+        (3, " ".join(["spam"] * 30)),
+        (4, "completely unique prose about engines and shuffles at scale"),
+        (5, "call +1 (415) 555-0199 about the seven distinct topics today"),
+        (6, "another perfectly ordinary document with enough words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    in_dir = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(in_dir)
+
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 2
+    ).parquet(in_dir)
+    q = (
+        _hygiene(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # availableNow drains deterministically
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: r for r in _hygiene(docs).collect()}
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert got[k]["text"] == want[k]["text"]
+        assert got[k]["n_email"] == want[k]["n_email"]
+        assert got[k]["n_digits"] == want[k]["n_digits"]
