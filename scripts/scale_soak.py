@@ -157,6 +157,31 @@ def _corpus_soak(args) -> None:
     out["pack_docs_per_sec"] = round(n / s)
     out["pack_slots"] = int(n_slots)
 
+    # 3b. PII redaction (pure projection — measures regex throughput)
+    from grass_spark.operators.redact import redact
+
+    t0 = time.perf_counter()
+    n_red = redact(docs).agg(
+        F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_ssn")
+              + F.col("n_digits"))
+    ).collect()[0][0]
+    s = time.perf_counter() - t0
+    out["redact_sec"] = round(s, 1)
+    out["redact_docs_per_sec"] = round(n / s)
+    out["redact_hits"] = int(n_red or 0)
+
+    # 3c. repetition quality signals ((doc, gram) groupBy shapes)
+    from grass_spark.operators.repetition import repetition_stats
+
+    t0 = time.perf_counter()
+    n_repet = repetition_stats(docs).filter(
+        (F.col("word_rep_frac") > 0.6) | (F.col("dup5_frac") > 0.6)
+    ).count()
+    s = time.perf_counter() - t0
+    out["repetition_sec"] = round(s, 1)
+    out["repetition_docs_per_sec"] = round(n / s)
+    out["repetition_flagged"] = int(n_repet)
+
     # 4. mixture sampling to equal language shares at 20% token budget
     total = toks.agg(F.sum("n_tokens")).collect()[0][0]
     rates = mixture_rates(
