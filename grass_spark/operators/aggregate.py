@@ -184,8 +184,20 @@ def series(
     keys = ["conv_id"] if keys is None else list(keys)
     if where:
         df = df.filter(F.expr(where))
+    # same pandas-kernel auto-split as aggregate(): the extent min/max
+    # are JVM aggregates, so pandas kernels must live in their own
+    # co-keyed agg (see aggregate()'s placement note)
+    from grass_spark.functions.kernels import PANDAS_KERNELS
+
+    jvm_methods = [m for m in methods if m not in PANDAS_KERNELS]
+    pd_methods = [m for m in methods if m in PANDAS_KERNELS]
+    if pd_methods and propagate_null:
+        raise ValueError(
+            "propagate_null is not supported with pandas kernels "
+            f"({pd_methods}); filter NULL groups beforehand"
+        )
     aggs = agg_exprs(
-        methods, value_col, idx_col=idx_col, quantile=quantile,
+        jvm_methods, value_col, idx_col=idx_col, quantile=quantile,
         propagate_null=propagate_null,
     )
     extent_end = (
@@ -198,6 +210,18 @@ def series(
         F.min(ts_col).alias("series_start"),
         extent_end.alias("series_end"),
     )
+    if pd_methods:
+        out = out.join(
+            df.groupBy(*keys).agg(
+                *agg_exprs(pd_methods, value_col, idx_col=idx_col,
+                           quantile=quantile)
+            ),
+            keys,
+        )
+        meta = [c for c in out.columns if c not in methods]
+        out = out.select(*[c for c in meta
+                           if c not in ("series_start", "series_end")],
+                         *methods, "series_start", "series_end")
     return out
 
 

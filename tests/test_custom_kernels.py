@@ -96,6 +96,24 @@ def test_mixed_pandas_and_jvm_kernels_autosplit(spark, _clean):
         aggregate(df, "1 hour", ["count", "geomean"], propagate_null=True)
 
 
+def test_pandas_kernel_in_series(spark, _clean):
+    from grass_spark.operators.aggregate import series
+
+    def geomean(s) -> float:
+        return float(np.exp(np.log(s.to_numpy()).mean()))
+
+    register_kernel("geomean", pandas_fn=geomean, spark=spark)
+    t0 = datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [("c1", t0 + timedelta(minutes=m), float(v))
+         for m, v in [(0, 2.0), (10, 8.0)]],
+        ["conv_id", "ts", "value"],
+    )
+    r = series(df, ["count", "geomean"]).collect()[0]
+    assert r["count"] == 2 and r["geomean"] == pytest.approx(4.0)
+    assert r["series_start"] == t0
+
+
 def test_register_guard_rails(spark, _clean):
     with pytest.raises(ValueError, match="exactly one"):
         register_kernel("x", lambda v, i: "1", pandas_fn=lambda s: 0.0)
