@@ -111,6 +111,8 @@ TIER2 = [
     # round 4: PII redaction + repetition quality signals
     "pii_redact",
     "repetition_stats",
+    # round 4: n-gram LM perplexity quality filter
+    "lm_perplexity",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

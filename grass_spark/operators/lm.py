@@ -1,0 +1,116 @@
+"""N-gram language-model perplexity scoring (the CCNet quality filter).
+
+CCNet-style pipelines score every document against a language model
+trained on a trusted reference corpus and keep the low-perplexity
+stratum (gibberish, boilerplate and mojibake score high).  This is the
+n-gram formulation: a bigram model with add-k smoothing,
+
+    P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k * V),
+
+``doc_logprob = mean(-log2 P)`` over the document's bigram positions
+and ``perplexity = 2 ** doc_logprob``.
+
+Scale shape (100 TB corpus):
+
+* model training is two map-side-combined ``groupBy`` counts (bigram,
+  first-word) over the reference corpus — the model IS a DataFrame,
+  arbitrarily large, never collected;
+* scoring is two bounded equi-joins (positions ⋈ bigram counts on the
+  bigram key, ⋈ first-word counts on w1) + one ``groupBy(doc)``;
+* the vocabulary size joins in as a 1-row broadcast (no driver
+  collect in the plan);
+* unseen bigrams take the smoothed floor via left joins + coalesce(0).
+
+Everything is JVM expressions; the gram explode uses the
+index-explode + slice shape (see PLANS.md round-4 notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grass_spark.operators.dedup import normalize_text
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, idx, w1, w2) — one row per bigram position; docs with
+    fewer than 2 words have none."""
+    d = df.withColumn("_ws", F.split(normalize_text(F.col(text_col)), " "))
+    return (
+        d.filter(F.size("_ws") >= 2)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("_ws") - 2)).alias("idx"),
+            "_ws",
+        )
+        .select(
+            id_col,
+            "idx",
+            F.element_at("_ws", F.col("idx") + 1).alias("w1"),
+            F.element_at("_ws", F.col("idx") + 2).alias("w2"),
+        )
+    )
+
+
+def bigram_model(
+    train: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the model: (bigram counts, first-word counts, 1-row vocab
+    size) — three DataFrames, no driver materialization."""
+    grams = _bigram_rows(train, id_col, text_col)
+    big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        train.withColumn(
+            "_w", F.explode(F.split(normalize_text(F.col(text_col)), " "))
+        )
+        .agg(F.countDistinct("_w").cast("double").alias("v"))
+    )
+    return big, uni, vocab
+
+
+def lm_score(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram cross-entropy + perplexity.
+
+    ``model`` is :func:`bigram_model` output; with neither ``model``
+    nor ``train`` given, the model trains on ``docs`` itself (the
+    self-scoring mode: outliers against the corpus's own statistics).
+    Returns one row per doc with >= 1 bigram: ``n_bigrams``,
+    ``logprob`` (mean -log2 P) and ``perplexity``.
+    """
+    if model is None:
+        model = bigram_model(
+            train if train is not None else docs,
+            id_col=id_col, text_col=text_col,
+        )
+    big, uni, vocab = model
+    k = float(add_k)
+    pos = _bigram_rows(docs, id_col, text_col)
+    scored = (
+        pos.join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "_p",
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v")),
+        )
+        .withColumn("_nlp", -F.log2("_p"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("_nlp").alias("logprob"),
+        )
+        .withColumn("perplexity", F.pow(F.lit(2.0), F.col("logprob")))
+    )

@@ -1293,3 +1293,61 @@ LEFT JOIN a5 USING (doc_id)
 
 EXT3_QUERIES["repetition_stats"] = q_repetition
 EXT3_ORACLES["repetition_stats"] = ORACLE_REPETITION
+
+
+# ---------------------------------------------------------------------
+# N-gram LM perplexity (operators/lm.py) — the CCNet quality filter:
+# self-scored add-0.5 bigram model over the documents corpus
+# ---------------------------------------------------------------------
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Per-doc bigram cross-entropy + perplexity against the corpus's
+    own bigram statistics (outlier detection mode).  Model = two count
+    frames + a 1-row broadcast vocab; scoring = two equi-joins and one
+    groupBy(doc)."""
+    from grass_spark.operators.lm import lm_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = lm_score(d)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("logprob", 6).alias("logprob"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM pos GROUP BY w1, w2
+), uni AS (
+  SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1 FROM big GROUP BY w1
+), voc AS (
+  SELECT CAST(count(DISTINCT wrd) AS DOUBLE) AS v
+  FROM (SELECT unnest(ws) AS wrd FROM w)
+), sc AS (
+  SELECT p.doc_id,
+         -log2((coalesce(b.c12, 0) + 0.5)
+               / (coalesce(u.c1, 0) + 0.5 * voc.v)) AS nlp
+  FROM pos p
+  LEFT JOIN big b USING (w1, w2)
+  LEFT JOIN uni u USING (w1)
+  CROSS JOIN voc
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nlp), 6) AS logprob,
+       round(pow(2.0, avg(nlp)), 6) AS perplexity
+FROM sc GROUP BY doc_id
+"""
+
+EXT3_QUERIES["lm_perplexity"] = q_lm_perplexity
+EXT3_ORACLES["lm_perplexity"] = ORACLE_LM_PERPLEXITY
