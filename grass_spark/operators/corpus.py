@@ -7,7 +7,9 @@ recipe), all as ONE declarative Spark plan per stage:
 1. **PII redaction** (``redact``) — scrub before anything else reads
    the text;
 2. **quality + repetition filter** — drop docs outside length bounds
-   or above the repetition-fraction thresholds;
+   or above the repetition-fraction thresholds; optionally an LM
+   perplexity gate (``max_perplexity``, CCNet-style) against the
+   corpus's own bigram statistics;
 3. **exact dedup** — keep the smallest id per content hash;
 4. **near dedup** (MinHash-LSH, optional) — drop non-representative
    members of near-duplicate clusters;
@@ -51,6 +53,7 @@ def prepare_corpus(
     max_words: int | None = None,
     max_word_rep_frac: float = 0.6,
     max_dup5_frac: float = 0.6,
+    max_perplexity: float | None = None,
     near_dedup_threshold: float | None = 0.8,
     segment_words: int | None = None,
     min_kept_frac: float = 0.5,
@@ -91,6 +94,18 @@ def prepare_corpus(
     ).select(id_col)
     cur = cur.join(good, id_col, "left_semi")
     _count("after_quality", cur)
+
+    # 2b. LM perplexity gate (optional): self-scored bigram model over
+    # the quality-surviving corpus; docs above the threshold drop
+    # (docs with no bigram positions were already length-gated)
+    if max_perplexity is not None:
+        from grass_spark.operators.lm import lm_score
+
+        ok = lm_score(cur, id_col=id_col, text_col=text_col).filter(
+            F.col("perplexity") <= max_perplexity
+        ).select(id_col)
+        cur = cur.join(ok, id_col, "left_semi")
+        _count("after_lm_filter", cur)
 
     # 3. exact dedup: keep the smallest id per content hash
     keep_exact = exact_dedup(cur, id_col=id_col, text_col=text_col).select(

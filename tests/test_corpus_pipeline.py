@@ -73,6 +73,18 @@ def test_optional_stages_disabled(spark, corpus):
     assert "after_decontaminate" not in stats
 
 
+def test_lm_perplexity_stage(spark, corpus, bench):
+    # an absurdly low threshold drops everything; a huge one nothing
+    out, stats = prepare_corpus(
+        corpus, None, near_dedup_threshold=None, max_perplexity=1.0
+    )
+    assert stats["after_lm_filter"] == 0 and out.count() == 0
+    out2, stats2 = prepare_corpus(
+        corpus, None, near_dedup_threshold=None, max_perplexity=1e9
+    )
+    assert stats2["after_lm_filter"] == stats2["after_quality"]
+
+
 def test_segment_dedup_and_mixture_stages(spark, corpus, bench):
     out, stats = prepare_corpus(
         corpus,
