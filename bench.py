@@ -113,6 +113,9 @@ TIER2 = [
     "repetition_stats",
     # round 4: n-gram LM perplexity quality filter
     "lm_perplexity",
+    # round 4: semantic dedup (SemDeDup) + training-export sharding
+    "semantic_dedup",
+    "export_shards",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

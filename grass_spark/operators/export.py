@@ -1,0 +1,92 @@
+"""Training-export sharding: deterministic global shuffle + shard files.
+
+The last stage of a training-data pipeline: the cleaned corpus must be
+(a) randomly permuted — documents from one source must not arrive in
+runs, or the loss curve sees correlated batches — and (b) split into a
+fixed number of equal-ish shard files that data loaders stream
+round-robin.  Both must be DETERMINISTIC (re-running the export
+reproduces byte-identical shards) — so no ``rand()``: the permutation
+key is the portable md5 hash of the document id
+(:func:`grass_spark.operators.sampling.uniform_hash`), reproducible in
+any engine and independent of partition layout.
+
+Spark shapes (100 TB story):
+
+* ``shard_id = floor(u * n_shards)`` is a map-side expression; the ONE
+  shuffle in the whole export is the repartition on ``shard_id`` —
+  exactly the data movement a sharded write requires, no more.
+* in-shard order is ``sortWithinPartitions(u)`` — sort happens inside
+  each shard task, no global sort, no range exchange.
+* ``pos`` (position within shard) in :func:`shard_assignments` is a
+  per-shard window over the same partitioning, so the rank costs no
+  extra exchange after the repartition.
+* hash-permutation keeps shard sizes balanced (binomial around
+  N/n_shards) without a count or a global pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from grass_spark.operators.sampling import uniform_hash
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "export",
+) -> DataFrame:
+    """Label every row with its shard and its position within the shard.
+
+    Adds ``shard_id`` (0..n_shards-1) and ``pos`` (0-based rank of the
+    row inside its shard under the permutation order).  The permutation
+    key is ``uniform_hash(id, salt)`` with the id itself as a total
+    tie-break, so the assignment is a pure function of (id, salt,
+    n_shards) — stable across runs, engines, and partition layouts.
+    """
+    u = uniform_hash(F.col(id_col), salt)
+    out = df.withColumn("_u", u).withColumn(
+        "shard_id", F.floor(F.col("_u") * n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("_u"), F.col(id_col)
+    )
+    return (
+        out.withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("_u")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "export",
+    format: str = "parquet",
+) -> None:
+    """Write the permuted corpus as ``n_shards`` shard directories.
+
+    One repartition on ``shard_id`` (the only shuffle), in-partition
+    sort by the permutation key, ``partitionBy(shard_id)`` layout so a
+    loader opens ``shard_id=K/`` directly.  Deterministic: re-running
+    produces the same rows in the same order per shard.
+    """
+    u = uniform_hash(F.col(id_col), salt)
+    out = (
+        df.withColumn("_u", u)
+        .withColumn("shard_id", F.floor(F.col("_u") * n_shards).cast("int"))
+        .repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("_u", id_col)
+        .drop("_u")
+    )
+    (
+        out.write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(format)
+        .save(path)
+    )

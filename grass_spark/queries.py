@@ -812,3 +812,10 @@ from grass_spark.queries_ext3 import EXT3_ORACLES, EXT3_QUERIES  # noqa: E402
 
 QUERIES.update(EXT3_QUERIES)
 ORACLES.update(EXT3_ORACLES)
+
+# fourth wave (semantic dedup, training-export sharding) —
+# grass_spark.queries_ext4
+from grass_spark.queries_ext4 import EXT4_ORACLES, EXT4_QUERIES  # noqa: E402
+
+QUERIES.update(EXT4_QUERIES)
+ORACLES.update(EXT4_ORACLES)

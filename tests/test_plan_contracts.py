@@ -87,7 +87,7 @@ def test_all_driver_queries_plan_lint(spark):
     # see the post-checkpoint truncated plan anyway.  Their component
     # plans are linted via minhash_pairs / jaccard_verify above and the
     # dedup plan-contract tests.
-    eager_iterative = {"near_dedup_keep"}
+    eager_iterative = {"near_dedup_keep", "semantic_dedup"}
     failures = []
     for name in sorted(set(QUERIES) - eager_iterative):
         try:

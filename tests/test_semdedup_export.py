@@ -1,0 +1,135 @@
+"""Semantic dedup (SemDeDup-style) + training-export sharding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grass_spark.operators.export import shard_assignments, write_shards
+from grass_spark.operators.semdedup import (
+    assign_clusters,
+    seeded_centroid_frame,
+    semantic_dedup,
+    semantic_pairs,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+# ids 0-2 are the seeded centroids (one per axis); 3-7 are the corpus:
+# a near-dup pair on x, a near-dup trio-with-centroid on y, a singleton
+GROUPS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.0, 1.0, 0.0, 0.0]),
+    (2, [0.0, 0.0, 1.0, 0.0]),
+    (3, [0.99, 0.1, 0.0, 0.0]),     # near-dup of 4 (x cluster)
+    (4, [0.98, 0.12, 0.0, 0.0]),
+    (5, [0.05, 0.99, 0.0, 0.0]),    # near-dup of 1 and 6 (y cluster)
+    (6, [0.1, 0.95, 0.0, 0.0]),
+    (7, [0.0, 0.1, 0.99, 0.0]),     # z cluster, alone near its centroid? no —
+                                    # cos(7, 2) ~ 0.995 >= 0.9: pairs with 2
+]
+
+
+def test_semantic_dedup_groups_and_singletons(spark):
+    out = semantic_dedup(_emb(spark, GROUPS), k=3, threshold=0.9)
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert got == {
+        0: (0, True), 3: (0, False), 4: (0, False),   # x group incl. centroid
+        1: (1, True), 5: (1, False), 6: (1, False),   # y group incl. centroid
+        2: (2, True), 7: (2, False),                  # z pair
+    }
+
+
+def test_semantic_pairs_only_within_cluster(spark):
+    emb = _emb(spark, GROUPS)
+    cents = seeded_centroid_frame(emb, 3)
+    assert cents.count() == 3
+    assigned = assign_clusters(emb, cents)
+    # every row lands in exactly one cluster
+    assert assigned.count() == len(GROUPS)
+    pairs = semantic_pairs(assigned, 0.9).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # cross-axis pairs (cosine ~0) never appear even if clustered oddly
+    assert got == {(0, 3), (0, 4), (3, 4), (1, 5), (1, 6), (5, 6), (2, 7)}
+    for r in pairs:
+        assert r["cosine"] >= 0.9
+
+
+def test_semantic_cluster_cap_bounds_pairs(spark):
+    emb = _emb(spark, GROUPS)
+    assigned = assign_clusters(emb, seeded_centroid_frame(emb, 3))
+    # cap 2: only the 2 smallest ids per cluster participate — each
+    # cluster contributes at most one edge
+    capped = {(r["id_a"], r["id_b"])
+              for r in semantic_pairs(assigned, 0.9, cluster_cap=2).collect()}
+    assert capped == {(0, 3), (1, 5), (2, 7)}
+
+
+def test_semantic_dedup_deterministic(spark):
+    emb = _emb(spark, GROUPS)
+    a = sorted(map(tuple, semantic_dedup(emb, k=3, threshold=0.9).collect()))
+    b = sorted(map(tuple, semantic_dedup(emb, k=3, threshold=0.9).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------
+# export sharding
+# ---------------------------------------------------------------------
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+
+
+def test_shard_assignments_partition_and_positions(spark):
+    out = shard_assignments(_docs(spark), 4).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard_id"] < 4
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    # positions are a contiguous 0-based range per shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # hash permutation balances shards (binomial: no empty/megashard)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] > 0 and sizes[-1] < 200
+
+
+def test_shard_assignments_deterministic_and_salted(spark):
+    d = _docs(spark)
+    a = sorted(map(tuple, shard_assignments(d, 4).collect()))
+    b = sorted(map(tuple, shard_assignments(d, 4).collect()))
+    assert a == b
+    alt = sorted(map(tuple, shard_assignments(d, 4, salt="other").collect()))
+    assert a != alt  # salt changes the permutation
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    d = _docs(spark, 100)
+    path = str(tmp_path / "shards")
+    write_shards(d, path, 4)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert set(back.columns) == {"doc_id", "text", "shard_id"}
+    # the written layout matches shard_assignments' labeling
+    expect = {
+        (r["doc_id"], r["shard_id"])
+        for r in shard_assignments(d, 4).select("doc_id", "shard_id").collect()
+    }
+    got = {(r["doc_id"], r["shard_id"]) for r in back.collect()}
+    assert got == expect
+    # determinism: a rewrite produces identical per-shard row order
+    first = back.withColumn("_f", F.input_file_name()).collect()
+    write_shards(d, path, 4)
+    second = spark.read.parquet(path).withColumn("_f", F.input_file_name()).collect()
+    key = lambda rows: sorted((r["shard_id"], r["doc_id"]) for r in rows)  # noqa: E731
+    assert key(first) == key(second)
