@@ -116,6 +116,7 @@ TIER2 = [
     # round 4: semantic dedup (SemDeDup) + training-export sharding
     "semantic_dedup",
     "export_shards",
+    "dataset_splits",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

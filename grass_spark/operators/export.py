@@ -60,6 +60,38 @@ def shard_assignments(
     )
 
 
+def split_assignments(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split labels.
+
+    ``fractions`` maps split name -> fraction; they must sum to ~1.
+    The id's uniform hash falls into cumulative ranges in the given
+    insertion order, so every row gets exactly one label, assignment is
+    a pure function of (id, salt, fractions), and disjointness /
+    coverage hold by construction — no rand(), no global pass, no
+    shuffle (the label is a scan-stage CASE chain).
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = uniform_hash(F.col(id_col), salt)
+    expr = None
+    hi = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += fractions[name]
+        cond = u < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def write_shards(
     df: DataFrame,
     path: str,

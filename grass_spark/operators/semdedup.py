@@ -73,27 +73,37 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid (max cosine) assignment.
+    """Nearest-centroid (max cosine) assignment — fully map-side.
 
-    Broadcast the k-row centroid frame, fan each corpus row out k ways,
-    keep the best (similarity desc, centroid id asc — deterministic on
-    ties).  Adds ``cluster_id``; passes ``id_col`` + the double-cast
-    vector through as ``_e`` for downstream pair scoring.
+    The k-row centroid frame collects to the driver (bounded by
+    construction: it IS the quantizer) and ships as literal arrays in
+    the plan, the same shape as IVF's ``_cell_of``; the winner is
+    ``array_max`` over (similarity, -centroid_id) structs — argmax with
+    similarity-desc / centroid-id-asc tie-break, identical to a
+    ``row_number`` over the fanned-out pairs but with ZERO shuffle and
+    no N x k row blow-up.  Similarity is rounded to 6 decimals so the
+    tie-break is engine-portable (the DuckDB oracle replays the same
+    rounded argmax).  Adds ``cluster_id``; passes ``id_col`` + the
+    double-cast vector through as ``_e`` for downstream pair scoring.
     """
+    import math
+
+    cents = [(r["c_id"], list(r["ce"])) for r in centroids.collect()]
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("_e"))
-    sim = F.round(
-        dot("_e", "ce") / (l2norm("_e") * l2norm("ce")), 6
-    ).alias("_sim")
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("_sim"), F.asc("c_id")
-    )
-    return (
-        e.crossJoin(F.broadcast(centroids))  # k-row side — BNLJ, never CartesianProduct
-        .select(id_col, "_e", F.col("c_id"), sim)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "_e", F.col("c_id").alias("cluster_id"))
-    )
+    scored = []
+    for c_id, ce in cents:
+        lit_c = F.array(*[F.lit(float(v)) for v in ce])
+        # same a/(b*c) shape and left-to-right norm sum as the DuckDB
+        # oracle so the rounded value agrees bit-for-bit
+        c_norm = math.sqrt(sum((v * v for v in ce), 0.0))
+        sim = F.round(
+            dot("_e", lit_c) / (l2norm("_e") * F.lit(c_norm)), 6
+        )
+        scored.append(F.struct(
+            sim.alias("s"), F.lit(-c_id).cast("long").alias("ni")
+        ))
+    best = F.array_max(F.array(*scored))
+    return e.withColumn("cluster_id", (-best["ni"]).cast("long"))
 
 
 def semantic_pairs(

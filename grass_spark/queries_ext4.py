@@ -120,3 +120,46 @@ FROM u
 
 EXT4_QUERIES["export_shards"] = q_export_shards
 EXT4_ORACLES["export_shards"] = ORACLE_EXPORT_SHARDS
+
+
+def q_dataset_splits(spark, sf_dir):
+    """Deterministic train/val/test labels (75/12.5/12.5 — dyadic
+    fractions so the cumulative thresholds are float-exact in any
+    engine) + per-split size/char totals as a second sanity column
+    set.  The label is a scan-stage CASE chain; the only shuffle is
+    the tiny per-split rollup."""
+    from grass_spark.operators.export import split_assignments
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lab = split_assignments(
+        d, {"train": 0.75, "val": 0.125, "test": 0.125}
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_DATASET_SPLITS = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(doc_id || ':split'), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+), lab AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN u < 0.75 THEN 'train'
+              WHEN u < 0.875 THEN 'val'
+              ELSE 'test' END AS split
+  FROM u
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM lab GROUP BY split
+"""
+
+EXT4_QUERIES["dataset_splits"] = q_dataset_splits
+EXT4_ORACLES["dataset_splits"] = ORACLE_DATASET_SPLITS

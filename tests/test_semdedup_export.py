@@ -77,6 +77,17 @@ def test_semantic_dedup_deterministic(spark):
     assert a == b
 
 
+def test_assign_clusters_plan_is_map_side(spark):
+    """Centroid assignment ships literals — zero Exchange, zero Python,
+    no N x k row fan-out (the argmax is array_max over structs)."""
+    emb = _emb(spark, GROUPS)
+    assigned = assign_clusters(emb, seeded_centroid_frame(emb, 3))
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    for marker in ("Exchange", "CartesianProduct", "BatchEvalPython",
+                   "BroadcastNestedLoopJoin", "Join"):
+        assert marker not in plan, f"{marker} in assignment plan"
+
+
 # ---------------------------------------------------------------------
 # export sharding
 # ---------------------------------------------------------------------
@@ -111,6 +122,30 @@ def test_shard_assignments_deterministic_and_salted(spark):
     assert a == b
     alt = sorted(map(tuple, shard_assignments(d, 4, salt="other").collect()))
     assert a != alt  # salt changes the permutation
+
+
+def test_split_assignments_partition_of_corpus(spark):
+    import pytest
+
+    from grass_spark.operators.export import split_assignments
+
+    d = _docs(spark, 400)
+    out = split_assignments(
+        d, {"train": 0.75, "val": 0.125, "test": 0.125}
+    ).collect()
+    assert len(out) == 400  # every row labeled exactly once
+    sizes: dict[str, int] = {}
+    for r in out:
+        sizes[r["split"]] = sizes.get(r["split"], 0) + 1
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+    # deterministic
+    again = split_assignments(
+        d, {"train": 0.75, "val": 0.125, "test": 0.125}
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        split_assignments(d, {"train": 0.5, "val": 0.1})
 
 
 def test_write_shards_roundtrip(spark, tmp_path):
