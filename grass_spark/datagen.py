@@ -203,3 +203,51 @@ def write_transcripts(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def synth_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 100_000,
+    dims: int = 64,
+    dup_stride: int = 10,
+    n_dups: int = 2,
+    eps: float = 0.01,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic embedding corpus with planted near-duplicates —
+    the semantic-dedup stress input (scripts/scale_soak.py).
+
+    Every ``dup_stride``-th id is a group head; the next ``n_dups`` ids
+    carry the head's vector plus ``eps``-scaled noise (cosine >> 0.99);
+    all other ids are independent pseudo-random vectors (near-orthogonal
+    in ``dims`` dimensions — |cos| ~ 1/sqrt(dims)).  ``true_head``
+    carries the ground truth (-1 for non-duplicates).  Purely
+    expression-based and deterministic at any parallelism.
+    """
+    df = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    is_dup = (F.col("vec_id") % dup_stride) <= n_dups
+    base = F.when(
+        is_dup, F.col("vec_id") - (F.col("vec_id") % dup_stride)
+    ).otherwise(F.col("vec_id"))
+    df = df.withColumn("_base", base)
+    idx = F.sequence(F.lit(0), F.lit(dims - 1))
+
+    def _u(key, j, salt):
+        h = F.xxhash64(
+            F.concat_ws(":", key.cast("string"), j.cast("string"),
+                        F.lit(f"{salt}{seed}"))
+        )
+        return (F.pmod(h, F.lit(1000003)) / 1000003.0) - 0.5
+
+    vec = F.transform(
+        idx,
+        lambda j: (_u(F.col("_base"), j, "b")
+                   + F.lit(eps) * _u(F.col("vec_id"), j, "n")).cast("float"),
+    )
+    return df.select(
+        "vec_id",
+        vec.alias("embedding"),
+        F.when(
+            is_dup & (F.col("vec_id") % dup_stride > 0), F.col("_base")
+        ).otherwise(F.lit(-1)).cast("long").alias("true_head"),
+    )

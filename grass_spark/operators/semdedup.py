@@ -11,9 +11,10 @@ connected components pick one survivor per semantic group.
 
 Spark shapes (100 TB story):
 
-* cluster assignment — corpus x broadcast(k centroid rows); one narrow
-  k-fan-out + a row_number window keyed by vec_id (map-side after the
-  broadcast).  The corpus never shuffles to get its cluster.
+* cluster assignment — zero-shuffle, two physical strategies: literal
+  expression argmax for small k (bit-identical to the DuckDB oracle)
+  or an Arrow-batched numpy matmul for large k (one BLAS call per
+  record batch).  The corpus never shuffles to get its cluster.
 * within-cluster pairs — a self equi-join on ``cluster_id`` with an
   optional per-cluster cap (same contract as the LSH bucket cap in
   :mod:`grass_spark.operators.dedup`): a runaway cluster degrades to
@@ -34,6 +35,8 @@ on top of SURVEY §2 (grades as first-class per the round-3 verdict).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -66,44 +69,117 @@ def seeded_centroid_frame(
     )
 
 
+# Above this many k*dims literal doubles the expression-tree assignment
+# stops being viable: at k=781 x 64 dims (a 200k-vec SemDeDup run) the
+# plan carried a 7.2 MiB task binary and codegen alone ran for minutes.
+# The Arrow path replaces the k-way expression fan-out with one numpy
+# matmul per record batch — same rounded argmax, BLAS-speed.
+_EXPR_KDIMS_LIMIT = 4096
+
+
 def assign_clusters(
     emb: DataFrame,
     centroids: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    probes: int = 1,
 ) -> DataFrame:
     """Nearest-centroid (max cosine) assignment — fully map-side.
 
     The k-row centroid frame collects to the driver (bounded by
-    construction: it IS the quantizer) and ships as literal arrays in
-    the plan, the same shape as IVF's ``_cell_of``; the winner is
-    ``array_max`` over (similarity, -centroid_id) structs — argmax with
-    similarity-desc / centroid-id-asc tie-break, identical to a
-    ``row_number`` over the fanned-out pairs but with ZERO shuffle and
-    no N x k row blow-up.  Similarity is rounded to 6 decimals so the
-    tie-break is engine-portable (the DuckDB oracle replays the same
-    rounded argmax).  Adds ``cluster_id``; passes ``id_col`` + the
-    double-cast vector through as ``_e`` for downstream pair scoring.
+    construction: it IS the quantizer).  Two physical strategies, both
+    zero-shuffle and with the identical contract (similarity rounded to
+    6 decimals, argmax with similarity-desc / centroid-id-asc
+    tie-break, so the DuckDB oracle replays the same assignment):
+
+    * ``"expr"`` — centroids ship as literal arrays in the plan; the
+      winner is ``array_max`` over (similarity, -centroid_id) structs,
+      the same shape as IVF's ``_cell_of``.  Pure Catalyst expressions,
+      bit-identical to the oracle — but the tree is O(k*dims) literals,
+      which stops compiling usefully past a few thousand
+      (``_EXPR_KDIMS_LIMIT``).
+    * ``"arrow"`` — a vectorized ``pandas_udf``: the centroid matrix
+      rides the closure once per executor and each Arrow record batch
+      costs one numpy matmul (BLAS) + rounded argmax.  numpy's pairwise
+      summation can differ from the expression fold in the last ulp
+      *before* rounding, so this path is equivalent-after-rounding
+      rather than bit-identical — the small-k oracle queries therefore
+      stay on ``"expr"``.
+
+    ``"auto"`` picks ``"arrow"`` when ``k*dims > _EXPR_KDIMS_LIMIT``.
+    Adds ``cluster_id``; passes ``id_col`` + the double-cast vector
+    through as ``_e`` for downstream pair scoring.
+
+    ``probes > 1`` is IVF-style soft assignment: each vector lands in
+    its ``probes`` nearest clusters (one output row per probe, same
+    (-sim, centroid-id) ordering), recovering near-dup pairs whose
+    members straddle a cluster boundary — measured 5.8% of planted
+    dups at k=200 single-probe.  Pair work scales by at most
+    ``probes``x; downstream components already ``distinct()`` edges,
+    so duplicated pairs are harmless.
     """
     import math
 
     cents = [(r["c_id"], list(r["ce"])) for r in centroids.collect()]
+    # ascending c_id so the arrow path's argmax-first == smallest-id
+    # tie-break; harmless for the expr path (explicit -c_id in the max)
+    cents.sort(key=lambda t: t[0])
+    dims = len(cents[0][1]) if cents else 0
+    if method == "auto":
+        method = "arrow" if len(cents) * dims > _EXPR_KDIMS_LIMIT else "expr"
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be expr/arrow/auto, got {method!r}")
+    if not 1 <= probes <= len(cents):
+        raise ValueError(f"probes must be in [1, k], got {probes}")
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("_e"))
-    scored = []
-    for c_id, ce in cents:
-        lit_c = F.array(*[F.lit(float(v)) for v in ce])
-        # same a/(b*c) shape and left-to-right norm sum as the DuckDB
-        # oracle so the rounded value agrees bit-for-bit
-        c_norm = math.sqrt(sum((v * v for v in ce), 0.0))
-        sim = F.round(
-            dot("_e", lit_c) / (l2norm("_e") * F.lit(c_norm)), 6
+    if method == "expr":
+        scored = []
+        for c_id, ce in cents:
+            lit_c = F.array(*[F.lit(float(v)) for v in ce])
+            # same a/(b*c) shape and left-to-right norm sum as the DuckDB
+            # oracle so the rounded value agrees bit-for-bit
+            c_norm = math.sqrt(sum((v * v for v in ce), 0.0))
+            sim = F.round(
+                dot("_e", lit_c) / (l2norm("_e") * F.lit(c_norm)), 6
+            )
+            scored.append(F.struct(
+                sim.alias("s"), F.lit(-c_id).cast("long").alias("ni")
+            ))
+        if probes == 1:
+            best = F.array_max(F.array(*scored))
+            return e.withColumn("cluster_id", (-best["ni"]).cast("long"))
+        # struct sort is (s asc, ni asc); reversed = (s desc, c_id asc)
+        top = F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, probes)
+        return e.withColumn(
+            "cluster_id",
+            F.explode(F.transform(top, lambda t: (-t["ni"]).cast("long"))),
         )
-        scored.append(F.struct(
-            sim.alias("s"), F.lit(-c_id).cast("long").alias("ni")
-        ))
-    best = F.array_max(F.array(*scored))
-    return e.withColumn("cluster_id", (-best["ni"]).cast("long"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    c_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    c_norm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    @pandas_udf("array<long>")
+    def _nearest(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series([], dtype="object")
+        emat = np.vstack(batch.to_numpy())
+        e_norm = np.sqrt((emat * emat).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round(
+                (emat @ cmat.T) / (e_norm[:, None] * c_norm[None, :]), 6
+            )
+        # stable argsort on -sims: ties keep column order = c_id asc —
+        # the same (-sim, centroid-id) ordering as the expr struct sort
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :probes]
+        return pd.Series(list(c_ids[top]))
+
+    assigned = e.withColumn("cluster_id", F.explode(_nearest("_e")))
+    return assigned
 
 
 def semantic_pairs(
@@ -130,18 +206,23 @@ def semantic_pairs(
             .filter(F.col("_crn") <= cluster_cap)
             .drop("_crn")
         )
+    # hoist each row's norm above the cluster_id exchange: the shuffle
+    # materializes it, so a pair costs one dot instead of dot + 2 norms
+    # (same expression tree, same doubles — parity-safe)
     lhs = a.select(
         F.col("cluster_id"),
         F.col(id_col).alias("id_a"),
         F.col("_e").alias("_ea"),
+        l2norm("_e").alias("_na"),
     )
     rhs = a.select(
         F.col("cluster_id"),
         F.col(id_col).alias("id_b"),
         F.col("_e").alias("_eb"),
+        l2norm("_e").alias("_nb"),
     )
     sim = F.round(
-        dot("_ea", "_eb") / (l2norm("_ea") * l2norm("_eb")), 6
+        dot("_ea", "_eb") / (F.col("_na") * F.col("_nb")), 6
     )
     return (
         lhs.join(rhs, on="cluster_id")
@@ -162,6 +243,8 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     cluster_cap: int | None = None,
     max_iters: int | None = None,
+    assign_method: str = "auto",
+    probes: int = 1,
 ) -> DataFrame:
     """End-to-end semantic dedup: every input id labeled with its
     semantic-group survivor.
@@ -175,7 +258,10 @@ def semantic_dedup(
         if centroids is not None
         else seeded_centroid_frame(emb, k, id_col=id_col, vec_col=vec_col)
     )
-    assigned = assign_clusters(emb, cents, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(
+        emb, cents, id_col=id_col, vec_col=vec_col,
+        method=assign_method, probes=probes,
+    )
     pairs = semantic_pairs(
         assigned, threshold, id_col=id_col, cluster_cap=cluster_cap
     )

@@ -82,6 +82,77 @@ def _dedup_soak(args) -> None:
     spark.stop()
 
 
+def _semdedup_soak(args) -> None:
+    """SemDeDup end-to-end over a planted-duplicate embedding corpus:
+    exercises the literal-centroid assignment, the within-cluster pair
+    join, and the pointer-doubling components at 50-200x unit-test
+    scale, with the same-input two-parallelism evidence the north rule
+    asks for (interleaved lo/hi rounds, min-of-N)."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_embeddings
+    from grass_spark.operators.semdedup import semantic_dedup
+    from grass_spark.session import get_spark
+
+    n = args.semdedup_vecs
+    k = max(16, n // 256)  # SemDeDup contract: k grows with N so
+    # cluster population stays ~256 and the pair join stays bounded
+    vec_path = os.path.join(args.data, f"embs_{n}")
+    marker = vec_path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_emb_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_embeddings(spark, n_vecs=n).write.mode("overwrite").parquet(vec_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    def one_run(cores: int) -> tuple[float, int, int, int]:
+        spark = get_spark(
+            "soak_semdedup", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+        )
+        emb = spark.read.parquet(vec_path)
+        t0 = time.perf_counter()
+        out = semantic_dedup(
+            emb.select("vec_id", "embedding"), k=k, threshold=0.9,
+            probes=2,  # soft assignment recovers boundary-split dups
+        )
+        flagged = out.filter(~F.col("keep")).select("vec_id")
+        truth = emb.filter(F.col("true_head") >= 0).select("vec_id")
+        n_planted = truth.count()
+        caught = truth.join(flagged, "vec_id").count()
+        n_flagged = flagged.count()
+        dt = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        return dt, n_planted, caught, n_flagged
+
+    lo, hi = 2, args.cores
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    stats = None
+    for _ in range(3):  # interleaved rounds, min-of-3 (one-sided noise)
+        for cores in (lo, hi):
+            dt, n_planted, caught, n_flagged = one_run(cores)
+            times[cores].append(dt)
+            stats = (n_planted, caught, n_flagged)
+    n_planted, caught, n_flagged = stats
+    sec_lo, sec_hi = min(times[lo]), min(times[hi])
+    speedup = round(sec_lo / sec_hi, 3)
+    print(json.dumps({
+        "vecs": n, "k": k, "gen_sec": gen_sec,
+        "cores_lo": lo, "cores_hi": hi,
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "times_lo": times[lo], "times_hi": times[hi],
+        "vecs_per_sec_hi": round(n / sec_hi),
+        "speedup": speedup,
+        "efficiency": round(speedup / (hi / lo), 3),
+        "planted": int(n_planted), "caught": int(caught),
+        "recall": round(caught / max(n_planted, 1), 4),
+        "false_positives": int(n_flagged - caught),
+    }))
+
+
 def _corpus_soak(args) -> None:
     """Corpus-hygiene stack (round-4 operators) at 10^6 docs: benchmark
     decontamination, segment dedup, sequence packing, mixture sampling.
@@ -223,6 +294,10 @@ def main() -> None:
                     help="instead of the rollup soak, run the dedup "
                          "stack (LSH caps + CC rounds) over N synthetic "
                          "documents with known duplicate structure")
+    ap.add_argument("--semdedup-vecs", type=int, default=0,
+                    help="instead of the rollup soak, run semantic "
+                         "dedup over N planted-duplicate embeddings "
+                         "with lo/hi-core scaling evidence")
     ap.add_argument("--corpus-docs", type=int, default=0,
                     help="instead of the rollup soak, run the corpus-"
                          "hygiene stack (decontaminate, segment dedup, "
@@ -234,6 +309,9 @@ def main() -> None:
         return
     if args.corpus_docs:
         _corpus_soak(args)
+        return
+    if args.semdedup_vecs:
+        _semdedup_soak(args)
         return
 
     from grass_spark.datagen import synth_transcripts

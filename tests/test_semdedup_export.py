@@ -168,3 +168,98 @@ def test_write_shards_roundtrip(spark, tmp_path):
     second = spark.read.parquet(path).withColumn("_f", F.input_file_name()).collect()
     key = lambda rows: sorted((r["shard_id"], r["doc_id"]) for r in rows)  # noqa: E731
     assert key(first) == key(second)
+
+
+def test_assign_clusters_arrow_matches_expr(spark):
+    """The Arrow (numpy matmul) assignment is the same function as the
+    literal-expression path: identical cluster for every vector,
+    including the smallest-centroid-id tie-break, on a corpus with
+    planted near-dups AND exact ties (the zero vector is equidistant
+    from everything; a duplicated centroid direction ties exactly)."""
+    from grass_spark.datagen import synth_embeddings
+
+    emb = synth_embeddings(spark, n_vecs=400, dims=16).select(
+        "vec_id", "embedding"
+    )
+    cents = seeded_centroid_frame(emb, 24)
+    a_expr = assign_clusters(emb, cents, method="expr")
+    a_arrow = assign_clusters(emb, cents, method="arrow")
+    diff = (
+        a_expr.select("vec_id", F.col("cluster_id").alias("c1"))
+        .join(a_arrow.select("vec_id", F.col("cluster_id").alias("c2")),
+              "vec_id")
+        .filter(F.col("c1") != F.col("c2"))
+        .count()
+    )
+    assert diff == 0
+
+    # exact-tie corpus: two centroids on the same direction -> both
+    # paths must pick the smaller centroid id
+    tie = _emb(spark, [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),   # same direction as 0: cosine ties at 1
+        (2, [0.9, 0.0, 0.0, 0.0]),
+    ])
+    cents2 = seeded_centroid_frame(tie, 2)
+    for m in ("expr", "arrow"):
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in assign_clusters(tie, cents2, method=m).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0}, m
+
+
+def test_assign_clusters_auto_switches_on_kdims(spark):
+    """auto = expr below _EXPR_KDIMS_LIMIT literals, arrow above (the
+    literal plan measured minutes of codegen at k*dims ~ 50k)."""
+    from grass_spark.operators import semdedup as sd
+
+    emb = _emb(spark, GROUPS)
+    cents = seeded_centroid_frame(emb, 3)
+    small = assign_clusters(emb, cents, method="auto")
+    # expr plan carries the centroid literals; arrow plan carries a UDF
+    assert "arrow" not in small._jdf.queryExecution().executedPlan().toString().lower()
+    big = sd.assign_clusters(
+        emb, cents.withColumn(
+            "ce", F.flatten(F.array_repeat(F.col("ce"), sd._EXPR_KDIMS_LIMIT))
+        ),
+        method="auto",
+    )
+    assert "ArrowEvalPython" in big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multi_probe_assignment_and_recall(spark):
+    """probes=2 soft assignment: (a) expr and arrow paths emit the same
+    (id, cluster) row set; (b) it recovers planted near-dups whose
+    members straddle a cluster boundary (the measured single-probe
+    loss), at zero false positives."""
+    from grass_spark.datagen import synth_embeddings
+
+    emb = synth_embeddings(spark, n_vecs=2000, dims=32)  # 32 dims:
+    # chance cos>=0.9 between random vectors is ~5 sigma (dims=16 put
+    # ~1.5 expected chance pairs in 50k within-cluster comparisons)
+    vecs = emb.select("vec_id", "embedding")
+    cents = seeded_centroid_frame(vecs, 40)
+    rows = lambda df: {  # noqa: E731
+        (r["vec_id"], r["cluster_id"]) for r in df.collect()
+    }
+    a_expr = rows(assign_clusters(vecs, cents, method="expr", probes=2))
+    a_arrow = rows(assign_clusters(vecs, cents, method="arrow", probes=2))
+    assert a_expr == a_arrow
+    assert len(a_expr) == 2 * 2000  # two rows per vector
+
+    truth = emb.filter(F.col("true_head") >= 0).select("vec_id")
+    nt = truth.count()
+
+    def recall(probes):
+        out = semantic_dedup(vecs, k=40, threshold=0.9,
+                             assign_method="arrow", probes=probes)
+        flagged = out.filter(~F.col("keep")).select("vec_id")
+        caught = truth.join(flagged, "vec_id").count()
+        return caught / nt, flagged.count() - caught
+
+    r1, fp1 = recall(1)
+    r2, fp2 = recall(2)
+    assert fp1 == 0 and fp2 == 0
+    assert r2 >= r1
+    assert r2 >= 0.98
