@@ -188,15 +188,35 @@ def semantic_pairs(
     *,
     id_col: str = "vec_id",
     cluster_cap: int | None = None,
+    method: str = "expr",
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: cosine >= ``threshold``.
 
-    Self equi-join on ``cluster_id`` (id_a < id_b).  ``cluster_cap``
-    bounds a pathological cluster exactly like the LSH bucket cap —
-    only the first ``cap`` members (by id) participate, so the worst
-    cluster costs cap^2, never |cluster|^2.  The similarity is rounded
-    to 6 decimals BEFORE the threshold compare so the predicate is
-    engine-portable (same contract as the knn_cosine ranking).
+    ``cluster_cap`` bounds a pathological cluster exactly like the LSH
+    bucket cap — only the first ``cap`` members (by id) participate, so
+    the worst cluster costs cap^2, never |cluster|^2.  The similarity
+    is rounded to 6 decimals BEFORE the threshold compare so the
+    predicate is engine-portable (same contract as knn_cosine).
+
+    Two physical strategies:
+
+    * ``"expr"`` — self equi-join on ``cluster_id`` (id_a < id_b) with
+      the dot product as a zip_with fold.  Bit-identical to the DuckDB
+      oracle, but each of the ~|cluster|^2/2 candidate pairs pays a
+      64-element array allocation + fold in the JVM — measured 161 s
+      for 102M candidates at 8 cores (the whole-pipeline bottleneck).
+    * ``"arrow"`` — ``applyInPandas`` over cluster groups: one
+      ``G @ G.T`` BLAS matmul per cluster, pairs emitted from the
+      upper triangle.  The only data movement is one shuffle of the
+      member rows (|corpus| x probes, NOT |pairs|); the matmul does
+      the same 102M dots in a few GFLOP.  Equivalent-after-round(6)
+      rather than bit-identical (BLAS pairwise summation), so oracle
+      queries stay on ``"expr"``.  Per-group memory is cap^2 doubles —
+      set ``cluster_cap`` when clusters can exceed ~10k members.
+
+    With multi-probe assignment a pair sharing two clusters is emitted
+    once per shared cluster (both strategies); downstream components
+    ``distinct()`` edges, so duplicates are harmless.
     """
     a = assigned
     if cluster_cap is not None:
@@ -205,6 +225,35 @@ def semantic_pairs(
             a.withColumn("_crn", F.row_number().over(w))
             .filter(F.col("_crn") <= cluster_cap)
             .drop("_crn")
+        )
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be expr or arrow, got {method!r}")
+    if method == "arrow":
+        id_type = dict(a.dtypes)[id_col]
+
+        def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            emat = np.vstack(pdf["_e"].to_numpy())
+            norm = np.sqrt((emat * emat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (emat @ emat.T) / (norm[:, None] * norm[None, :]), 6
+                )
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ids[ia] < ids[ib]
+            return pd.DataFrame({
+                "id_a": ids[ia][keep],
+                "id_b": ids[ib][keep],
+                "cosine": sims[ia, ib][keep],
+            })
+
+        return (
+            a.select("cluster_id", id_col, "_e")
+            .groupBy("cluster_id")
+            .applyInPandas(
+                _score,
+                f"id_a {id_type}, id_b {id_type}, cosine double",
+            )
         )
     # hoist each row's norm above the cluster_id exchange: the shuffle
     # materializes it, so a pair costs one dot instead of dot + 2 norms
@@ -258,12 +307,24 @@ def semantic_dedup(
         if centroids is not None
         else seeded_centroid_frame(emb, k, id_col=id_col, vec_col=vec_col)
     )
+    # resolve the physical strategy ONCE so assignment and pair scoring
+    # switch together: past _EXPR_KDIMS_LIMIT the literal plan stops
+    # compiling AND clusters are numerous enough that the per-cluster
+    # BLAS matmul beats the JVM fold join (measured 161 s -> single
+    # digits on 102M candidate pairs)
+    resolved = assign_method
+    if resolved == "auto":
+        row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dims = row["d"] if row else 0
+        kk = k if centroids is None else centroids.count()
+        resolved = "arrow" if kk * dims > _EXPR_KDIMS_LIMIT else "expr"
     assigned = assign_clusters(
         emb, cents, id_col=id_col, vec_col=vec_col,
-        method=assign_method, probes=probes,
+        method=resolved, probes=probes,
     )
     pairs = semantic_pairs(
-        assigned, threshold, id_col=id_col, cluster_cap=cluster_cap
+        assigned, threshold, id_col=id_col, cluster_cap=cluster_cap,
+        method=resolved,
     )
     comps = dedup_clusters(pairs, max_iters=max_iters)
     return (

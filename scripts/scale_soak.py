@@ -113,7 +113,10 @@ def _semdedup_soak(args) -> None:
             "soak_semdedup", cores=cores,
             shuffle_partitions=max(cores * 4, 32),
         )
-        emb = spark.read.parquet(vec_path)
+        # the 200k-vec parquet is ~50 MB = 1-2 scan splits; repartition
+        # so the map-side phases actually use the cores (at real scale
+        # input splits provide this for free)
+        emb = spark.read.parquet(vec_path).repartition(cores * 4)
         t0 = time.perf_counter()
         out = semantic_dedup(
             emb.select("vec_id", "embedding"), k=k, threshold=0.9,

@@ -263,3 +263,55 @@ def test_multi_probe_assignment_and_recall(spark):
     assert fp1 == 0 and fp2 == 0
     assert r2 >= r1
     assert r2 >= 0.98
+
+
+def test_semantic_pairs_arrow_matches_expr(spark):
+    """The per-cluster BLAS matmul path emits the same (id_a, id_b)
+    set with the same rounded cosines as the equi-join fold path, and
+    respects cluster_cap identically."""
+    from grass_spark.datagen import synth_embeddings
+
+    emb = synth_embeddings(spark, n_vecs=1500, dims=32).select(
+        "vec_id", "embedding"
+    )
+    assigned = assign_clusters(
+        emb, seeded_centroid_frame(emb, 30), method="arrow", probes=2
+    )
+    for cap in (None, 40):
+        p_expr = semantic_pairs(assigned, 0.9, cluster_cap=cap,
+                                method="expr")
+        p_arrow = semantic_pairs(assigned, 0.9, cluster_cap=cap,
+                                 method="arrow")
+        rows = lambda df: {  # noqa: E731
+            (r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()
+        }
+        assert rows(p_expr) == rows(p_arrow), f"cap={cap}"
+        assert len(rows(p_expr)) > 0
+
+
+def test_semantic_dedup_auto_resolves_both_stages(spark):
+    """auto at large k*dims routes BOTH assignment and pair scoring to
+    arrow (FlatMapGroupsInPandas in the plan, no 100k-literal tree) and
+    still returns exact keep decisions on planted dups."""
+    from grass_spark.datagen import synth_embeddings
+
+    emb = synth_embeddings(spark, n_vecs=3000, dims=32)
+    vecs = emb.select("vec_id", "embedding")
+    # k*dims = 150*32 = 4800 > _EXPR_KDIMS_LIMIT -> auto resolves arrow
+    # for BOTH stages (the end-to-end plan hides them behind the CC
+    # localCheckpoint, so assert at component level)
+    cents = seeded_centroid_frame(vecs, 150)
+    assigned = assign_clusters(vecs, cents, method="auto", probes=2)
+    aplan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in aplan
+    pplan = (
+        semantic_pairs(assigned, 0.9, method="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in pplan
+    out = semantic_dedup(vecs, k=150, threshold=0.9, probes=2)
+    truth = emb.filter(F.col("true_head") >= 0).select("vec_id")
+    flagged = out.filter(~F.col("keep")).select("vec_id")
+    caught = truth.join(flagged, "vec_id").count()
+    assert caught / truth.count() >= 0.98
+    assert flagged.count() == caught
