@@ -77,6 +77,17 @@ def seeded_centroid_frame(
 _EXPR_KDIMS_LIMIT = 4096
 
 
+def centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    """Bridge a trained quantizer (e.g.
+    :func:`grass_spark.operators.similarity.train_ivf_centroids`'s
+    ``list[list[float]]``) into the (c_id, ce) frame
+    :func:`assign_clusters` consumes; ``c_id`` is the list index."""
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "c_id long, ce array<double>",
+    )
+
+
 def assign_clusters(
     emb: DataFrame,
     centroids: DataFrame,

@@ -315,3 +315,26 @@ def test_semantic_dedup_auto_resolves_both_stages(spark):
     caught = truth.join(flagged, "vec_id").count()
     assert caught / truth.count() >= 0.98
     assert flagged.count() == caught
+
+
+def test_semantic_dedup_with_trained_ivf_centroids(spark):
+    """The documented plug-in path: train_ivf_centroids output bridged
+    via centroid_frame drives the same pipeline — planted dups still
+    collapse, at k-means-quality clusters instead of seeded ones."""
+    from grass_spark.datagen import synth_embeddings
+    from grass_spark.operators.semdedup import centroid_frame
+    from grass_spark.operators.similarity import train_ivf_centroids
+
+    emb = synth_embeddings(spark, n_vecs=2000, dims=32)
+    vecs = emb.select("vec_id", "embedding")
+    trained = train_ivf_centroids(vecs, dims=32, n_centroids=40,
+                                  sample=512, iters=5)
+    out = semantic_dedup(
+        vecs, threshold=0.9, centroids=centroid_frame(spark, trained),
+        probes=2,
+    )
+    truth = emb.filter(F.col("true_head") >= 0).select("vec_id")
+    flagged = out.filter(~F.col("keep")).select("vec_id")
+    caught = truth.join(flagged, "vec_id").count()
+    assert caught / truth.count() >= 0.98
+    assert flagged.count() == caught
