@@ -76,6 +76,10 @@ def seeded_centroid_frame(
 # matmul per record batch — same rounded argmax, BLAS-speed.
 _EXPR_KDIMS_LIMIT = 4096
 
+# Row-block height for the per-cluster sims matmul: peak scorer memory
+# is _SCORE_BLOCK_ROWS x |cluster| doubles regardless of cluster size.
+_SCORE_BLOCK_ROWS = 2048
+
 
 def centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
     """Bridge a trained quantizer (e.g.
@@ -246,17 +250,28 @@ def semantic_pairs(
             ids = pdf[id_col].to_numpy()
             emat = np.vstack(pdf["_e"].to_numpy())
             norm = np.sqrt((emat * emat).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(
-                    (emat @ emat.T) / (norm[:, None] * norm[None, :]), 6
-                )
-            ia, ib = np.nonzero(sims >= threshold)
-            keep = ids[ia] < ids[ib]
-            return pd.DataFrame({
-                "id_a": ids[ia][keep],
-                "id_b": ids[ib][keep],
-                "cosine": sims[ia, ib][keep],
-            })
+            # row-blocked matmul: peak memory is B x |cluster| doubles
+            # (~16 MB at B=2048 x 1M... no — B x n; a degenerate giant
+            # cluster costs compute (the documented cap contract) but
+            # never materializes the full n^2 sims matrix)
+            blk = _SCORE_BLOCK_ROWS
+            parts = []
+            for s in range(0, len(ids), blk):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.round(
+                        (emat[s:s + blk] @ emat.T)
+                        / (norm[s:s + blk, None] * norm[None, :]), 6
+                    )
+                ia, ib = np.nonzero(sims >= threshold)
+                keep = ids[ia + s] < ids[ib]
+                parts.append(pd.DataFrame({
+                    "id_a": ids[ia + s][keep],
+                    "id_b": ids[ib][keep],
+                    "cosine": sims[ia, ib][keep],
+                }))
+            return pd.concat(parts) if parts else pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": []}
+            )
 
         return (
             a.select("cluster_id", id_col, "_e")

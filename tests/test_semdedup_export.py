@@ -338,3 +338,25 @@ def test_semantic_dedup_with_trained_ivf_centroids(spark):
     caught = truth.join(flagged, "vec_id").count()
     assert caught / truth.count() >= 0.98
     assert flagged.count() == caught
+
+
+def test_arrow_scorer_block_boundaries(spark, monkeypatch):
+    """Row-blocked matmul is exact across block seams: force a tiny
+    block height so every cluster spans many blocks, assert the pair
+    set is unchanged vs the expr join."""
+    from grass_spark.datagen import synth_embeddings
+    from grass_spark.operators import semdedup as sd
+
+    monkeypatch.setattr(sd, "_SCORE_BLOCK_ROWS", 7)
+    emb = synth_embeddings(spark, n_vecs=800, dims=32).select(
+        "vec_id", "embedding"
+    )
+    assigned = assign_clusters(
+        emb, seeded_centroid_frame(emb, 8), method="arrow"
+    )
+    rows = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()
+    }
+    got = rows(sd.semantic_pairs(assigned, 0.9, method="arrow"))
+    want = rows(sd.semantic_pairs(assigned, 0.9, method="expr"))
+    assert got == want and len(want) > 0
