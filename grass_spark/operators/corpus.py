@@ -13,6 +13,9 @@ recipe), all as ONE declarative Spark plan per stage:
 3. **exact dedup** — keep the smallest id per content hash;
 4. **near dedup** (MinHash-LSH, optional) — drop non-representative
    members of near-duplicate clusters;
+4b. **semantic dedup** (SemDeDup, optional) — given an embedding
+   frame, drop non-survivors of embedding-cosine clusters (runs on
+   the near-dedup survivors only; docs without embeddings keep);
 5. **segment dedup** (optional) — strip corpus-wide repeated spans
    and keep docs that retain ≥ ``min_kept_frac`` of their segments;
 6. **benchmark decontamination** — drop docs sharing a 13-gram with
@@ -55,6 +58,10 @@ def prepare_corpus(
     max_dup5_frac: float = 0.6,
     max_perplexity: float | None = None,
     near_dedup_threshold: float | None = 0.8,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_k: int | None = None,
+    semantic_probes: int = 2,
     segment_words: int | None = None,
     min_kept_frac: float = 0.5,
     decontaminate_n: int = 13,
@@ -67,9 +74,18 @@ def prepare_corpus(
 
     ``None`` disables a stage (``benchmark=None`` skips
     decontamination, ``near_dedup_threshold=None`` skips near dedup,
-    ``segment_words=None`` skips segment dedup, ``mixture_targets=None``
-    skips sampling).  ``collect_stats=False`` skips the per-stage count
-    jobs and returns an empty stats dict (pure-plan mode).
+    ``embeddings=None`` skips semantic dedup, ``segment_words=None``
+    skips segment dedup, ``mixture_targets=None`` skips sampling).
+    ``collect_stats=False`` skips the per-stage count jobs and returns
+    an empty stats dict (pure-plan mode).
+
+    ``embeddings`` is a frame of (``id_col``, ``embedding``) rows —
+    SemDeDup (:func:`grass_spark.operators.semdedup.semantic_dedup`)
+    runs over the embeddings of the docs still alive after near dedup
+    (surface-form dups are already gone, so the semantic pass only
+    pays for the survivors); docs WITHOUT an embedding row are kept
+    (no evidence, no drop).  ``semantic_k`` defaults to the SemDeDup
+    k-grows-with-N contract ``max(16, n/256)`` (one count job).
     """
     stats: dict = {}
 
@@ -125,7 +141,28 @@ def prepare_corpus(
             jaccard_threshold=near_dedup_threshold,
         ).filter(F.col("keep")).select(id_col)
         cur = cur.join(keep_near, id_col, "left_semi")
+        # sever the MinHash/LSH/CC subtree — every later stage (and its
+        # stats count) would otherwise re-execute it per action
+        cur = cur.localCheckpoint(eager=False)
         _count("after_near_dedup", cur)
+
+    # 4b. semantic dedup (SemDeDup over caller-supplied embeddings)
+    if embeddings is not None:
+        from grass_spark.operators.semdedup import semantic_dedup
+
+        emb_live = embeddings.join(
+            cur.select(id_col), id_col, "left_semi"
+        )
+        k = semantic_k
+        if k is None:
+            k = max(16, emb_live.count() // 256)
+        flagged = semantic_dedup(
+            emb_live, k=k, threshold=semantic_threshold,
+            id_col=id_col, probes=semantic_probes,
+        ).filter(~F.col("keep")).select(id_col)
+        cur = cur.join(flagged, id_col, "left_anti")
+        cur = cur.localCheckpoint(eager=False)  # sever the cosine/CC subtree
+        _count("after_semantic_dedup", cur)
 
     # 5. segment dedup: strip repeated spans, keep docs retaining
     #    enough of themselves, swap in the cleaned text
@@ -142,6 +179,8 @@ def prepare_corpus(
                 id_col,
             )
         )
+        # sever the explode+window segment subtree for the same reason
+        cur = cur.localCheckpoint(eager=False)
         _count("after_segment_dedup", cur)
 
     # 6. benchmark decontamination

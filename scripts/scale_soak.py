@@ -272,6 +272,73 @@ def _corpus_soak(args) -> None:
     spark.stop()
 
 
+def _corpus_full_soak(args) -> None:
+    """End-to-end prepare_corpus with EVERY stage enabled — redact ->
+    quality/repetition -> exact -> MinHash near -> SemDeDup semantic
+    (doc-keyed planted-duplicate embeddings) -> segment -> benchmark
+    decontaminate -> mixture — one composed pipeline, one wall-clock
+    number, per-stage survivor counts from the pipeline's own stats."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents, synth_embeddings
+    from grass_spark.operators.corpus import prepare_corpus
+    from grass_spark.session import get_spark
+
+    n = args.corpus_full
+    docs_path = os.path.join(args.data, f"docs_{n}")
+    emb_path = os.path.join(args.data, f"docembs_{n}")
+    gen_sec = 0.0
+    if not os.path.exists(docs_path + "_done"):
+        spark = get_spark("soak_docs_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_documents(spark, n_docs=n).write.mode("overwrite").parquet(docs_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(docs_path + "_done", "w").write("ok")
+    if not os.path.exists(emb_path + "_done"):
+        spark = get_spark("soak_emb_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        (
+            synth_embeddings(spark, n_vecs=n)
+            .select(F.col("vec_id").alias("doc_id"), "embedding")
+            .write.mode("overwrite").parquet(emb_path)
+        )
+        gen_sec += round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(emb_path + "_done", "w").write("ok")
+
+    spark = get_spark(
+        "soak_corpus_full", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    docs = (
+        spark.read.parquet(docs_path)
+        .repartition(args.cores * 4)
+        .select(
+            "doc_id", "text",
+            (F.abs(F.xxhash64(F.lit(9), "doc_id")) % 5).cast("string").alias("lang"),
+        )
+    )
+    emb = spark.read.parquet(emb_path).repartition(args.cores * 4)
+    bench = docs.filter(F.col("doc_id") % 997 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 997 != 0)
+    t0 = time.perf_counter()
+    out_df, stats = prepare_corpus(
+        corpus, bench,
+        embeddings=emb,
+        segment_words=10,
+        mixture_targets={str(g): 0.2 for g in range(5)},
+    )
+    n_out = out_df.count()
+    dt = round(time.perf_counter() - t0, 1)
+    print(json.dumps({
+        "docs": n, "cores": args.cores, "gen_sec": gen_sec,
+        "pipeline_sec": dt, "docs_per_sec": round(n / dt),
+        "survivors": int(n_out), "stage_counts": stats,
+    }))
+    spark.stop()
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -305,8 +372,15 @@ def main() -> None:
                     help="instead of the rollup soak, run the corpus-"
                          "hygiene stack (decontaminate, segment dedup, "
                          "packing, mixture sampling) over N docs")
+    ap.add_argument("--corpus-full", type=int, default=0,
+                    help="instead of the rollup soak, run the FULL "
+                         "prepare_corpus pipeline (all stages incl. "
+                         "SemDeDup semantic dedup) over N docs")
     args = ap.parse_args()
 
+    if args.corpus_full:
+        _corpus_full_soak(args)
+        return
     if args.dedup_docs:
         _dedup_soak(args)
         return

@@ -103,3 +103,28 @@ def test_segment_dedup_and_mixture_stages(spark, corpus, bench):
     # segment dedup rewrote text from normalized segments
     t = {r["doc_id"]: r["text"] for r in out.collect()}
     assert t[1].startswith("the quick brown fox")
+
+
+def test_semantic_dedup_stage(spark, corpus, bench):
+    """Optional 4b: docs 7 and 8 carry near-identical embeddings (8
+    survives near dedup — different surface text) so SemDeDup drops
+    the larger id; doc 1 has a distinct embedding and keeps; docs
+    WITHOUT an embedding row keep (no evidence, no drop)."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (7, [0.0, 1.0, 0.0, 0.0]),
+            (8, [0.01, 0.999, 0.0, 0.0]),   # cosine(7, 8) ~ 0.9999
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    out, stats = prepare_corpus(
+        corpus, bench, embeddings=emb, semantic_k=2, semantic_probes=1,
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 8 not in ids           # semantic dup of 7 (smaller id wins)
+    assert 7 in ids and 1 in ids
+    assert stats["after_semantic_dedup"] == stats["after_near_dedup"] - 1
+    # disabled by default: same pipeline without embeddings keeps 8
+    out2, _ = prepare_corpus(corpus, bench)
+    assert 8 in {r["doc_id"] for r in out2.select("doc_id").collect()}
