@@ -62,6 +62,7 @@ def prepare_corpus(
     semantic_threshold: float = 0.9,
     semantic_k: int | None = None,
     semantic_probes: int = 2,
+    semantic_cluster_cap: int | None | str = "auto",
     segment_words: int | None = None,
     min_kept_frac: float = 0.5,
     decontaminate_n: int = 13,
@@ -85,7 +86,13 @@ def prepare_corpus(
     (surface-form dups are already gone, so the semantic pass only
     pays for the survivors); docs WITHOUT an embedding row are kept
     (no evidence, no drop).  ``semantic_k`` defaults to the SemDeDup
-    k-grows-with-N contract ``max(16, n/256)`` (one count job).
+    k-grows-with-N contract ``max(16, n/256)`` (one count job).  An
+    EMPTY embedding overlap skips the stage (instead of crashing on
+    the probes/centroid validation) and ``semantic_probes`` clamps to
+    the available centroid count.  ``semantic_cluster_cap`` passes
+    through to :func:`semantic_dedup` (default ``"auto"`` =
+    ``ceil(8n/k)`` — bounds a degenerate all-one-cluster embedding
+    distribution's quadratic pair work).
     """
     stats: dict = {}
 
@@ -146,22 +153,30 @@ def prepare_corpus(
         cur = cur.localCheckpoint(eager=False)
         _count("after_near_dedup", cur)
 
-    # 4b. semantic dedup (SemDeDup over caller-supplied embeddings)
+    # 4b. semantic dedup (SemDeDup over caller-supplied embeddings).
+    # Degrades instead of raising on thin overlap: an empty embedding
+    # overlap skips the stage entirely (no evidence, no drop) and
+    # probes clamps to the centroids actually available.
     if embeddings is not None:
         from grass_spark.operators.semdedup import semantic_dedup
 
         emb_live = embeddings.join(
             cur.select(id_col), id_col, "left_semi"
         )
-        k = semantic_k
-        if k is None:
-            k = max(16, emb_live.count() // 256)
-        flagged = semantic_dedup(
-            emb_live, k=k, threshold=semantic_threshold,
-            id_col=id_col, probes=semantic_probes,
-        ).filter(~F.col("keep")).select(id_col)
-        cur = cur.join(flagged, id_col, "left_anti")
-        cur = cur.localCheckpoint(eager=False)  # sever the cosine/CC subtree
+        n_emb = emb_live.count()
+        if n_emb > 0:
+            k = semantic_k
+            if k is None:
+                k = max(16, n_emb // 256)
+            k = min(k, n_emb)
+            flagged = semantic_dedup(
+                emb_live, k=k, threshold=semantic_threshold,
+                id_col=id_col, probes=min(semantic_probes, k),
+                cluster_cap=semantic_cluster_cap,
+            ).filter(~F.col("keep")).select(id_col)
+            cur = cur.join(flagged, id_col, "left_anti")
+            # sever the cosine/CC subtree
+            cur = cur.localCheckpoint(eager=False)
         _count("after_semantic_dedup", cur)
 
     # 5. segment dedup: strip repeated spans, keep docs retaining

@@ -46,6 +46,13 @@ def shard_assignments(
     key is ``uniform_hash(id, salt)`` with the id itself as a total
     tie-break, so the assignment is a pure function of (id, salt,
     n_shards) — stable across runs, engines, and partition layouts.
+
+    NOTE the ``pos`` rank is a per-shard window — one sort task per
+    shard (~corpus/n_shards rows each).  That is fine for auditing /
+    oracle parity at moderate scale; the actual 100-TB export path is
+    :func:`write_shards`, which never ranks (``sortWithinPartitions``
+    inside the shard write task) — don't feed this function a full
+    corpus just to get positions.
     """
     u = uniform_hash(F.col(id_col), salt)
     out = df.withColumn("_u", u).withColumn(
@@ -107,13 +114,23 @@ def write_shards(
     sort by the permutation key, ``partitionBy(shard_id)`` layout so a
     loader opens ``shard_id=K/`` directly.  Deterministic: re-running
     produces the same rows in the same order per shard.
+
+    The in-partition sort leads with ``shard_id``: a dynamic
+    ``partitionBy`` write REQUIRES the data sorted by the partition
+    column, and if the incoming ordering doesn't satisfy that,
+    FileFormatWriter inserts its own sort — which both double-sorts
+    and only preserves the ``_u`` permutation order if that planner
+    sort happens to be stable (not guaranteed once spill-merge kicks
+    in).  Prefixing shard_id makes our sort satisfy the writer's
+    required ordering, so no extra sort is inserted and the in-shard
+    ``(_u, id)`` order is the one on disk.
     """
     u = uniform_hash(F.col(id_col), salt)
     out = (
         df.withColumn("_u", u)
         .withColumn("shard_id", F.floor(F.col("_u") * n_shards).cast("int"))
         .repartition(n_shards, F.col("shard_id"))
-        .sortWithinPartitions("_u", id_col)
+        .sortWithinPartitions("shard_id", "_u", id_col)
         .drop("_u")
     )
     (

@@ -18,6 +18,8 @@ no shuffle beyond the window's own.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,6 +51,19 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if group_col is None:
+        # A global prefix sum is a SINGLE window partition: the whole
+        # corpus serializes through one task.  Fine for a unit test or
+        # a bounded shard, a stealth bottleneck at corpus scale — make
+        # the caller own the choice.
+        warnings.warn(
+            "pack_sequences(group_col=None) computes a global prefix "
+            "sum in ONE window partition — the entire input serializes "
+            "through a single task.  Pass group_col (a bounded packing "
+            "shard: source file / day / language bucket) for anything "
+            "bigger than one shard.",
+            stacklevel=2,
+        )
     toks = (
         F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     ).cast("bigint")

@@ -149,9 +149,14 @@ def assign_clusters(
     if not 1 <= probes <= len(cents):
         raise ValueError(f"probes must be in [1, k], got {probes}")
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("_e"))
+    # score on the centroid ORDINAL (position in c_id-ascending order)
+    # so the argmax structs stay numeric for any c_id type; the winner
+    # maps back to the real c_id via a k-element literal lookup.
+    # Ordinal-asc == c_id-asc, so the tie-break is unchanged.
+    cid_lits = F.array(*[F.lit(c) for c, _ in cents])
     if method == "expr":
         scored = []
-        for c_id, ce in cents:
+        for i, (_c_id, ce) in enumerate(cents):
             lit_c = F.array(*[F.lit(float(v)) for v in ce])
             # same a/(b*c) shape and left-to-right norm sum as the DuckDB
             # oracle so the rounded value agrees bit-for-bit
@@ -160,25 +165,28 @@ def assign_clusters(
                 dot("_e", lit_c) / (l2norm("_e") * F.lit(c_norm)), 6
             )
             scored.append(F.struct(
-                sim.alias("s"), F.lit(-c_id).cast("long").alias("ni")
+                sim.alias("s"), F.lit(-i).cast("long").alias("ni")
             ))
+        def _cid(t):
+            return F.element_at(cid_lits, (-t["ni"]).cast("int") + 1)
         if probes == 1:
             best = F.array_max(F.array(*scored))
-            return e.withColumn("cluster_id", (-best["ni"]).cast("long"))
+            return e.withColumn("cluster_id", _cid(best))
         # struct sort is (s asc, ni asc); reversed = (s desc, c_id asc)
         top = F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, probes)
-        return e.withColumn(
-            "cluster_id",
-            F.explode(F.transform(top, lambda t: (-t["ni"]).cast("long"))),
-        )
+        return e.withColumn("cluster_id", F.explode(F.transform(top, _cid)))
 
     from pyspark.sql.functions import pandas_udf
 
-    c_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    cid_type = dict(centroids.dtypes)["c_id"]
+    try:
+        c_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    except (TypeError, ValueError, OverflowError):
+        c_ids = np.array([c for c, _ in cents], dtype=object)
     cmat = np.array([v for _, v in cents], dtype=np.float64)
     c_norm = np.sqrt((cmat * cmat).sum(axis=1))
 
-    @pandas_udf("array<long>")
+    @pandas_udf(f"array<{cid_type}>")
     def _nearest(batch: pd.Series) -> pd.Series:
         if len(batch) == 0:
             return pd.Series([], dtype="object")
@@ -316,7 +324,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
-    cluster_cap: int | None = None,
+    cluster_cap: int | None | str = "auto",
     max_iters: int | None = None,
     assign_method: str = "auto",
     probes: int = 1,
@@ -326,13 +334,42 @@ def semantic_dedup(
 
     Returns (id_col, cluster_id = smallest reachable id over
     above-threshold within-cluster edges, keep = id == cluster_id);
-    singletons keep themselves.  Deterministic.
+    singletons keep themselves.  Deterministic.  ``cluster_id`` carries
+    the id column's own type (it IS a member id).
+
+    ``cluster_cap="auto"`` (the default) bounds a degenerate embedding
+    distribution — all vectors piling into one centroid would otherwise
+    cost |cluster|² pair work even though the row-blocked scorer bounds
+    *memory*.  Auto = ``ceil(8 * n / k)`` (8× the expected balanced
+    cluster size; a healthy k-means rarely exceeds 3-4× — see the
+    adversarial one-cluster test).  Pass an int to override or ``None``
+    to opt out (whole-corpus-in-one-cluster workloads).
+
+    Degenerate inputs degrade instead of raising: an empty input (or
+    empty centroid frame) returns the all-keep labeling, and ``probes``
+    is clamped to the number of centroids actually available.
     """
+    import math
+
     cents = (
         centroids
         if centroids is not None
         else seeded_centroid_frame(emb, k, id_col=id_col, vec_col=vec_col)
     )
+    id_type = dict(emb.dtypes)[id_col]
+    # the centroid frame is k-row bounded by construction — this count
+    # is cheap and feeds the probes clamp + the auto cap
+    n_cents = cents.count()
+    if n_cents == 0:
+        return emb.select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("keep"),
+        )
+    probes = min(probes, n_cents)
+    if cluster_cap == "auto":
+        n = emb.count()
+        cluster_cap = max(1, math.ceil(8 * n / n_cents))
     # resolve the physical strategy ONCE so assignment and pair scoring
     # switch together: past _EXPR_KDIMS_LIMIT the literal plan stops
     # compiling AND clusters are numerous enough that the per-cluster
@@ -342,8 +379,7 @@ def semantic_dedup(
     if resolved == "auto":
         row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
         dims = row["d"] if row else 0
-        kk = k if centroids is None else centroids.count()
-        resolved = "arrow" if kk * dims > _EXPR_KDIMS_LIMIT else "expr"
+        resolved = "arrow" if n_cents * dims > _EXPR_KDIMS_LIMIT else "expr"
     assigned = assign_clusters(
         emb, cents, id_col=id_col, vec_col=vec_col,
         method=resolved, probes=probes,
@@ -361,7 +397,7 @@ def semantic_dedup(
         )
         .select(
             id_col,
-            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_id").cast(id_type).alias("cluster_id"),
             (F.col(id_col) == F.col("cluster_id")).alias("keep"),
         )
     )

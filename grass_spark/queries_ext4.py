@@ -27,11 +27,15 @@ def q_semantic_dedup(spark, sf_dir):
     pointer-doubling components, keep = smallest id per group.  The
     threshold is calibrated to the synthetic near-orthogonal vectors
     (max pairwise cosine ~0.51) so the result is non-trivial; real
-    corpora run ~0.9."""
+    corpora run ~0.9.  cluster_cap=None because the DuckDB twin replays
+    the UNCAPPED pairing; the auto cap's bounded-work contract is
+    pinned by the adversarial one-cluster test in tests."""
     from grass_spark.operators.semdedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=16, threshold=0.35).orderBy("vec_id")
+    return semantic_dedup(
+        emb, k=16, threshold=0.35, cluster_cap=None
+    ).orderBy("vec_id")
 
 
 # DuckDB twin: identical seeded centroids, argmax-cosine assignment

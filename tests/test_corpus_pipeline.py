@@ -128,3 +128,23 @@ def test_semantic_dedup_stage(spark, corpus, bench):
     # disabled by default: same pipeline without embeddings keeps 8
     out2, _ = prepare_corpus(corpus, bench)
     assert 8 in {r["doc_id"] for r in out2.select("doc_id").collect()}
+
+
+def test_semantic_stage_skips_on_empty_overlap(spark, corpus, bench):
+    """ADVICE fix: an embeddings frame that overlaps zero surviving
+    docs must SKIP the semantic stage (no evidence, no drop) rather
+    than crash on the probes/centroid validation — including the
+    default semantic_probes=2 with a 1-doc overlap."""
+    # keyed differently: no overlap at all
+    emb_none = spark.createDataFrame(
+        [(999, [1.0, 0.0, 0.0, 0.0])], "doc_id long, embedding array<float>"
+    )
+    out, stats = prepare_corpus(corpus, bench, embeddings=emb_none)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 7, 8]
+    assert stats["after_semantic_dedup"] == stats["after_near_dedup"]
+    # 1-doc overlap with default probes=2: clamps instead of raising
+    emb_one = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0, 0.0])], "doc_id long, embedding array<float>"
+    )
+    out2, _ = prepare_corpus(corpus, bench, embeddings=emb_one)
+    assert 7 in {r["doc_id"] for r in out2.select("doc_id").collect()}

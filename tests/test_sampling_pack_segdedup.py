@@ -201,3 +201,64 @@ def test_segdedup_single_shuffle_on_segment(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_segdedup_election_is_combinable_not_a_window(spark):
+    """The round-4 verdict's scale-killer: a row_number window over
+    partitionBy(seg) funnels a hot boilerplate segment into one task.
+    The election must be a partial/final HashAggregate pair on seg
+    (map-side combinable) with NO Window node anywhere in the plan."""
+    df = spark.createDataFrame(
+        [(i, "common footer line plus " + str(i)) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        dedup_segments(segments_by_words(df, "text", 2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    # partial aggregation on the election groupBy: both halves present
+    assert "partial_min" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_segdedup_hot_segment_correctness(spark):
+    """Adversarial skew: ONE boilerplate segment in 30% of docs.  The
+    min-struct election must keep exactly the first occurrence and
+    drop the rest, with per-doc reconstruction intact."""
+    n = 2000
+    rows = [
+        (
+            i,
+            ("shared boilerplate footer " if i % 3 == 0 else "")
+            + f"unique body {i} tail",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    segs = segments_by_separator(df, "text", r"footer ")
+    out = {r["doc_id"]: r for r in dedup_segments(segs).collect()}
+    assert len(out) == n
+    # doc 0 is the first (smallest id) holder of the boilerplate prefix
+    assert out[0]["n_kept"] == 2
+    for i in range(3, n, 3):
+        assert out[i]["n_kept"] == 1, i
+        assert out[i]["dedup_text"] == f"unique body {i} tail", i
+    for i in range(1, n):
+        if i % 3:
+            assert out[i]["n_kept"] == 1 and "unique body" in out[i]["dedup_text"]
+
+
+def test_pack_sequences_warns_on_global_window(spark):
+    import warnings as _w
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10)], ["doc_id", "n_tokens"]
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        pack_sequences(df, 8)  # group_col=None
+    assert any("single task" in str(x.message) for x in rec)
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        pack_sequences(df, 8, group_col="doc_id")
+    assert not [x for x in rec2 if "single task" in str(x.message)]

@@ -162,12 +162,55 @@ def test_write_shards_roundtrip(spark, tmp_path):
     }
     got = {(r["doc_id"], r["shard_id"]) for r in back.collect()}
     assert got == expect
-    # determinism: a rewrite produces identical per-shard row order
-    first = back.withColumn("_f", F.input_file_name()).collect()
+    # determinism + the documented ORDER contract: each shard holds the
+    # permutation (_u, doc_id) order, and a rewrite reproduces it
+    # byte-identically.  Per-shard reads preserve file row order, and
+    # the shard_id-prefixed sortWithinPartitions means the dynamic
+    # partitionBy write inserts NO planner sort of its own.
+    from grass_spark.operators.sampling import uniform_hash
+
+    expect_order: dict[int, list] = {}
+    for r in (
+        d.withColumn("_u", uniform_hash(F.col("doc_id"), "export"))
+        .withColumn("shard_id", F.floor(F.col("_u") * 4).cast("int"))
+        .orderBy("_u", "doc_id")
+        .collect()
+    ):
+        expect_order.setdefault(r["shard_id"], []).append(r["doc_id"])
+    first = {
+        s: [r["doc_id"] for r in spark.read.parquet(f"{path}/shard_id={s}").collect()]
+        for s in expect_order
+    }
+    assert first == expect_order
     write_shards(d, path, 4)
-    second = spark.read.parquet(path).withColumn("_f", F.input_file_name()).collect()
-    key = lambda rows: sorted((r["shard_id"], r["doc_id"]) for r in rows)  # noqa: E731
-    assert key(first) == key(second)
+    second = {
+        s: [r["doc_id"] for r in spark.read.parquet(f"{path}/shard_id={s}").collect()]
+        for s in expect_order
+    }
+    assert second == expect_order
+
+
+def test_write_shards_plan_has_no_planner_inserted_sort(spark, tmp_path):
+    """The write-side sort leads with shard_id, satisfying the dynamic
+    partitionBy write's required ordering — exactly ONE Sort in the
+    executed write plan (ours), not two."""
+    d = _docs(spark, 50)
+    u = __import__(
+        "grass_spark.operators.sampling", fromlist=["uniform_hash"]
+    ).uniform_hash(F.col("doc_id"), "export")
+    out = (
+        d.withColumn("_u", u)
+        .withColumn("shard_id", F.floor(F.col("_u") * 4).cast("int"))
+        .repartition(4, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "_u", "doc_id")
+        .drop("_u")
+    )
+    # V1 write planning: requiredOrdering for partitionBy('shard_id')
+    # is satisfied by the explicit sort; assert the logical frame has
+    # one Sort node (the writer-inserted one would appear at execution;
+    # the roundtrip-order test above is the behavioral pin)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Sort ") == 1
 
 
 def test_assign_clusters_arrow_matches_expr(spark):
@@ -360,3 +403,66 @@ def test_arrow_scorer_block_boundaries(spark, monkeypatch):
     got = rows(sd.semantic_pairs(assigned, 0.9, method="arrow"))
     want = rows(sd.semantic_pairs(assigned, 0.9, method="expr"))
     assert got == want and len(want) > 0
+
+
+def test_auto_cluster_cap_bounds_degenerate_cluster(spark):
+    """Adversarial all-one-cluster corpus: every vector points the same
+    way, so seeded k=16 clustering funnels ALL n rows into centroid 0.
+    The default cluster_cap="auto" (= ceil(8n/k)) bounds pair work to
+    cap^2: only ids < cap participate in pairs, everyone past the cap
+    is a singleton that keeps itself — instead of n^2 pair work."""
+    import math
+
+    n, k = 300, 16
+    cap = math.ceil(8 * n / k)          # 150 < n: the cap binds
+    rows = [(i, [1.0, float(i) * 1e-9, 0.0, 0.0]) for i in range(n)]
+    emb = _emb(spark, rows)
+    out = semantic_dedup(emb, k=k, threshold=0.99)   # cluster_cap="auto"
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert len(got) == n
+    # capped participants collapse into the single semantic group
+    for i in range(cap):
+        assert got[i] == (0, i == 0), i
+    # beyond the cap: untouched singletons (bounded work contract)
+    for i in range(cap, n):
+        assert got[i] == (i, True), i
+    # opt-out: cluster_cap=None collapses EVERYTHING (quadratic work
+    # accepted explicitly)
+    out_all = semantic_dedup(emb, k=k, threshold=0.99, cluster_cap=None)
+    assert out_all.filter(F.col("keep")).count() == 1
+
+
+def test_semantic_dedup_string_ids_keep_label_type(spark):
+    """cluster_id carries the id column's own type — with string ids it
+    must be the surviving doc's id, not a silently-NULL long cast."""
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.999, 0.01]),   # near-dup of a
+            ("c", [0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    # k=1: single centroid ("a"), every vector lands in its cluster, so
+    # the near-dup pair (a, b) is actually scored
+    out = semantic_dedup(emb, k=1, threshold=0.95)
+    assert dict(out.dtypes)["cluster_id"] == "string"
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert got == {"a": ("a", True), "b": ("a", False), "c": ("c", True)}
+    # arrow assignment path with string ids: same labeling
+    out2 = semantic_dedup(emb, k=1, threshold=0.95, assign_method="arrow")
+    got2 = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out2.collect()}
+    assert got2 == got
+
+
+def test_semantic_dedup_degenerate_inputs(spark):
+    """Empty input (and thus an empty centroid frame) returns the
+    all-keep labeling instead of raising; probes clamps to the
+    available centroid count on tiny inputs."""
+    empty = _emb(spark, [])
+    assert semantic_dedup(empty, k=4, threshold=0.9).count() == 0
+    one = _emb(spark, [(5, [1.0, 0.0, 0.0, 0.0])])
+    got = semantic_dedup(one, k=4, threshold=0.9, probes=3).collect()
+    assert [(r["vec_id"], r["cluster_id"], r["keep"]) for r in got] == [
+        (5, 5, True)
+    ]
