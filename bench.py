@@ -117,6 +117,9 @@ TIER2 = [
     "semantic_dedup",
     "export_shards",
     "dataset_splits",
+    # round 5: greedy-subword token counts + incremental dedup store
+    "subword_tokens",
+    "delta_dedup",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,
@@ -333,7 +336,40 @@ def main() -> None:
             "scaling": scaling,
         }
 
-    print(json.dumps(result))
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # parses the final JSON line out of that window — round 4's full
+    # result outgrew it (parsed: null).  Persist the full detail to a
+    # sibling file, then print a COMPACT final line (2-dp query times,
+    # scaling collapsed to its summary numbers, no spaces) that stays
+    # well inside the window as the query count grows.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_local.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    compact = {
+        "metric": f"sum of {len(HEADLINE)} warm headline query secs",
+        "value": total,
+        "unit": "sec",
+        "tier2_sec": tier2_total,
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": sf,
+    }
+    if scaling is not None:
+        compact["rollup"] = {
+            "turns": scaling["turns"],
+            "turns_per_sec": scaling["turns_per_sec_hi"],
+            "cores": [scaling["cores_lo"], scaling["cores_hi"]],
+            "sec": [scaling["sec_lo"], scaling["sec_hi"]],
+            "speedup": scaling["speedup"],
+            "efficiency": scaling["efficiency"],
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # belt-and-braces: drop per-query detail first
+        compact["queries"] = {
+            k: round(v, 2) for k, v in queries.items() if k in HEADLINE
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -132,19 +132,26 @@ def _cap_buckets(banded: DataFrame, bucket_cols: list[str], cap: int | None) -> 
     of an oversized bucket almost always share other (smaller) bands,
     and true exact duplicates belong in :func:`exact_dedup` anyway, so
     dropping the hot bucket bounds worst-case work at cap² per bucket
-    with negligible recall cost.  The count rides the same partitioning
-    the pair join shuffles on.
+    with negligible recall cost.
+
+    The size census is a map-side-combinable ``groupBy().count()``
+    joined back, NOT a ``count() OVER (PARTITION BY bucket)`` window:
+    WindowExec buffers each partition's rows in one task, so the very
+    bucket this cap exists to neutralize (1e8 copies of a license
+    footer) would spill/straggle inside the guard itself.  Partial
+    aggregation collapses the hot key map-side; the join back streams
+    rows through a hash probe without buffering, and AQE skew-split
+    can further divide the probe side.
     """
     if cap is None:
         return banded
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*bucket_cols)
-    return (
-        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+    small = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
         .filter(F.col("__bucket_n") <= cap)
         .drop("__bucket_n")
     )
+    return banded.join(small, on=bucket_cols, how="left_semi")
 
 
 def minhash_candidates(

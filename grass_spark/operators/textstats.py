@@ -90,6 +90,65 @@ def token_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
+# Deterministic built-in subword vocabulary for the greedy tokenizer:
+# frequent English function words + productive affixes/fragments.  Small
+# on purpose — callers training real models pass their model's vocab;
+# the point of the default is a stable, engine-portable contract.
+DEFAULT_SUBWORDS = (
+    "the and that have with this from they will would there their what "
+    "about which when make like time just know people into year your "
+    "good some could them other than then now look only come over think "
+    "also back after work first well even want because these give most "
+    "tion ing ment ness able ible ally ible ous ive ful less est ers ed "
+    "er ly re un in on at an en es al ar or it is to of be as by we he "
+    "do if no so up my me us am ch sh th qu st tr pl gr br"
+).split()
+
+
+def greedy_vocab_pattern(vocab: list[str] | tuple[str, ...]) -> str:
+    """Compile a subword vocabulary into ONE regex implementing greedy
+    longest-match-at-each-position tokenization (the WordPiece /
+    MaxMatch family; true BPE replays merge order, this replays the
+    final vocab greedily — the standard fast approximation).
+
+    Regex alternation is leftmost-FIRST in both java.util.regex and
+    RE2, so sorting alternatives by descending length makes the first
+    (= chosen) alternative at each position the LONGEST matching piece
+    — exactly greedy tokenization, with a single-character fallback for
+    out-of-vocab bytes.  The vocab therefore ships to executors as one
+    literal in the plan (zero Python, zero shuffle) and the identical
+    pattern string replays bit-for-bit in DuckDB's regexp_extract_all.
+    """
+    import re as _re
+
+    pieces = sorted(set(vocab), key=lambda p: (-len(p), p))
+    return "(" + "|".join(_re.escape(p) for p in pieces) + "|[^ ])"
+
+
+def subword_token_counts(
+    df: DataFrame,
+    vocab: list[str] | tuple[str, ...] = DEFAULT_SUBWORDS,
+    *,
+    text_col: str = "text",
+    out: str = "n_subword_tokens",
+) -> DataFrame:
+    """Tokenizer-accurate token counts: greedy longest-match subword
+    tokenization against ``vocab`` (see :func:`greedy_vocab_pattern`).
+
+    Whitespace counts under-estimate what a trained tokenizer produces
+    (long/rare words explode into pieces); mixture and packing budgets
+    keyed on whitespace therefore mis-size training sequences.  This
+    count is a pure scan-stage expression over the compiled vocab —
+    at 100 TB it adds zero shuffles and stays inside codegen.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    pat = greedy_vocab_pattern(vocab)
+    return df.withColumn(
+        out,
+        F.size(F.regexp_extract_all(norm, F.lit(pat), F.lit(0))).cast("long"),
+    )
+
+
 def fingerprints(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Two fingerprints: md5 of normalized text (exact-dup key) and a
     rolling 64-bit content hash over word 4-gram windows (xxhash64 of

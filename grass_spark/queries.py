@@ -819,3 +819,10 @@ from grass_spark.queries_ext4 import EXT4_ORACLES, EXT4_QUERIES  # noqa: E402
 
 QUERIES.update(EXT4_QUERIES)
 ORACLES.update(EXT4_ORACLES)
+
+# fifth wave (subword token counts, incremental dedup store) —
+# grass_spark.queries_ext5
+from grass_spark.queries_ext5 import EXT5_ORACLES, EXT5_QUERIES  # noqa: E402
+
+QUERIES.update(EXT5_QUERIES)
+ORACLES.update(EXT5_ORACLES)

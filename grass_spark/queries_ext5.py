@@ -1,0 +1,155 @@
+"""Fifth wave of driver-contract queries: round-5 training-data
+operators — tokenizer-accurate subword counts and the incremental
+dedup store's delta-vs-from-scratch equality.
+
+Merged into the main registries by :mod:`grass_spark.queries`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grass_spark.queries_ext import _SQL_SHINGLES, _t
+from grass_spark.queries_ext3 import _SQL_CANDS
+
+EXT5_QUERIES: dict = {}
+EXT5_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------
+# Tokenizer-accurate token counts (operators/textstats.py) — greedy
+# longest-match subword tokenization, vocab compiled to ONE regex whose
+# length-descending alternation makes leftmost-first == greedy-longest
+# in java.util.regex and RE2 alike (bit-identical across engines).
+# ---------------------------------------------------------------------
+
+
+def q_subword_tokens(spark, sf_dir):
+    """Per document: whitespace token count vs greedy-subword token
+    count over the built-in vocab, plus the expansion ratio that
+    mixture/packing budgets should use.  Pure scan-stage expressions —
+    zero shuffles at any scale."""
+    from grass_spark.operators.textstats import subword_token_counts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = subword_token_counts(d)
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return out.select(
+        "doc_id",
+        "lang",
+        n_ws.alias("n_ws_tokens"),
+        F.col("n_subword_tokens"),
+        F.round(F.col("n_subword_tokens") / n_ws, 6).alias("subword_per_ws"),
+    ).orderBy("doc_id")
+
+
+def _subword_oracle() -> str:
+    from grass_spark.operators.textstats import (
+        DEFAULT_SUBWORDS,
+        greedy_vocab_pattern,
+    )
+
+    pat = greedy_vocab_pattern(DEFAULT_SUBWORDS)
+    # the default vocab is alphanumeric: the pattern embeds into a SQL
+    # single-quoted literal with no escaping concerns
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(norm, '{pat}')) AS BIGINT)
+         AS n_subword_tokens,
+       round(CAST(len(regexp_extract_all(norm, '{pat}')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+         AS subword_per_ws
+FROM t
+ORDER BY doc_id
+"""
+
+
+EXT5_QUERIES["subword_tokens"] = q_subword_tokens
+EXT5_ORACLES["subword_tokens"] = _subword_oracle()
+
+
+# ---------------------------------------------------------------------
+# Incremental dedup store (operators/dedup_store.py) — build a store on
+# the first half of the corpus, ingest the second half as a delta, and
+# the delta labels must equal a FROM-SCRATCH near-dedup over the whole
+# corpus restricted to the delta ids.  The oracle is exactly that
+# from-scratch run (same md5 signature/band/verify chain as
+# near_dedup_keep) with the delta restriction.
+# ---------------------------------------------------------------------
+
+
+def q_delta_dedup(spark, sf_dir):
+    """Delta dedup against a persisted store: (id, cluster_id, keep)
+    for second-half docs, computed WITHOUT re-running LSH/CC over the
+    first half (only the store's band index + candidate members are
+    touched).  portable=True replays the oracle's md5 chain
+    bit-for-bit; uncapped to match the oracle's capless candidates."""
+    import shutil
+    import tempfile
+
+    from grass_spark.operators.dedup_store import DedupStore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    split_id = d.agg(
+        F.floor(F.max("doc_id") / 2).cast("long").alias("s")
+    ).first()["s"]
+    tmp = tempfile.mkdtemp(prefix="grass_spark_dedup_store_")
+    try:
+        store = DedupStore(
+            tmp, portable=True, n_hashes=8, bands=4,
+            jaccard_threshold=0.8, max_bucket_size=None,
+        )
+        store.build(d.filter(F.col("doc_id") <= split_id))
+        out = store.ingest(spark, d.filter(F.col("doc_id") > split_id))
+        # ingest(update=True) eagerly checkpoints its result, so the
+        # store directory can be reclaimed before the driver collects
+        return out.select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "keep",
+        ).orderBy("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_DELTA_DEDUP = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+{_SQL_CANDS}, verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.ls, sb.ls)) AS DOUBLE)
+        / (len(sa.ls) + len(sb.ls) - len(list_intersect(sa.ls, sb.ls)))
+        >= 0.8
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+), reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.s AS id, reach.r AS r
+  FROM edges e JOIN reach ON e.d = reach.id
+), clusters AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+FROM documents d
+LEFT JOIN clusters c ON c.id = d.doc_id
+WHERE d.doc_id > (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT)
+                  FROM documents)
+ORDER BY d.doc_id
+"""
+
+EXT5_QUERIES["delta_dedup"] = q_delta_dedup
+EXT5_ORACLES["delta_dedup"] = ORACLE_DELTA_DEDUP

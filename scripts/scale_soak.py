@@ -339,6 +339,110 @@ def _corpus_full_soak(args) -> None:
     spark.stop()
 
 
+def _segdedup_hot_soak(args) -> None:
+    """Adversarial segment-dedup skew soak (round-4 verdict #1): ONE
+    boilerplate segment planted in ~30% of N docs.  The min-struct
+    election must absorb the hot key map-side — under the old
+    row_number-window plan every hot occurrence funneled into one task.
+    Records the wall + docs/s bound BASELINE.md pins."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.segdedup import dedup_segments, segments_by_words
+    from grass_spark.session import get_spark
+
+    n = args.segdedup_hot
+    spark = get_spark(
+        "soak_segdedup", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    # 10-word unique body + the SAME 10-word boilerplate chunk on every
+    # 3rd doc => exactly one k=10 segment shared corpus-wide
+    boiler = "shared boilerplate sentence repeated across the corpus again and again"
+    body = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(f"w{j}u"), (F.xxhash64(F.col("doc_id"), F.lit(j)) % 99999).cast("string"))
+          for j in range(10)],
+    )
+    docs = (
+        spark.range(n).withColumnRenamed("id", "doc_id")
+        .repartition(args.cores * 4)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(boiler + " "), body))
+            .otherwise(body),
+        )
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    out = dedup_segments(segments_by_words(docs, "text", 10))
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_segments").alias("segs"),
+    ).first()
+    wall = round(time.perf_counter() - t0, 1)
+    hot = n // 3 + (1 if n % 3 else 0)
+    print(json.dumps({
+        "docs": n, "cores": args.cores, "hot_occurrences": hot,
+        "segments": int(agg["segs"]), "kept": int(agg["kept"]),
+        "dropped": int(agg["segs"] - agg["kept"]),
+        "sec": wall, "docs_per_sec": round(n / wall),
+    }))
+    spark.stop()
+
+
+def _delta_dedup_soak(args) -> None:
+    """Incremental-store soak: build on N docs, ingest an N/10 delta,
+    and time the delta ingest against the full near_dedup recompute it
+    replaces — the number that matters at 100 TB, where per-ingest
+    recompute is the scan bottleneck."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.dedup import near_dedup
+    from grass_spark.operators.dedup_store import DedupStore
+    from grass_spark.session import get_spark
+
+    n = args.delta_dedup
+    delta_n = n // 10
+    spark = get_spark(
+        "soak_delta_dedup", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    all_docs = synth_documents(spark, n_docs=n + delta_n).select(
+        "doc_id", "text"
+    )
+    base = all_docs.filter(F.col("doc_id") < n).localCheckpoint()
+    delta = all_docs.filter(F.col("doc_id") >= n).localCheckpoint()
+
+    store_path = os.path.join(args.data, f"dedup_store_{n}")
+    shutil.rmtree(store_path, ignore_errors=True)
+    store = DedupStore(store_path)
+    t0 = time.perf_counter()
+    store.build(base).count()
+    build_sec = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    out = store.ingest(spark, delta)
+    dropped = out.filter(~F.col("keep")).count()
+    ingest_sec = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    scratch = near_dedup(all_docs, jaccard_threshold=0.8)
+    scratch.filter(~F.col("keep")).count()
+    scratch_sec = round(time.perf_counter() - t0, 1)
+
+    print(json.dumps({
+        "base_docs": n, "delta_docs": delta_n, "cores": args.cores,
+        "build_sec": build_sec, "ingest_sec": ingest_sec,
+        "recompute_sec": scratch_sec,
+        "ingest_speedup_vs_recompute": round(scratch_sec / ingest_sec, 2),
+        "delta_docs_per_sec": round(delta_n / ingest_sec),
+        "delta_dropped": int(dropped),
+    }))
+    spark.stop()
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -376,6 +480,12 @@ def main() -> None:
                     help="instead of the rollup soak, run the FULL "
                          "prepare_corpus pipeline (all stages incl. "
                          "SemDeDup semantic dedup) over N docs")
+    ap.add_argument("--segdedup-hot", type=int, default=0,
+                    help="adversarial segment-dedup skew soak: ONE "
+                         "boilerplate segment in ~30%% of N docs")
+    ap.add_argument("--delta-dedup", type=int, default=0,
+                    help="incremental dedup store soak: build on N, "
+                         "ingest N/10, compare vs full recompute")
     args = ap.parse_args()
 
     if args.corpus_full:
@@ -389,6 +499,12 @@ def main() -> None:
         return
     if args.semdedup_vecs:
         _semdedup_soak(args)
+        return
+    if args.segdedup_hot:
+        _segdedup_hot_soak(args)
+        return
+    if args.delta_dedup:
+        _delta_dedup_soak(args)
         return
 
     from grass_spark.datagen import synth_transcripts

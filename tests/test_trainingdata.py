@@ -682,3 +682,22 @@ def test_sig_fold_equals_exploded_aggregate(spark):
     # identical docs get identical signatures; distinct docs differ
     sig = {r[0]: r[1:] for r in b}
     assert sig[0] == sig[2] and sig[0] != sig[1]
+
+
+def test_cap_buckets_is_combinable_not_a_window(spark):
+    """The bucket-size guard itself must not buffer a hot bucket in one
+    task: census = partial/final count aggregate + semi join, zero
+    Window nodes (same fix class as the segdedup election)."""
+    from grass_spark.operators.dedup import minhash_signatures, minhash_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"some document body number {i} with words") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs)
+    plan = (
+        minhash_candidates(sigs, bands=8, max_bucket_size=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_count" in plan
