@@ -153,3 +153,133 @@ ORDER BY d.doc_id
 
 EXT5_QUERIES["delta_dedup"] = q_delta_dedup
 EXT5_ORACLES["delta_dedup"] = ORACLE_DELTA_DEDUP
+
+
+# ---------------------------------------------------------------------
+# Per-source caps (operators/caps.py) — skew-safe exact top-cap per
+# source by portable uniform hash.  The Spark plan never windows the
+# full frame on the bare source key (salted two-stage selection); the
+# oracle IS the naive single window, proving the composition exact.
+# ---------------------------------------------------------------------
+
+
+def q_source_cap(spark, sf_dir):
+    """Cap every source at 10 docs (all 20 sf0.01 sources exceed it —
+    the pure hot path); return the kept set with its selection hash."""
+    from grass_spark.operators.caps import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = cap_per_group(
+        d, 10, group_col="source", id_col="doc_id", salt="cap",
+        salts=4, keep_hash=True,
+    )
+    return out.select(
+        "doc_id", "source", F.round("_u", 6).alias("u")
+    ).orderBy("source", "doc_id")
+
+
+ORACLE_SOURCE_CAP = """
+WITH u AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(doc_id || ':cap'), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS _u
+  FROM documents
+), r AS (
+  SELECT doc_id, source, _u,
+         row_number() OVER (PARTITION BY source ORDER BY _u, doc_id) AS rn
+  FROM u
+)
+SELECT doc_id, source, round(_u, 6) AS u
+FROM r WHERE rn <= 10
+ORDER BY source, doc_id
+"""
+
+EXT5_QUERIES["source_cap"] = q_source_cap
+EXT5_ORACLES["source_cap"] = ORACLE_SOURCE_CAP
+
+
+# ---------------------------------------------------------------------
+# Gopher quality rules (operators/quality.py) — scan-stage structural
+# gates with first-fail reasons.  Thresholds tuned to the synthetic
+# word-soup docs so both keeps and several reject reasons appear.
+# ---------------------------------------------------------------------
+
+
+def q_quality_filter(spark, sf_dir):
+    from grass_spark.operators.quality import QualityRules, quality_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rules = QualityRules(min_words=30, max_words=90,
+                         min_mean_word_len=3.5, min_stopwords=1)
+    out = quality_filter(d, rules)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.col("n_stop_present"),
+        "reject_reason",
+        "keep",
+    ).orderBy("doc_id")
+
+
+ORACLE_QUALITY_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(trim(text), '\s+') AS words,
+         split(text, chr(10)) AS lines,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      / len(words) AS mean_word_len,
+    (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+       + (len(text) - len(replace(text, '...', ''))) / 3.0)
+      / len(words) AS symbol_ratio,
+    CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))
+         AS DOUBLE) / len(lines) AS bullet_line_frac,
+    CAST(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.\s*$')))
+         AS DOUBLE) / len(lines) AS ellipsis_line_frac,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+         AS DOUBLE) / len(words) AS alpha_word_frac,
+    CAST((CASE WHEN position(' the '  IN padded) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' be '   IN padded) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' to '   IN padded) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' of '   IN padded) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' and '  IN padded) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' that ' IN padded) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' have ' IN padded) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' with ' IN padded) > 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_stop_present
+  FROM t
+), g AS (
+  SELECT *,
+    CASE
+      WHEN n_words < 30 THEN 'n_words_low'
+      WHEN n_words > 90 THEN 'n_words_high'
+      WHEN mean_word_len < 3.5 OR mean_word_len > 10.0
+        THEN 'mean_word_len'
+      WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+      WHEN bullet_line_frac > 0.9 THEN 'bullet_lines'
+      WHEN ellipsis_line_frac > 0.3 THEN 'ellipsis_lines'
+      WHEN alpha_word_frac < 0.8 THEN 'alpha_words'
+      WHEN n_stop_present < 1 THEN 'stopwords'
+      ELSE 'keep'
+    END AS reject_reason
+  FROM m
+)
+SELECT doc_id, source, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       n_stop_present,
+       reject_reason,
+       reject_reason = 'keep' AS keep
+FROM g
+ORDER BY doc_id
+"""
+
+EXT5_QUERIES["quality_filter"] = q_quality_filter
+EXT5_ORACLES["quality_filter"] = ORACLE_QUALITY_FILTER

@@ -139,12 +139,16 @@ def test_semantic_stage_skips_on_empty_overlap(spark, corpus, bench):
     emb_none = spark.createDataFrame(
         [(999, [1.0, 0.0, 0.0, 0.0])], "doc_id long, embedding array<float>"
     )
-    out, stats = prepare_corpus(corpus, bench, embeddings=emb_none)
+    out, stats = prepare_corpus(
+        corpus, bench, embeddings=emb_none, near_dedup_threshold=0.7
+    )
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 7, 8]
     assert stats["after_semantic_dedup"] == stats["after_near_dedup"]
     # 1-doc overlap with default probes=2: clamps instead of raising
     emb_one = spark.createDataFrame(
         [(7, [1.0, 0.0, 0.0, 0.0])], "doc_id long, embedding array<float>"
     )
-    out2, _ = prepare_corpus(corpus, bench, embeddings=emb_one)
+    out2, _ = prepare_corpus(
+        corpus, bench, embeddings=emb_one, near_dedup_threshold=0.7
+    )
     assert 7 in {r["doc_id"] for r in out2.select("doc_id").collect()}
