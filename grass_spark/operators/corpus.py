@@ -7,7 +7,8 @@ recipe), all as ONE declarative Spark plan per stage:
 1. **PII redaction** (``redact``) — scrub before anything else reads
    the text;
 2. **quality + repetition filter** — drop docs outside length bounds
-   or above the repetition-fraction thresholds; optionally an LM
+   or above the repetition-fraction thresholds; optionally the full
+   Gopher structural rule set (``quality_rules``) and/or an LM
    perplexity gate (``max_perplexity``, CCNet-style) against the
    corpus's own bigram statistics;
 3. **exact dedup** — keep the smallest id per content hash;
@@ -20,6 +21,9 @@ recipe), all as ONE declarative Spark plan per stage:
    and keep docs that retain ≥ ``min_kept_frac`` of their segments;
 6. **benchmark decontamination** — drop docs sharing a 13-gram with
    the held-out eval suite;
+6b. **per-source cap** (optional) — bound any one source/domain's
+   contribution (RefinedWeb-style) with the skew-safe deterministic
+   draw of :func:`grass_spark.operators.caps.cap_per_group`;
 7. **mixture sampling** (optional) — deterministic hash sampling to a
    target group mixture.
 
@@ -56,6 +60,7 @@ def prepare_corpus(
     max_words: int | None = None,
     max_word_rep_frac: float = 0.6,
     max_dup5_frac: float = 0.6,
+    quality_rules=None,
     max_perplexity: float | None = None,
     near_dedup_threshold: float | None = 0.8,
     embeddings: DataFrame | None = None,
@@ -66,6 +71,8 @@ def prepare_corpus(
     segment_words: int | None = None,
     min_kept_frac: float = 0.5,
     decontaminate_n: int = 13,
+    source_cap: int | None = None,
+    source_col: str = "source",
     mixture_targets: dict[str, float] | None = None,
     mixture_budget_tokens: int | None = None,
     group_col: str = "lang",
@@ -75,8 +82,13 @@ def prepare_corpus(
 
     ``None`` disables a stage (``benchmark=None`` skips
     decontamination, ``near_dedup_threshold=None`` skips near dedup,
+    ``quality_rules=None`` skips the Gopher structural rules,
     ``embeddings=None`` skips semantic dedup, ``segment_words=None``
-    skips segment dedup, ``mixture_targets=None`` skips sampling).
+    skips segment dedup, ``source_cap=None`` skips the per-source cap,
+    ``mixture_targets=None`` skips sampling).  ``quality_rules`` takes
+    a :class:`grass_spark.operators.quality.QualityRules`;
+    ``source_cap`` bounds each ``source_col`` value to that many docs
+    (deterministic hash draw, skew-safe hot-source selection).
     ``collect_stats=False`` skips the per-stage count jobs and returns
     an empty stats dict (pure-plan mode).
 
@@ -117,6 +129,18 @@ def prepare_corpus(
     ).select(id_col)
     cur = cur.join(good, id_col, "left_semi")
     _count("after_quality", cur)
+
+    # 2a. Gopher structural rules (optional): pure scan-stage gates
+    if quality_rules is not None:
+        from grass_spark.operators.quality import quality_filter
+
+        ok = (
+            quality_filter(cur, quality_rules, text_col=text_col)
+            .filter("keep")
+            .select(id_col)
+        )
+        cur = cur.join(ok, id_col, "left_semi")
+        _count("after_quality_rules", cur)
 
     # 2b. LM perplexity gate (optional): self-scored bigram model over
     # the quality-surviving corpus; docs above the threshold drop
@@ -205,6 +229,19 @@ def prepare_corpus(
             id_col=id_col, text_col=text_col,
         )
         _count("after_decontaminate", cur)
+
+    # 6b. per-source cap (optional): skew-safe deterministic bound on
+    # any one source's contribution.  cap_per_group scans its input
+    # more than once (hot-group census + joins) — checkpoint after.
+    if source_cap is not None:
+        from grass_spark.operators.caps import cap_per_group
+
+        cur = cap_per_group(
+            cur, source_cap, group_col=source_col, id_col=id_col,
+            salt="corpus-cap",
+        )
+        cur = cur.localCheckpoint(eager=False)
+        _count("after_source_cap", cur)
 
     # 7. mixture sampling
     if mixture_targets is not None:

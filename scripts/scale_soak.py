@@ -391,6 +391,45 @@ def _segdedup_hot_soak(args) -> None:
     spark.stop()
 
 
+def _cap_hot_soak(args) -> None:
+    """Adversarial per-source-cap skew soak: ONE source holds ~30% of
+    N docs (the hot-domain shape cap_per_group exists for).  The salted
+    two-stage election must bound every window partition to
+    ~hot/salts rows; wall + throughput recorded for BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.caps import cap_per_group
+    from grass_spark.session import get_spark
+
+    n = args.cap_hot
+    spark = get_spark(
+        "soak_caphot", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    docs = (
+        spark.range(n).withColumnRenamed("id", "doc_id")
+        .repartition(args.cores * 4)
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 10 < 3, F.lit("hot.example"))
+            .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 5000).cast("string"))),
+        )
+        .localCheckpoint()
+    )
+    cap = 1000
+    t0 = time.perf_counter()
+    out = cap_per_group(docs, cap, salts=32)
+    kept = out.count()
+    wall = round(time.perf_counter() - t0, 1)
+    hot_kept = out.filter(F.col("source") == "hot.example").count()
+    print(json.dumps({
+        "docs": n, "cores": args.cores, "cap": cap,
+        "hot_docs": int(n * 3 / 10), "hot_kept": int(hot_kept),
+        "kept": int(kept), "sec": wall, "docs_per_sec": round(n / wall),
+    }))
+    spark.stop()
+
+
 def _delta_dedup_soak(args) -> None:
     """Incremental-store soak: build on N docs, ingest an N/10 delta,
     and time the delta ingest against the full near_dedup recompute it
@@ -427,16 +466,20 @@ def _delta_dedup_soak(args) -> None:
     dropped = out.filter(~F.col("keep")).count()
     ingest_sec = round(time.perf_counter() - t0, 1)
 
-    t0 = time.perf_counter()
-    scratch = near_dedup(all_docs, jaccard_threshold=0.8)
-    scratch.filter(~F.col("keep")).count()
-    scratch_sec = round(time.perf_counter() - t0, 1)
+    scratch_sec = None
+    if not args.skip_recompute:
+        t0 = time.perf_counter()
+        scratch = near_dedup(all_docs, jaccard_threshold=0.8)
+        scratch.filter(~F.col("keep")).count()
+        scratch_sec = round(time.perf_counter() - t0, 1)
 
     print(json.dumps({
         "base_docs": n, "delta_docs": delta_n, "cores": args.cores,
         "build_sec": build_sec, "ingest_sec": ingest_sec,
         "recompute_sec": scratch_sec,
-        "ingest_speedup_vs_recompute": round(scratch_sec / ingest_sec, 2),
+        "ingest_speedup_vs_recompute": (
+            round(scratch_sec / ingest_sec, 2) if scratch_sec else None
+        ),
         "delta_docs_per_sec": round(delta_n / ingest_sec),
         "delta_dropped": int(dropped),
     }))
@@ -486,6 +529,13 @@ def main() -> None:
     ap.add_argument("--delta-dedup", type=int, default=0,
                     help="incremental dedup store soak: build on N, "
                          "ingest N/10, compare vs full recompute")
+    ap.add_argument("--skip-recompute", action="store_true",
+                    help="delta-dedup soak: skip the from-scratch "
+                         "near_dedup comparison leg (lo-cores scaling "
+                         "runs only need build+ingest)")
+    ap.add_argument("--cap-hot", type=int, default=0,
+                    help="adversarial per-source-cap skew soak: ONE "
+                         "source holds ~30%% of N docs")
     args = ap.parse_args()
 
     if args.corpus_full:
@@ -505,6 +555,9 @@ def main() -> None:
         return
     if args.delta_dedup:
         _delta_dedup_soak(args)
+        return
+    if args.cap_hot:
+        _cap_hot_soak(args)
         return
 
     from grass_spark.datagen import synth_transcripts

@@ -152,3 +152,41 @@ def test_semantic_stage_skips_on_empty_overlap(spark, corpus, bench):
         corpus, bench, embeddings=emb_one, near_dedup_threshold=0.7
     )
     assert 7 in {r["doc_id"] for r in out2.select("doc_id").collect()}
+
+
+def test_quality_rules_stage(spark, corpus, bench):
+    """Optional 2a: the Gopher structural rules run as an extra gate
+    (permissive thresholds here: the stage must compose without
+    changing the baseline [1, 7, 8] outcome; rule-by-rule behavior is
+    pinned in tests/test_caps_quality.py)."""
+    from grass_spark.operators.quality import QualityRules
+
+    rules = QualityRules(
+        min_words=1, max_words=10_000, min_mean_word_len=0.0,
+        max_mean_word_len=100.0, max_symbol_ratio=10.0,
+        min_alpha_word_frac=0.0, min_stopwords=1,
+    )
+    out, stats = prepare_corpus(
+        corpus, bench, near_dedup_threshold=0.7, quality_rules=rules
+    )
+    assert "after_quality_rules" in stats
+    assert stats["after_quality_rules"] <= stats["after_quality"]
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    for d in kept:
+        assert d in (1, 7, 8)
+
+
+def test_source_cap_stage(spark, corpus, bench):
+    """Optional 6b: with every survivor in ONE source and cap=1,
+    exactly one doc comes out; with cap high, the stage is a no-op."""
+    src = corpus.withColumn("source", F.lit("onesrc"))
+    out, stats = prepare_corpus(
+        src, bench, near_dedup_threshold=0.7, source_cap=1
+    )
+    assert stats["after_source_cap"] == 1
+    assert out.count() == 1
+    out2, stats2 = prepare_corpus(
+        src, bench, near_dedup_threshold=0.7, source_cap=100
+    )
+    assert stats2["after_source_cap"] == stats2["after_decontaminate"] == 3
+    assert sorted(r["doc_id"] for r in out2.select("doc_id").collect()) == [1, 7, 8]

@@ -64,3 +64,49 @@ def test_stream_hygiene_matches_batch(spark, tmp_path):
         assert got[k]["text"] == want[k]["text"]
         assert got[k]["n_email"] == want[k]["n_email"]
         assert got[k]["n_digits"] == want[k]["n_digits"]
+
+
+def test_stream_quality_rules_match_batch(spark, tmp_path):
+    """The Gopher structural rules (operators/quality.py) are pure
+    scan-stage expressions, so they compose onto readStream unchanged
+    and emit batch-identical metrics + keep decisions."""
+    from grass_spark.operators.quality import QualityRules, quality_filter
+
+    rules = QualityRules(min_words=5, min_stopwords=1,
+                         min_mean_word_len=2.0, min_alpha_word_frac=0.5)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy sleeping dog"),
+        (2, "nope"),
+        (3, " ".join(["12345"] * 20)),
+        (4, "- a\n- b\n- c\n- d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    in_dir = str(tmp_path / "qin")
+    docs.repartition(2).write.parquet(in_dir)
+
+    batch = {
+        r["doc_id"]: (r["keep"], r["reject_reason"], r["n_words"])
+        for r in quality_filter(docs, rules).collect()
+    }
+
+    out = str(tmp_path / "qout")
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        quality_filter(stream, rules)
+        .select("doc_id", "keep", "reject_reason", "n_words")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reason"], r["n_words"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == batch
+    assert got[1][0] and not got[2][0]
