@@ -67,12 +67,15 @@ def cap_per_group(
 
     staged = df.withColumn("_u", uniform_hash(F.col(id_col), salt))
 
-    # Tiny frame: only groups that actually exceed the cap.
+    # Tiny frame: only groups that actually exceed the cap.  The
+    # census scan is column-pruned to the group column; checkpointing
+    # stops the two broadcast joins below from each re-running it.
     hot = (
         staged.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
         .select(group_col)
+        .localCheckpoint(eager=False)
     )
 
     # Under-cap groups keep everything — the corpus-sized frame takes

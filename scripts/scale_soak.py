@@ -443,7 +443,7 @@ def _delta_dedup_soak(args) -> None:
     from grass_spark.session import get_spark
 
     n = args.delta_dedup
-    delta_n = n // 10
+    delta_n = int(n * args.delta_frac)
     spark = get_spark(
         "soak_delta_dedup", cores=args.cores,
         shuffle_partitions=max(args.cores * 4, 32),
@@ -529,6 +529,11 @@ def main() -> None:
     ap.add_argument("--delta-dedup", type=int, default=0,
                     help="incremental dedup store soak: build on N, "
                          "ingest N/10, compare vs full recompute")
+    ap.add_argument("--delta-frac", type=float, default=0.1,
+                    help="delta-dedup soak: delta batch size as a "
+                         "fraction of the base (0.1 mirrors a crawl "
+                         "increment; >=0.5 for scaling runs where the "
+                         "ingest wall must be variable-cost dominated)")
     ap.add_argument("--skip-recompute", action="store_true",
                     help="delta-dedup soak: skip the from-scratch "
                          "near_dedup comparison leg (lo-cores scaling "
