@@ -120,6 +120,9 @@ TIER2 = [
     # round 5: greedy-subword token counts + incremental dedup store
     "subword_tokens",
     "delta_dedup",
+    # round 5: per-source caps + Gopher quality rules
+    "source_cap",
+    "quality_filter",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -412,13 +412,31 @@ def _cap_hot_soak(args) -> None:
         .withColumn(
             "source",
             F.when(F.col("doc_id") % 10 < 3, F.lit("hot.example"))
-            .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 5000).cast("string"))),
+            .otherwise(F.concat(
+                F.lit("s"),
+                (F.col("doc_id") % args.cap_sources).cast("string"),
+            )),
         )
         .localCheckpoint()
     )
     cap = 1000
     t0 = time.perf_counter()
-    out = cap_per_group(docs, cap, salts=32)
+    if args.cap_naive:
+        # the plan cap_per_group exists to avoid: one window over the
+        # bare source key — the hot source single-tasks
+        from pyspark.sql import Window
+
+        from grass_spark.operators.sampling import uniform_hash
+
+        w = Window.partitionBy("source").orderBy("_u", "doc_id")
+        out = (
+            docs.withColumn("_u", uniform_hash(F.col("doc_id")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_u", "_rn")
+        )
+    else:
+        out = cap_per_group(docs, cap, salts=32)
     kept = out.count()
     wall = round(time.perf_counter() - t0, 1)
     hot_kept = out.filter(F.col("source") == "hot.example").count()
@@ -541,6 +559,17 @@ def main() -> None:
     ap.add_argument("--cap-hot", type=int, default=0,
                     help="adversarial per-source-cap skew soak: ONE "
                          "source holds ~30%% of N docs")
+    ap.add_argument("--cap-naive", action="store_true",
+                    help="cap-hot soak: time the naive single-window "
+                         "plan instead (hot-source single-task "
+                         "comparison leg)")
+    ap.add_argument("--cap-sources", type=int, default=5000,
+                    help="cap-hot soak: tail-source cardinality. 5000 "
+                         "makes EVERY source over-cap (worst case: all "
+                         "rows take the salted windows); a large value "
+                         "(e.g. N/50) keeps the tail under-cap so ~70%% "
+                         "of rows take the zero-shuffle cold path "
+                         "(realistic shape)")
     args = ap.parse_args()
 
     if args.corpus_full:
