@@ -23,7 +23,7 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("source_cap", "quality_filter",  # round-5 additions first
+_PRIORITY = ("dup_spans", "source_cap", "quality_filter",  # round-5 first
              "subword_tokens", "delta_dedup",
              "algebra_condition", "algebra_gran", "algebra_gran_cond",
              "near_dedup_keep", "sketch_cascade_day", "heavy_hitters",

@@ -283,3 +283,104 @@ ORDER BY doc_id
 
 EXT5_QUERIES["quality_filter"] = q_quality_filter
 EXT5_ORACLES["quality_filter"] = ORACLE_QUALITY_FILTER
+
+
+# ---------------------------------------------------------------------
+# Exact-substring duplicate spans (operators/spans.py) — Lee et al.
+# ExactSubstr re-expressed as duplicated sliding windows + per-doc
+# interval merge.  The Spark census is one combinable groupBy (count +
+# first-occurrence election in a single min(struct) pass); the oracle
+# is the naive window formulation, proving the composition exact.
+# ---------------------------------------------------------------------
+
+_SPAN_N = 6
+
+
+def q_dup_spans(spark, sf_dir):
+    """Per document: duplicated-window census, maximal removable spans
+    (corpus-wide first occurrence protected), coverage fraction, and
+    the md5 of the span-removed text."""
+    from grass_spark.operators.spans import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = duplicate_spans(d, n=_SPAN_N)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_windows",
+        "n_dup_windows",
+        "n_spans",
+        "dup_words",
+        F.round("dup_frac", 6).alias("dup_frac"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DUP_SPANS = f"""
+WITH t AS (
+  SELECT doc_id,
+         split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, ws, len(ws) AS nw FROM t
+), w AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(ws[i+1:i+{_SPAN_N}], ' ') AS gram
+  FROM base, unnest(range(0, nw - {_SPAN_N} + 1)) AS u(i)
+  WHERE nw >= {_SPAN_N}
+), f AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gram) AS cnt,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM w
+), dupw AS (SELECT * FROM f WHERE cnt >= 2),
+rem AS (SELECT doc_id, pos FROM dupw WHERE rn > 1),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  + {_SPAN_N}, -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM rem
+), sid AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), spans AS (
+  SELECT doc_id, sid, min(pos) AS s, max(pos) + {_SPAN_N} - 1 AS e
+  FROM sid GROUP BY doc_id, sid
+), perdoc AS (
+  SELECT doc_id,
+         count(*) AS n_spans,
+         sum(e - s + 1) AS dup_words,
+         list(struct_pack(s := s, e := e) ORDER BY s) AS sp
+  FROM spans GROUP BY doc_id
+), dcount AS (
+  SELECT doc_id, count(*) AS n_dup FROM dupw GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CAST(b.nw AS BIGINT) AS n_words,
+  CAST(CASE WHEN b.nw >= {_SPAN_N} THEN b.nw - {_SPAN_N} + 1 ELSE 0 END
+       AS BIGINT) AS n_windows,
+  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
+  round(CAST(coalesce(p.dup_words, 0) AS DOUBLE) / b.nw, 6) AS dup_frac,
+  CASE WHEN p.sp IS NULL THEN md5(array_to_string(b.ws, ' '))
+       -- coalesce: DuckDB array_to_string([]) is NULL, Spark's is ''
+       ELSE md5(coalesce(array_to_string(
+              list_filter(b.ws, (x, i) ->
+                len(list_filter(p.sp,
+                                q -> i - 1 BETWEEN q.s AND q.e)) = 0),
+              ' '), ''))
+  END AS clean_md5
+FROM base b
+LEFT JOIN dcount d USING (doc_id)
+LEFT JOIN perdoc p USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+EXT5_QUERIES["dup_spans"] = q_dup_spans
+EXT5_ORACLES["dup_spans"] = ORACLE_DUP_SPANS
