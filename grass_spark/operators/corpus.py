@@ -69,6 +69,7 @@ def prepare_corpus(
     semantic_probes: int = 2,
     semantic_cluster_cap: int | None | str = "auto",
     segment_words: int | None = None,
+    span_n: int | None = None,
     min_kept_frac: float = 0.5,
     decontaminate_n: int = 13,
     source_cap: int | None = None,
@@ -84,7 +85,8 @@ def prepare_corpus(
     decontamination, ``near_dedup_threshold=None`` skips near dedup,
     ``quality_rules=None`` skips the Gopher structural rules,
     ``embeddings=None`` skips semantic dedup, ``segment_words=None``
-    skips segment dedup, ``source_cap=None`` skips the per-source cap,
+    skips segment dedup, ``span_n=None`` skips exact-substring span
+    dedup, ``source_cap=None`` skips the per-source cap,
     ``mixture_targets=None`` skips sampling).  ``quality_rules`` takes
     a :class:`grass_spark.operators.quality.QualityRules`;
     ``source_cap`` bounds each ``source_col`` value to that many docs
@@ -221,6 +223,26 @@ def prepare_corpus(
         # sever the explode+window segment subtree for the same reason
         cur = cur.localCheckpoint(eager=False)
         _count("after_segment_dedup", cur)
+
+    # 5b. exact-substring span dedup (optional): strip maximal repeated
+    #     n-word spans (corpus-wide first occurrence keeps its text),
+    #     same retention gate as segment dedup.  The census scans the
+    #     window explode once; the per-doc join re-scans cur —
+    #     checkpoint after, like every other reducing stage.
+    if span_n is not None:
+        from grass_spark.operators.spans import duplicate_spans
+
+        sp = duplicate_spans(
+            cur, text_col=text_col, n=span_n, id_col=id_col
+        ).filter(
+            (F.col("n_words") - F.col("dup_words"))
+            >= F.lit(min_kept_frac) * F.col("n_words")
+        )
+        cur = cur.drop(text_col).join(
+            sp.select(id_col, F.col("clean_text").alias(text_col)), id_col
+        )
+        cur = cur.localCheckpoint(eager=False)
+        _count("after_span_dedup", cur)
 
     # 6. benchmark decontamination
     if benchmark is not None:

@@ -190,3 +190,29 @@ def test_source_cap_stage(spark, corpus, bench):
     )
     assert stats2["after_source_cap"] == stats2["after_decontaminate"] == 3
     assert sorted(r["doc_id"] for r in out2.select("doc_id").collect()) == [1, 7, 8]
+
+
+def test_span_dedup_stage(spark, bench):
+    """Optional 5b: a shared 8-word boilerplate run is stripped from
+    every doc except its corpus-wide first occurrence; a doc that is
+    MOSTLY boilerplate falls to the retention gate."""
+    boiler = "subscribe to our newsletter for updates every week"
+    rows = [
+        (1, "en", "alpha beta gamma delta epsilon zeta " + boiler),
+        (2, "en", "one two three four five six seven " + boiler),
+        # doc 3 is boiler + 2 words: removal leaves 2/10 < 0.3
+        (3, "en", boiler + " bye now"),
+        (4, "en", "totally unrelated words live here just fine today ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out, stats = prepare_corpus(
+        docs, None, near_dedup_threshold=None,
+        span_n=8, min_kept_frac=0.3,
+    )
+    t = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert sorted(t) == [1, 2, 4]
+    assert stats["after_span_dedup"] == 3
+    # first occurrence (doc 1) keeps the boilerplate, doc 2 loses it
+    assert t[1].endswith(boiler)
+    assert t[2] == "one two three four five six seven"
+    assert t[4].startswith("totally unrelated")
