@@ -144,19 +144,40 @@ def duplicate_spans(
 
     dup = wins.join(census, on="_h", how="inner")
     if protect_first:
-        removable = dup.filter(
-            ~(
-                (F.col(id_col) == F.col("_first.i"))
-                & (F.col("pos") == F.col("_first.x"))
-            )
+        removable_pos = F.when(
+            (F.col(id_col) != F.col("_first.i"))
+            | (F.col("pos") != F.col("_first.x")),
+            F.col("pos"),
         )
     else:
-        removable = dup
-    removable = removable.select(id_col, "pos").distinct()
+        removable_pos = F.col("pos")
 
+    # ONE pass over the joined frame yields both the dup census and
+    # the sorted removable positions (collect_list skips the protected
+    # windows' NULLs); everything downstream is a single linear chain,
+    # so the explode+census subtree has exactly one consumer — a second
+    # consumer would re-execute it per action.  The per-doc position
+    # list is bounded by document length, the same memory class as the
+    # doc-local merge window below.
+    per_doc = dup.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sort_array(F.collect_list(removable_pos)).alias("_rpos"),
+    )
+
+    # interval merge, doc-local.  explode_outer keeps docs whose dup
+    # windows are all protected (empty _rpos -> one NULL-pos row) so
+    # n_dup_windows survives the chain; the explode preserves the
+    # groupBy's hashpartitioning(id), and HashPartitioning(id)
+    # satisfies the (id, _sid) grouping too, so neither the Windows
+    # nor the two groupBys below add an Exchange.
     dw = Window.partitionBy(id_col).orderBy("pos")
-    spans = (
-        removable.withColumn(
+    merged = (
+        per_doc.select(
+            id_col,
+            "n_dup_windows",
+            F.explode_outer("_rpos").alias("pos"),
+        )
+        .withColumn(
             "_new",
             F.when(
                 F.col("pos")
@@ -166,33 +187,41 @@ def duplicate_spans(
         )
         .withColumn(
             "_sid",
-            F.sum("_new").over(
-                dw.rowsBetween(Window.unboundedPreceding, 0)
+            F.when(
+                F.col("pos").isNotNull(),
+                F.sum("_new").over(
+                    dw.rowsBetween(Window.unboundedPreceding, 0)
+                ),
             ),
         )
         .groupBy(id_col, "_sid")
         .agg(
+            F.first("n_dup_windows").alias("n_dup_windows"),
             F.min("pos").alias("start"),
             (F.max("pos") + F.lit(n - 1)).alias("end"),
         )
     )
-    per_doc_spans = spans.groupBy(id_col).agg(
+    per_doc_spans = merged.groupBy(id_col).agg(
+        F.first("n_dup_windows").alias("n_dup_windows"),
         F.sort_array(
-            F.collect_list(F.struct("start", "end"))
+            F.collect_list(
+                F.when(
+                    F.col("start").isNotNull(),
+                    F.struct("start", "end"),
+                )
+            )
         ).alias("spans"),
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("end") - F.col("start") + 1).alias("dup_words"),
-    )
-    per_doc_dup = dup.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_windows")
+        F.count("start").alias("n_spans"),
+        F.coalesce(
+            F.sum(F.col("end") - F.col("start") + 1), F.lit(0)
+        ).alias("dup_words"),
     )
 
     base = df.withColumn(
         "_ws", F.split(normalize_text(F.col(text_col)), " ")
     ).withColumn("n_words", F.size("_ws").cast("long"))
     out = (
-        base.join(per_doc_dup, on=id_col, how="left")
-        .join(per_doc_spans, on=id_col, how="left")
+        base.join(per_doc_spans, on=id_col, how="left")
         .withColumn(
             "n_windows",
             F.when(

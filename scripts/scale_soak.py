@@ -391,6 +391,61 @@ def _segdedup_hot_soak(args) -> None:
     spark.stop()
 
 
+def _span_hot_soak(args) -> None:
+    """Adversarial duplicate-span skew soak: ONE 12-word boilerplate
+    run planted in ~30% of N docs (plus a per-doc unique 20-word body).
+    Every boilerplate window is a single hot gram; the combinable
+    census must absorb it map-side and the interval merge stays
+    doc-local.  Wall + docs/s recorded for BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.spans import duplicate_spans
+    from grass_spark.session import get_spark
+
+    n = args.span_hot
+    spark = get_spark(
+        "soak_spanhot", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    boiler = ("please subscribe to our weekly newsletter for updates "
+              "terms and conditions apply")
+    body = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(f"w{j}u"), (F.xxhash64(F.col("doc_id"), F.lit(j)) % 99999).cast("string"))
+          for j in range(20)],
+    )
+    docs = (
+        spark.range(n).withColumnRenamed("id", "doc_id")
+        .repartition(args.cores * 4)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(boiler + " "), body))
+            .otherwise(body),
+        )
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    out = duplicate_spans(docs, n=8)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_windows").alias("windows"),
+        F.sum("n_dup_windows").alias("dup_windows"),
+        F.sum("dup_words").alias("removed_words"),
+        F.sum(F.col("n_spans")).alias("spans"),
+    ).first()
+    wall = round(time.perf_counter() - t0, 1)
+    print(json.dumps({
+        "docs": n, "cores": args.cores,
+        "hot_docs": n // 3 + (1 if n % 3 else 0),
+        "windows": int(agg["windows"]),
+        "dup_windows": int(agg["dup_windows"]),
+        "spans": int(agg["spans"]),
+        "removed_words": int(agg["removed_words"]),
+        "sec": wall, "docs_per_sec": round(n / wall),
+    }))
+    spark.stop()
+
+
 def _cap_hot_soak(args) -> None:
     """Adversarial per-source-cap skew soak: ONE source holds ~30% of
     N docs (the hot-domain shape cap_per_group exists for).  The salted
@@ -544,6 +599,9 @@ def main() -> None:
     ap.add_argument("--segdedup-hot", type=int, default=0,
                     help="adversarial segment-dedup skew soak: ONE "
                          "boilerplate segment in ~30%% of N docs")
+    ap.add_argument("--span-hot", type=int, default=0,
+                    help="adversarial duplicate-span skew soak: ONE "
+                         "boilerplate run in ~30%% of N docs")
     ap.add_argument("--delta-dedup", type=int, default=0,
                     help="incremental dedup store soak: build on N, "
                          "ingest N/10, compare vs full recompute")
@@ -586,6 +644,9 @@ def main() -> None:
         return
     if args.segdedup_hot:
         _segdedup_hot_soak(args)
+        return
+    if args.span_hot:
+        _span_hot_soak(args)
         return
     if args.delta_dedup:
         _delta_dedup_soak(args)
