@@ -123,6 +123,8 @@ TIER2 = [
     # round 5: per-source caps + Gopher quality rules
     "source_cap",
     "quality_filter",
+    # round 5: exact-substring duplicate spans
+    "dup_spans",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,
