@@ -327,6 +327,7 @@ def _corpus_full_soak(args) -> None:
         corpus, bench,
         embeddings=emb,
         segment_words=10,
+        span_n=8,
         mixture_targets={str(g): 0.2 for g in range(5)},
     )
     n_out = out_df.count()
