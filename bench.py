@@ -123,8 +123,9 @@ TIER2 = [
     # round 5: per-source caps + Gopher quality rules
     "source_cap",
     "quality_filter",
-    # round 5: exact-substring duplicate spans
+    # round 5: exact-substring duplicate spans + TF-IDF keywords
     "dup_spans",
+    "tfidf_keywords",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -384,3 +384,51 @@ ORDER BY b.doc_id
 
 EXT5_QUERIES["dup_spans"] = q_dup_spans
 EXT5_ORACLES["dup_spans"] = ORACLE_DUP_SPANS
+
+
+# ---------------------------------------------------------------------
+# Corpus TF-IDF keywords (operators/keywords.py) — tf = groupBy(id,word),
+# df = groupBy(word) (both map-side combinable), score = tf * ln(N/df)
+# rounded to 6 dp, top-5 per doc by (score desc, word asc).  The rank
+# window partitions on the DOC id — bounded by one document's distinct
+# vocabulary, never corpus-hot.
+# ---------------------------------------------------------------------
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document over the documents table."""
+    from grass_spark.operators.keywords import tfidf_keywords
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(d, top_k=5).orderBy("doc_id", "rank")
+
+
+ORACLE_TFIDF = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, word, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+EXT5_QUERIES["tfidf_keywords"] = q_tfidf_keywords
+EXT5_ORACLES["tfidf_keywords"] = ORACLE_TFIDF
