@@ -124,8 +124,10 @@ TIER2 = [
     "source_cap",
     "quality_filter",
     # round 5: exact-substring duplicate spans + TF-IDF keywords
+    # + hashed linear quality classifier
     "dup_spans",
     "tfidf_keywords",
+    "quality_classifier",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -1,0 +1,95 @@
+"""Hashed linear quality classifier (fastText-style hashing trick).
+
+Model-based quality filtering at corpus scale: a linear text
+classifier whose features are hash buckets of the document's tokens
+(Weinberger et al. 2009 "feature hashing"; the fastText quality
+filters used for GPT-3/CCNet-style corpus curation are this shape).
+The model is just a (bucket, weight) table — tiny (the bucket count),
+so it BROADCASTS; the corpus explodes to tokens, buckets map-side, and
+the only shuffle is the per-document score groupBy (map-side
+combinable).  Nothing ever collects and no Python runs per row.
+
+Portability: the bucket hash is the repo's portable md5-uint32
+(operators/sampling.py:27) mod ``n_buckets``, bit-identical in DuckDB;
+scores round to 6 dp (sum order + sigmoid exp differ in the last ulp
+across engines — CLAUDE.md convention).
+
+``synth_weights`` derives a deterministic weight table from the bucket
+ids themselves (uniform [-1, 1) via the same md5 hash) so tests and
+oracles can rebuild the exact model anywhere; a real deployment swaps
+in trained weights with the same schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grass_spark.operators.keywords import WORD_PATTERN
+from grass_spark.operators.sampling import uniform_hash
+
+
+def hash_bucket(word: Column, n_buckets: int, *, salt: str = "") -> Column:
+    """Portable feature-hash bucket in [0, n_buckets)."""
+    h = F.md5(F.concat_ws(":", word.cast("string"), F.lit(salt)))
+    u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return (u32 % n_buckets).cast("long")
+
+
+def synth_weights(
+    spark: SparkSession, n_buckets: int, *, salt: str = "w"
+) -> DataFrame:
+    """(bucket, weight) with weight = round(uniform[-1,1), 6) from the
+    bucket's own md5 — deterministic and rebuildable in any engine."""
+    b = spark.range(n_buckets).withColumnRenamed("id", "bucket")
+    u = uniform_hash(F.col("bucket"), salt=salt)
+    return b.withColumn("weight", F.round(u * 2.0 - 1.0, 6))
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Per-document linear score + length-normalized sigmoid prob.
+
+    ``score = round(sum_tokens weight[bucket(token)], 6)`` (token
+    multiplicity counts, fastText bag-of-words style);
+    ``prob = round(sigmoid(score / n_tokens), 6)``.  Docs with no
+    token are absent (no features to score).  ``weights`` must cover
+    every bucket in [0, n_buckets) — synth or trained.
+    """
+    words = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+        )
+    ).alias("word")
+    toks = df.select(F.col(id_col), words).withColumn(
+        "bucket", hash_bucket(F.col("word"), n_buckets, salt=salt)
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("weight").alias("_raw"),
+        )
+    )
+    # prob is computed from the ROUNDED score: two engines' sums can
+    # differ in the last ulp (order), but their round-6 almost never
+    # does — feeding the rounded value through exp keeps prob identical
+    score = F.round(F.col("_raw"), 6)
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(score / F.col("n_tokens")))),
+        6,
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        score.alias("score"),
+        prob.alias("prob"),
+    )

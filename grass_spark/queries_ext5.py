@@ -432,3 +432,56 @@ ORDER BY doc_id, rank
 
 EXT5_QUERIES["tfidf_keywords"] = q_tfidf_keywords
 EXT5_ORACLES["tfidf_keywords"] = ORACLE_TFIDF
+
+
+# ---------------------------------------------------------------------
+# Hashed linear quality classifier (operators/classify.py) — fastText-
+# style feature hashing: bucket = portable-md5(word) % D, model is a
+# tiny (bucket, weight) table that BROADCASTS, score = one map-side-
+# combinable groupBy(doc).  The synthetic weight table derives from the
+# bucket ids' own md5 so DuckDB rebuilds the exact model.
+# ---------------------------------------------------------------------
+
+_CLF_BUCKETS = 1024
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Per-document hashed-linear quality score + sigmoid prob."""
+    from grass_spark.operators.classify import (
+        linear_quality_score,
+        synth_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = synth_weights(spark, _CLF_BUCKETS)
+    return linear_quality_score(
+        d, w, n_buckets=_CLF_BUCKETS
+    ).orderBy("doc_id")
+
+
+ORACLE_CLASSIFIER = f"""
+WITH weights AS (
+  SELECT bucket,
+         round(CAST('0x' || substr(md5(bucket || ':w'), 1, 8) AS UBIGINT)
+               / 4294967296.0 * 2.0 - 1.0, 6) AS weight
+  FROM (SELECT unnest(range({_CLF_BUCKETS})) AS bucket)
+), toks AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(unnest(
+               regexp_extract_all(lower(text), '[a-z0-9]+')) || ':'), 1, 8)
+              AS UBIGINT) % {_CLF_BUCKETS} AS bucket
+  FROM documents
+), agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(w.weight), 6) AS score
+  FROM toks t JOIN weights w USING (bucket)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, score,
+       round(1.0 / (1.0 + exp(-(score / n_tokens))), 6) AS prob
+FROM agg ORDER BY doc_id
+"""
+
+EXT5_QUERIES["quality_classifier"] = q_quality_classifier
+EXT5_ORACLES["quality_classifier"] = ORACLE_CLASSIFIER
