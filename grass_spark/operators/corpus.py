@@ -62,6 +62,9 @@ def prepare_corpus(
     max_dup5_frac: float = 0.6,
     quality_rules=None,
     max_perplexity: float | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_buckets: int = 1024,
+    min_quality_prob: float = 0.5,
     near_dedup_threshold: float | None = 0.8,
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.9,
@@ -84,6 +87,8 @@ def prepare_corpus(
     ``None`` disables a stage (``benchmark=None`` skips
     decontamination, ``near_dedup_threshold=None`` skips near dedup,
     ``quality_rules=None`` skips the Gopher structural rules,
+    ``classifier_weights=None`` skips the hashed-linear quality
+    classifier (pass a (bucket, weight) frame + ``min_quality_prob``),
     ``embeddings=None`` skips semantic dedup, ``segment_words=None``
     skips segment dedup, ``span_n=None`` skips exact-substring span
     dedup, ``source_cap=None`` skips the per-source cap,
@@ -155,6 +160,21 @@ def prepare_corpus(
         ).select(id_col)
         cur = cur.join(ok, id_col, "left_semi")
         _count("after_lm_filter", cur)
+
+    # 2c. hashed-linear classifier gate (optional): fastText-style
+    # model-based quality score; docs under the prob floor drop.
+    # classifier_weights is a (bucket, weight) frame — trained or
+    # synth_weights — small enough to broadcast at any corpus size.
+    if classifier_weights is not None:
+        from grass_spark.operators.classify import linear_quality_score
+
+        ok = linear_quality_score(
+            cur, classifier_weights,
+            id_col=id_col, text_col=text_col,
+            n_buckets=classifier_buckets,
+        ).filter(F.col("prob") >= min_quality_prob).select(id_col)
+        cur = cur.join(ok, id_col, "left_semi")
+        _count("after_classifier", cur)
 
     # 3. exact dedup: keep the smallest id per content hash
     keep_exact = exact_dedup(cur, id_col=id_col, text_col=text_col).select(

@@ -216,3 +216,20 @@ def test_span_dedup_stage(spark, bench):
     assert t[1].endswith(boiler)
     assert t[2] == "one two three four five six seven"
     assert t[4].startswith("totally unrelated")
+
+
+def test_classifier_stage(spark, corpus):
+    from grass_spark.operators.classify import synth_weights
+
+    w = synth_weights(spark, 64)
+    # prob floor of 0 keeps everything quality left alive; 1.0 drops all
+    out, stats = prepare_corpus(
+        corpus, None, near_dedup_threshold=None,
+        classifier_weights=w, classifier_buckets=64, min_quality_prob=0.0,
+    )
+    assert stats["after_classifier"] == stats["after_quality"]
+    out2, stats2 = prepare_corpus(
+        corpus, None, near_dedup_threshold=None,
+        classifier_weights=w, classifier_buckets=64, min_quality_prob=1.01,
+    )
+    assert stats2["after_classifier"] == 0 and out2.count() == 0
