@@ -128,6 +128,7 @@ TIER2 = [
     "dup_spans",
     "tfidf_keywords",
     "quality_classifier",
+    "doc_chunks",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

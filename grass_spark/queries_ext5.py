@@ -485,3 +485,56 @@ FROM agg ORDER BY doc_id
 
 EXT5_QUERIES["quality_classifier"] = q_quality_classifier
 EXT5_ORACLES["quality_classifier"] = ORACLE_CLASSIFIER
+
+
+# ---------------------------------------------------------------------
+# Sliding-window chunking (operators/chunks.py) — RAG / context-window
+# prep: one Generate per doc, zero shuffles; trailing partial window
+# emitted iff it starts inside the text.
+# ---------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 16
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping 32-word windows at stride 16 over every document;
+    chunk text hashed so the row stays narrow."""
+    from grass_spark.operators.chunks import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+    return out.select(
+        "doc_id", "chunk_idx", "chunk_start", "n_chunk_words",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+ORACLE_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), live AS (
+  SELECT doc_id, ws, len(ws) AS n
+  FROM base WHERE array_to_string(ws, '') <> ''
+), starts AS (
+  SELECT doc_id, ws,
+         unnest(range(0, CAST(floor((n - 1) / {_CHUNK_STRIDE}) AS BIGINT)
+                         * {_CHUNK_STRIDE} + 1, {_CHUNK_STRIDE})) AS s
+  FROM live
+), chunks AS (
+  SELECT doc_id,
+         CAST(s / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+         CAST(s AS INT) AS chunk_start,
+         list_slice(ws, s + 1, s + {_CHUNK_SIZE}) AS cw
+  FROM starts
+)
+SELECT doc_id, chunk_idx, chunk_start,
+       CAST(len(cw) AS INT) AS n_chunk_words,
+       md5(array_to_string(cw, ' ')) AS chunk_md5
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+EXT5_QUERIES["doc_chunks"] = q_doc_chunks
+EXT5_ORACLES["doc_chunks"] = ORACLE_CHUNKS
