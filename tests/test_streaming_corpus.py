@@ -110,3 +110,41 @@ def test_stream_quality_rules_match_batch(spark, tmp_path):
     }
     assert got == batch
     assert got[1][0] and not got[2][0]
+
+
+def test_stream_chunking_matches_batch(spark, tmp_path):
+    """chunk_documents is a pure scan-stage Generate — it composes onto
+    readStream unchanged and emits batch-identical chunk rows."""
+    from grass_spark.operators.chunks import chunk_documents
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "x y"),
+        (3, "   "),
+        (4, " ".join(f"w{i}" for i in range(23))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    in_dir = str(tmp_path / "in")
+    docs.repartition(2).write.parquet(in_dir)
+
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        chunk_documents(stream, size=8, stride=4)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = chunk_documents(docs, size=8, stride=4)
+    key = lambda r: (r["doc_id"], r["chunk_idx"])
+    got = sorted((tuple(r) for r in spark.read.parquet(out).collect()),
+                 key=lambda t: (t[0], t[1]))
+    want = sorted((tuple(r) for r in batch.collect()),
+                  key=lambda t: (t[0], t[1]))
+    assert got == want and len(want) > 0
