@@ -58,3 +58,8 @@ def test_plan_is_shuffle_free(docs):
     )
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_empty_frame(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert chunk_documents(empty).count() == 0

@@ -58,3 +58,8 @@ def test_plan_broadcasts_model_and_combines_mapside(spark, weights):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_degenerate_inputs(spark, weights):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert linear_quality_score(empty, weights, n_buckets=64).count() == 0

@@ -61,3 +61,18 @@ def test_tfidf_plan_shape(docs):
 def test_tfidf_top_k_validation(docs):
     with pytest.raises(ValueError):
         tfidf_keywords(docs, top_k=0)
+
+
+def test_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert tfidf_keywords(empty).count() == 0
+    # identical corpus: every word in every doc, idf = ln(1) = 0 — all
+    # scores zero, ranks still deterministic (word asc)
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    rows = tfidf_keywords(same, top_k=2).collect()
+    assert len(rows) == 10 and all(r["score"] == 0.0 for r in rows)
+    first = [r["word"] for r in rows if r["rank"] == 1]
+    assert first == ["alpha"] * 5
