@@ -129,6 +129,7 @@ TIER2 = [
     "tfidf_keywords",
     "quality_classifier",
     "doc_chunks",
+    "quantize_embeddings",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -538,3 +538,57 @@ FROM chunks ORDER BY doc_id, chunk_idx
 
 EXT5_QUERIES["doc_chunks"] = q_doc_chunks
 EXT5_ORACLES["doc_chunks"] = ORACLE_CHUNKS
+
+
+# ---------------------------------------------------------------------
+# Int8 embedding quantization (operators/quantize.py) — per-vector
+# symmetric scalar quantization for ANN storage: scale = max|x|/127
+# (round 6), q_i = round(x_i / scale); pure scan-stage HOFs, zero
+# shuffle.  The qvec is md5'd through a canonical string so the row
+# stays narrow; the per-vector mean |x - q*scale| audits the error.
+# ---------------------------------------------------------------------
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Quantize every embedding vector; hash the int8 vector."""
+    from grass_spark.operators.quantize import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = quantize_embeddings(e)
+    return out.select(
+        "vec_id", "dims", "scale",
+        F.md5(F.array_join(F.col("qvec").cast("array<string>"), ","))
+            .alias("qvec_md5"),
+        "mean_abs_err",
+    ).orderBy("vec_id")
+
+
+ORACLE_QUANTIZE = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, xs,
+         round(list_max(list_transform(xs, x -> abs(x))) / 127.0, 6)
+           AS scale
+  FROM base
+), q AS (
+  SELECT vec_id, xs, scale,
+         list_transform(xs, x -> CASE WHEN scale = 0 THEN 0
+                                      ELSE CAST(round(x / scale) AS INT)
+                                 END) AS qvec
+  FROM scaled
+)
+SELECT vec_id,
+       CAST(len(xs) AS INT) AS dims,
+       scale,
+       md5(array_to_string(qvec, ',')) AS qvec_md5,
+       round(list_sum(list_transform(range(1, len(xs) + 1),
+               i -> abs(xs[i] - qvec[i] * scale))) / len(xs), 6)
+         AS mean_abs_err
+FROM q ORDER BY vec_id
+"""
+
+EXT5_QUERIES["quantize_embeddings"] = q_quantize_embeddings
+EXT5_ORACLES["quantize_embeddings"] = ORACLE_QUANTIZE
