@@ -52,3 +52,31 @@ def test_capture_safe_plan(vecs):
 def test_empty_frame(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     assert quantize_embeddings(empty).count() == 0
+
+
+def test_quantized_knn_recall(spark):
+    """SQ8 round-trip preserves cosine neighborhoods: top-3 neighbor
+    sets from dequantized vectors match the exact float top-3 on a
+    spread-out synthetic set (64 dims, deterministic)."""
+    from grass_spark.datagen import synth_embeddings
+    from grass_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from grass_spark.operators.similarity import cosine_topk
+
+    emb = synth_embeddings(spark, n_vecs=200).select("vec_id", "embedding")
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+    queries = emb.filter("vec_id < 10").withColumnRenamed("vec_id", "qid")
+
+    def topsets(base):
+        rows = cosine_topk(base, queries, k=3, q_id_col="qid").collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact, quant = topsets(emb), topsets(deq)
+    # recall@3 over 10 queries: allow at most one boundary swap total
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    assert hits >= 29, f"quantized recall too low: {hits}/30"
