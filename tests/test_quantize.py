@@ -80,3 +80,42 @@ def test_quantized_knn_recall(spark):
     # recall@3 over 10 queries: allow at most one boundary swap total
     hits = sum(len(exact[q] & quant[q]) for q in exact)
     assert hits >= 29, f"quantized recall too low: {hits}/30"
+
+
+def test_ivf_over_quantized_vectors(spark):
+    """FAISS IVF-SQ8 layout: store SQ8, search IVF over dequantized
+    doubles — recall@3 vs exact brute force stays high on the
+    synthetic embedding set."""
+    from grass_spark.datagen import synth_embeddings
+    from grass_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from grass_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = synth_embeddings(spark, n_vecs=300).select("vec_id", "embedding")
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+    cents = train_ivf_centroids(deq, dims=64, n_centroids=8)
+    queries = emb.filter("vec_id < 10")
+
+    def topsets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        return out
+
+    # isolate the SQ8 effect: same IVF probe over exact vs quantized
+    # vectors (IVF itself loses recall on random near-orthogonal
+    # vectors — a documented data property, not a quantization cost)
+    ivf_exact = topsets(ivf_topk(emb, queries, cents, k=3, nprobe=4).collect())
+    ivf_quant = topsets(ivf_topk(deq, queries, cents, k=3, nprobe=4).collect())
+    hits = sum(len(ivf_exact[q] & ivf_quant.get(q, set())) for q in ivf_exact)
+    assert hits >= 28, f"SQ8 changed IVF results: {hits}/30"
+    # and the composed path still finds most true neighbors
+    brute = topsets(cosine_topk(emb, queries, k=3).collect())
+    recall = sum(len(brute[q] & ivf_quant.get(q, set())) for q in brute)
+    assert recall >= 20, f"IVF-SQ8 end-to-end recall too low: {recall}/30"
