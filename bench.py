@@ -130,6 +130,7 @@ TIER2 = [
     "quality_classifier",
     "doc_chunks",
     "quantize_embeddings",
+    "bpe_merges",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

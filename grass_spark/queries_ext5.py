@@ -592,3 +592,28 @@ FROM q ORDER BY vec_id
 
 EXT5_QUERIES["quantize_embeddings"] = q_quantize_embeddings
 EXT5_ORACLES["quantize_embeddings"] = ORACLE_QUANTIZE
+
+
+# ---------------------------------------------------------------------
+# BPE vocabulary training (operators/bpe.py) — the corpus is scanned
+# once (word-frequency groupBy); merge rounds run on the vocab-sized
+# frame.  The per-round argmax is iterative — not one SQL query — so
+# this entry is rows-only by design (same class as infer_granularity).
+# ---------------------------------------------------------------------
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First 12 BPE merges learned from the documents corpus, in merge
+    order — deterministic replay (freq ties break lexicographically)."""
+    from grass_spark.operators.bpe import learn_bpe
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    merges = learn_bpe(d, 12)
+    rows = [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_idx int, left string, right string, piece string, freq bigint"
+    ).orderBy("merge_idx")
+
+
+EXT5_QUERIES["bpe_merges"] = q_bpe_merges
+# no oracle entry: iterative per-round argmax (rows-only driver check)
