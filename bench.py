@@ -131,6 +131,7 @@ TIER2 = [
     "doc_chunks",
     "quantize_embeddings",
     "bpe_merges",
+    "semantic_contamination",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

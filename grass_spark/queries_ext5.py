@@ -617,3 +617,53 @@ def q_bpe_merges(spark, sf_dir):
 
 EXT5_QUERIES["bpe_merges"] = q_bpe_merges
 # no oracle entry: iterative per-round argmax (rows-only driver check)
+
+
+# ---------------------------------------------------------------------
+# Semantic decontamination (operators/semdecon.py) — embedding-space
+# benchmark leakage: bench set broadcasts, corpus streams through a
+# scoring pass, ONE groupBy(id) max.  Parity: threshold compares the
+# 6-dp-rounded max cosine in both engines.
+# ---------------------------------------------------------------------
+
+# random near-orthogonal sf embeddings: max-cos median ~0.24,
+# p90 ~0.33 — 0.3 makes the flag column discriminate
+_SEMDECON_T = 0.3
+
+
+def q_semantic_contamination(spark, sf_dir):
+    """Max benchmark cosine per corpus vector (bench = vec_id < 25,
+    corpus = the rest) + the keep/drop flag at the 0.3 threshold."""
+    from grass_spark.operators.semdecon import semantic_contamination
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") >= 25)
+    bench = e.filter(F.col("vec_id") < 25)
+    out = semantic_contamination(corpus, bench)
+    return out.select(
+        "vec_id", "max_bench_cos",
+        (F.col("max_bench_cos") >= F.lit(_SEMDECON_T)).alias("contaminated"),
+    ).orderBy("vec_id")
+
+
+ORACLE_SEMDECON = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, len(c.v) + 1),
+                                 i -> c.v[i] * b.v[i]))
+         / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM e c CROSS JOIN e b
+  WHERE c.vec_id >= 25 AND b.vec_id < 25
+)
+SELECT vec_id, round(max(cos), 6) AS max_bench_cos,
+       round(max(cos), 6) >= {_SEMDECON_T} AS contaminated
+FROM pairs GROUP BY vec_id ORDER BY vec_id
+"""
+
+EXT5_QUERIES["semantic_contamination"] = q_semantic_contamination
+EXT5_ORACLES["semantic_contamination"] = ORACLE_SEMDECON

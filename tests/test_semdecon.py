@@ -1,0 +1,69 @@
+"""Semantic benchmark decontamination (operators/semdecon.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from grass_spark.operators.semdecon import (
+    semantic_contamination,
+    semantic_decontaminate,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    corpus_emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),     # identical to bench -> cos 1
+            (2, [0.9, 0.1, 0.0]),     # near bench
+            (3, [0.0, 0.0, 1.0]),     # orthogonal
+            (4, [0.0, 0.0, 0.0]),     # zero vector -> cos 0
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5)],  # 5 has no embedding
+        "doc_id bigint, text string",
+    )
+    return docs, corpus_emb, bench_emb
+
+
+def test_max_cosine_flags(frames):
+    _, corpus_emb, bench_emb = frames
+    got = {
+        r["vec_id"]: r["max_bench_cos"]
+        for r in semantic_contamination(corpus_emb, bench_emb).collect()
+    }
+    import math
+
+    assert got[1] == 1.0
+    assert got[2] == round(0.9 / math.sqrt(0.82), 6)  # vs bench 100
+    assert got[3] == 0.0
+    assert got[4] == 0.0  # zero-norm contract
+
+
+def test_decontaminate_keeps_unembedded(frames):
+    docs, corpus_emb, bench_emb = frames
+    kept = sorted(
+        r["doc_id"]
+        for r in semantic_decontaminate(
+            docs, corpus_emb, bench_emb, emb_id_col="vec_id", threshold=0.95
+        ).collect()
+    )
+    # 1 dropped (cos 1.0) and 2 dropped (cos 0.993884 >= 0.95);
+    # 5 kept (no embedding — no evidence, no drop)
+    assert kept == [3, 4, 5]
+
+
+def test_plan_broadcasts_bench(frames):
+    _, corpus_emb, bench_emb = frames
+    plan = (
+        semantic_contamination(corpus_emb, bench_emb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_max" in plan  # per-id max combines map-side
