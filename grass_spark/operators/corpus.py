@@ -75,6 +75,8 @@ def prepare_corpus(
     span_n: int | None = None,
     min_kept_frac: float = 0.5,
     decontaminate_n: int = 13,
+    bench_embeddings: DataFrame | None = None,
+    semantic_decon_threshold: float = 0.95,
     source_cap: int | None = None,
     source_col: str = "source",
     mixture_targets: dict[str, float] | None = None,
@@ -94,7 +96,10 @@ def prepare_corpus(
     dedup, ``source_cap=None`` skips the per-source cap,
     ``mixture_targets=None`` skips sampling).  ``quality_rules`` takes
     a :class:`grass_spark.operators.quality.QualityRules`;
-    ``source_cap`` bounds each ``source_col`` value to that many docs
+    ``bench_embeddings`` (with ``embeddings=``) adds embedding-space
+    benchmark decontamination at ``semantic_decon_threshold`` beside
+    the n-gram pass; ``source_cap`` bounds each ``source_col`` value to
+    that many docs
     (deterministic hash draw, skew-safe hot-source selection).
     ``collect_stats=False`` skips the per-stage count jobs and returns
     an empty stats dict (pure-plan mode).
@@ -271,6 +276,23 @@ def prepare_corpus(
             id_col=id_col, text_col=text_col,
         )
         _count("after_decontaminate", cur)
+
+    # 6a. semantic decontamination (optional): embedding-space leakage
+    # the n-gram rule misses.  Needs both the corpus embeddings frame
+    # AND a benchmark embeddings frame; docs without an embedding keep.
+    if bench_embeddings is not None:
+        if embeddings is None:
+            raise ValueError(
+                "bench_embeddings requires embeddings= (corpus side)"
+            )
+        from grass_spark.operators.semdecon import semantic_decontaminate
+
+        cur = semantic_decontaminate(
+            cur, embeddings, bench_embeddings,
+            id_col=id_col, emb_id_col=id_col,
+            threshold=semantic_decon_threshold,
+        )
+        _count("after_semantic_decontaminate", cur)
 
     # 6b. per-source cap (optional): skew-safe deterministic bound on
     # any one source's contribution.  cap_per_group scans its input

@@ -233,3 +233,28 @@ def test_classifier_stage(spark, corpus):
         classifier_weights=w, classifier_buckets=64, min_quality_prob=1.01,
     )
     assert stats2["after_classifier"] == 0 and out2.count() == 0
+
+
+def test_semantic_decontamination_stage(spark, corpus):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # identical to a bench vector -> drops
+            (7, [0.0, 1.0]),   # orthogonal -> keeps
+            # 8 has no embedding -> keeps
+        ],
+        "doc_id bigint, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(900, [1.0, 0.0])], "doc_id bigint, embedding array<double>"
+    )
+    out, stats = prepare_corpus(
+        corpus, None, near_dedup_threshold=None,
+        embeddings=emb, bench_embeddings=bench_emb,
+        semantic_decon_threshold=0.95,
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 1 not in kept and {7, 8} <= set(kept)
+    assert stats["after_semantic_decontaminate"] == stats["after_semantic_dedup"] - 1
+    # bench embeddings without the corpus side is a usage error
+    with pytest.raises(ValueError):
+        prepare_corpus(corpus, None, bench_embeddings=bench_emb)
