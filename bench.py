@@ -132,6 +132,7 @@ TIER2 = [
     "quantize_embeddings",
     "bpe_merges",
     "semantic_contamination",
+    "corpus_divergence",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

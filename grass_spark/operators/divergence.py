@@ -1,0 +1,133 @@
+"""Corpus drift diagnostics: token-distribution divergence between two
+corpus snapshots (old crawl vs new crawl, or mixture A vs mixture B).
+
+The QC gate a mixture pipeline runs when a new ingest lands: has the
+token distribution shifted, and which words drive the shift?  Computes
+smoothed KL(P‖Q), Jensen-Shannon divergence, and vocabulary overlap,
+plus the top word-level JS contributors.
+
+Scale shape: each corpus is scanned ONCE (the same map-side-combinable
+word-frequency groupBy as BPE/TF-IDF); everything after runs on the
+two vocabulary-sized frames (full-outer join on word, scalar aggs).
+At 100 TB the cost is two corpus scans — the diagnostics are free.
+
+Cross-engine parity: probabilities derive from exact integer counts;
+log terms round only at the FINAL aggregate (6 dp), and word-level
+contributions round per word — same convention as every oracle here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from grass_spark.operators.bpe import word_frequencies
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """ONE summary row: token totals, vocab sizes/overlap, smoothed
+    KL(a‖b) and symmetric JS divergence over the union vocabulary.
+
+    Add-``smoothing`` (Laplace) on counts over the UNION vocabulary so
+    absent words contribute finitely; JS uses the smoothed P, Q.
+    """
+    wa = word_frequencies(a, text_col=text_col).withColumnRenamed(
+        "freq", "fa"
+    )
+    wb = word_frequencies(b, text_col=text_col).withColumnRenamed(
+        "freq", "fb"
+    )
+    j = wa.join(wb, "word", "full_outer").select(
+        "word",
+        F.coalesce("fa", F.lit(0)).alias("fa"),
+        F.coalesce("fb", F.lit(0)).alias("fb"),
+    )
+    # totals + union vocab size in one pass; then P/Q need them as
+    # scalars — a 1-row broadcast crossJoin keeps the plan declarative
+    tot = j.agg(
+        F.sum("fa").alias("na"),
+        F.sum("fb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum((F.col("fa") > 0).cast("long")).alias("va"),
+        F.sum((F.col("fb") > 0).cast("long")).alias("vb"),
+        F.sum(
+            ((F.col("fa") > 0) & (F.col("fb") > 0)).cast("long")
+        ).alias("vboth"),
+    )
+    s = float(smoothing)
+    jj = j.crossJoin(F.broadcast(tot))
+    p = (F.col("fa") + s) / (F.col("na") + s * F.col("v"))
+    q = (F.col("fb") + s) / (F.col("nb") + s * F.col("v"))
+    m = (p + q) / 2.0
+    terms = jj.select(
+        "na", "nb", "v", "va", "vb", "vboth",
+        (p * F.log(p / q)).alias("_kl"),
+        (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("_js"),
+    )
+    return terms.groupBy("na", "nb", "v", "va", "vb", "vboth").agg(
+        F.round(F.sum("_kl"), 6).alias("kl_ab"),
+        F.round(F.sum("_js"), 6).alias("js"),
+        F.round(
+            F.first("vboth") / F.first("v").cast("double"), 6
+        ).alias("vocab_overlap"),
+    ).select(
+        F.col("na").alias("tokens_a"),
+        F.col("nb").alias("tokens_b"),
+        F.col("v").alias("vocab_union"),
+        F.col("va").alias("vocab_a"),
+        F.col("vb").alias("vocab_b"),
+        F.col("vboth").alias("vocab_both"),
+        "vocab_overlap",
+        "kl_ab",
+        "js",
+    )
+
+
+def divergence_contributors(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` words by JS contribution — WHICH words drive the
+    drift.  (word, fa, fb, js_term, rank); ties break word-asc."""
+    wa = word_frequencies(a, text_col=text_col).withColumnRenamed(
+        "freq", "fa"
+    )
+    wb = word_frequencies(b, text_col=text_col).withColumnRenamed(
+        "freq", "fb"
+    )
+    j = wa.join(wb, "word", "full_outer").select(
+        "word",
+        F.coalesce("fa", F.lit(0)).alias("fa"),
+        F.coalesce("fb", F.lit(0)).alias("fb"),
+    )
+    tot = j.agg(
+        F.sum("fa").alias("na"),
+        F.sum("fb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    s = float(smoothing)
+    jj = j.crossJoin(F.broadcast(tot))
+    p = (F.col("fa") + s) / (F.col("na") + s * F.col("v"))
+    q = (F.col("fb") + s) / (F.col("nb") + s * F.col("v"))
+    m = (p + q) / 2.0
+    scored = jj.select(
+        "word", "fa", "fb",
+        F.round(
+            0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m), 6
+        ).alias("js_term"),
+    )
+    # TakeOrderedAndProject (orderBy+limit), NOT a global row_number
+    # window — no single-task vocab sort; rank the k survivors after
+    top = scored.orderBy(F.desc("js_term"), F.asc("word")).limit(top_k)
+    w = Window.orderBy(F.desc("js_term"), F.asc("word"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -667,3 +667,61 @@ FROM pairs GROUP BY vec_id ORDER BY vec_id
 
 EXT5_QUERIES["semantic_contamination"] = q_semantic_contamination
 EXT5_ORACLES["semantic_contamination"] = ORACLE_SEMDECON
+
+
+# ---------------------------------------------------------------------
+# Corpus drift (operators/divergence.py) — smoothed KL/JS + vocab
+# overlap between two snapshot halves.  Two corpus scans; everything
+# after is vocabulary-sized.
+# ---------------------------------------------------------------------
+
+
+def q_corpus_divergence(spark, sf_dir):
+    """One summary row: token totals, vocab overlap, KL(a||b), JS
+    between the even-id and odd-id document halves."""
+    from grass_spark.operators.divergence import corpus_divergence
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    return corpus_divergence(a, b)
+
+
+ORACLE_DIVERGENCE = """
+WITH wa AS (
+  SELECT word, count(*) AS fa FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+    FROM documents WHERE doc_id % 2 = 0) GROUP BY 1
+), wb AS (
+  SELECT word, count(*) AS fb FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1
+), j AS (
+  SELECT coalesce(wa.word, wb.word) AS word,
+         coalesce(fa, 0) AS fa, coalesce(fb, 0) AS fb
+  FROM wa FULL OUTER JOIN wb ON wa.word = wb.word
+), tot AS (
+  SELECT CAST(sum(fa) AS BIGINT) AS na, CAST(sum(fb) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN fa > 0 THEN 1 ELSE 0 END) AS BIGINT) AS va,
+         CAST(sum(CASE WHEN fb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vb,
+         CAST(sum(CASE WHEN fa > 0 AND fb > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS vboth
+  FROM j
+), terms AS (
+  SELECT na, nb, v, va, vb, vboth,
+         (fa + 0.5) / (na + 0.5 * v) AS p,
+         (fb + 0.5) / (nb + 0.5 * v) AS q
+  FROM j CROSS JOIN tot
+)
+SELECT na AS tokens_a, nb AS tokens_b, v AS vocab_union,
+       va AS vocab_a, vb AS vocab_b, vboth AS vocab_both,
+       round(CAST(vboth AS DOUBLE) / v, 6) AS vocab_overlap,
+       round(sum(p * ln(p / q)), 6) AS kl_ab,
+       round(sum(0.5 * p * ln(p / ((p + q) / 2))
+               + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js
+FROM terms GROUP BY na, nb, v, va, vb, vboth
+"""
+
+EXT5_QUERIES["corpus_divergence"] = q_corpus_divergence
+EXT5_ORACLES["corpus_divergence"] = ORACLE_DIVERGENCE
