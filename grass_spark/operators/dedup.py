@@ -475,3 +475,49 @@ def near_dedup(
         clusters.withColumnRenamed("id", id_col), on=id_col, how="left"
     ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
     return labeled.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
+def elect_representatives(
+    labeled: DataFrame,
+    scores: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Keep-BEST representative election: re-decide each duplicate
+    cluster's surviving document as the highest-``score_col`` member
+    (ties -> smallest id) instead of :func:`near_dedup`'s smallest-id
+    default.  Real pipelines keep the longest / highest-quality copy,
+    not the one that happened to crawl first.
+
+    ``labeled``: one row per document with (``id_col``,
+    ``cluster_col``) — :func:`near_dedup` output, or :func:`dedup_clusters`
+    labels coalesced over the full corpus.  ``scores``: per-document
+    (``id_col``, ``score_col``); pass ``None`` if ``labeled`` already
+    carries ``score_col``.
+
+    Scale shape: two map-side-combinable groupBys on the cluster key
+    (max score, then min id among the max-score members — the pair
+    encodes argmax-with-tie-break without a struct ordering that would
+    break on non-numeric ids) plus cluster-keyed joins.  Near-dup
+    clusters are small by construction, so the cluster key has no hot
+    rows; no window, no collect.  The score equality filter compares a
+    carried column against itself (no arithmetic), so float scores are
+    safe.
+    """
+    j = labeled if scores is None else labeled.join(
+        scores.select(id_col, score_col), on=id_col, how="inner"
+    )
+    best = j.groupBy(cluster_col).agg(F.max(score_col).alias("_best"))
+    winners = (
+        j.join(best, on=cluster_col)
+        .filter(F.col(score_col) == F.col("_best"))
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    return (
+        j.join(winners, on=cluster_col)
+        .withColumn("keep", F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )

@@ -75,6 +75,32 @@ def segments_by_words(df: DataFrame, text_col: str, k: int) -> DataFrame:
     )
 
 
+def _reconstruct(
+    flagged: DataFrame, id_col: str, seg_col: str, idx_col: str
+) -> DataFrame:
+    """One row per document from a ``_keep``-flagged segment frame:
+    ``n_segments``, ``n_kept``, ``dedup_text`` (survivors re-joined in
+    original order; empty string if nothing survived)."""
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("_keep").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep") == 1,
+                            F.struct(F.col(idx_col), F.col(seg_col).alias("s")),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
 def dedup_segments(
     segs: DataFrame,
     *,
@@ -118,21 +144,58 @@ def dedup_segments(
     flagged = segs.join(
         winners, on=[seg_col, id_col, idx_col], how="left"
     ).withColumn("_keep", F.coalesce(F.col("_keep"), F.lit(0)))
-    return flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum("_keep").cast("bigint").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("_keep") == 1,
-                            F.struct(F.col(idx_col), F.col(seg_col).alias("s")),
-                        )
-                    )
-                ),
-                lambda x: x["s"],
-            ),
-            " ",
-        ).alias("dedup_text"),
+    return _reconstruct(flagged, id_col, seg_col, idx_col)
+
+
+def strip_boilerplate(
+    segs: DataFrame,
+    *,
+    max_docs: int | None = None,
+    max_frac: float | None = None,
+    id_col: str = "doc_id",
+    seg_col: str = "seg",
+    idx_col: str = "seg_idx",
+) -> DataFrame:
+    """Frequency-threshold boilerplate removal (the RefinedWeb /
+    MassiveText "repeated line" rule): drop EVERY occurrence of a
+    segment that appears in more than ``max_docs`` distinct documents
+    (or more than ``max_frac`` of the corpus's documents) — unlike
+    :func:`dedup_segments`, no occurrence of a boilerplate segment
+    survives, not even the first.  Exactly one of ``max_docs`` /
+    ``max_frac`` must be given.
+
+    Returns the same per-document report shape as
+    :func:`dedup_segments` (``n_segments``, ``n_kept``,
+    ``dedup_text``).
+
+    Scale shape: the document census is TWO map-side-combinable
+    groupBys — ``(seg, id)`` distinct-pairs first (the hot boilerplate
+    segment spreads on the pair), then ``seg`` — never a
+    count-distinct window.  The over-threshold segment list is
+    boilerplate-vocabulary-sized (AQE broadcasts it at runtime); the
+    probe join keys on the segment hash, where each hot occurrence
+    matches a single build row and AQE skew-join splits oversized
+    probe partitions.  ``max_frac`` costs one extra scalar
+    distinct-count action on the id column.
+    """
+    if (max_docs is None) == (max_frac is None):
+        raise ValueError("pass exactly one of max_docs / max_frac")
+    if max_frac is not None:
+        if not (0.0 < max_frac <= 1.0):
+            raise ValueError(f"max_frac must be in (0, 1], got {max_frac}")
+        total = segs.select(id_col).distinct().count()
+        max_docs = int(max_frac * total)
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    hot = (
+        segs.select(seg_col, id_col)
+        .distinct()
+        .groupBy(seg_col)
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select(seg_col, F.lit(1).alias("_hot"))
     )
+    flagged = segs.join(hot, on=seg_col, how="left").withColumn(
+        "_keep", F.when(F.col("_hot").isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    return _reconstruct(flagged, id_col, seg_col, idx_col)

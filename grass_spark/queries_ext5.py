@@ -725,3 +725,135 @@ FROM terms GROUP BY na, nb, v, va, vb, vboth
 
 EXT5_QUERIES["corpus_divergence"] = q_corpus_divergence
 EXT5_ORACLES["corpus_divergence"] = ORACLE_DIVERGENCE
+
+# ---------------------------------------------------------------------
+# Boilerplate strip (operators/segdedup.py strip_boilerplate) — the
+# RefinedWeb/MassiveText frequency rule: a segment present in more
+# than max_docs distinct documents is dropped EVERYWHERE (unlike
+# chunk_dedup's first-occurrence election).  Census = two combinable
+# groupBys; the hot-segment list is boilerplate-vocabulary-sized.
+# ---------------------------------------------------------------------
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """Per-document boilerplate report: non-overlapping 10-word chunks,
+    any chunk appearing in >1 distinct documents removed from every
+    document, cleaned text reconstructed in order."""
+    from grass_spark.operators.segdedup import (
+        segments_by_words,
+        strip_boilerplate,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_boilerplate(
+        segments_by_words(d, "text", 10), max_docs=1
+    ).select("doc_id", "n_segments", "n_kept", "dedup_text")
+
+
+ORACLE_BOILERPLATE_STRIP = """
+WITH sel AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents
+), chunks AS (
+  SELECT doc_id, CAST((g.s - 1) // 10 AS BIGINT) AS seg_idx,
+         array_to_string(ws[g.s:g.s+9], ' ') AS seg
+  FROM sel, unnest(generate_series(1, len(ws), 10)) AS g(s)
+), nz AS (
+  SELECT * FROM chunks WHERE seg <> ''
+), census AS (
+  SELECT seg, count(DISTINCT doc_id) AS nd FROM nz GROUP BY seg
+), flagged AS (
+  SELECT nz.*, CASE WHEN census.nd > 1 THEN 0 ELSE 1 END AS keep
+  FROM nz JOIN census USING (seg)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS dedup_text
+FROM flagged GROUP BY doc_id
+"""
+
+EXT5_QUERIES["boilerplate_strip"] = q_boilerplate_strip
+EXT5_ORACLES["boilerplate_strip"] = ORACLE_BOILERPLATE_STRIP
+
+# ---------------------------------------------------------------------
+# Keep-best representative election (operators/dedup.py
+# elect_representatives) — same clustering as near_dedup_keep, but the
+# survivor is the LONGEST member (max n_chars, ties -> smallest id)
+# instead of the smallest id.  Oracled against the DuckDB recursive
+# closure + argmax.
+# ---------------------------------------------------------------------
+
+
+def q_dedup_best_keep(spark, sf_dir):
+    """Keep decisions where each duplicate cluster keeps its highest-
+    n_chars member: md5-LSH -> Jaccard verify (>= 0.8) -> connected
+    components -> argmax-score election (ties -> smallest id)."""
+    from grass_spark.operators.dedup import (
+        dedup_clusters,
+        elect_representatives,
+        ngram_jaccard_pairs,
+        with_shingles,
+    )
+    from grass_spark.queries_ext3 import _md5_cands
+
+    d = _t(spark, sf_dir, "documents")
+    sh = with_shingles(d, "text", 3).select("doc_id", "sh_arr").localCheckpoint()
+    verified = ngram_jaccard_pairs(
+        d, _md5_cands(sh), shingle_n=3, shingles=sh
+    ).filter(F.col("jaccard") >= 0.8)
+    clusters = dedup_clusters(verified)
+    labeled = d.select("doc_id", "n_chars").join(
+        clusters.withColumnRenamed("id", "doc_id"), on="doc_id", how="left"
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    out = elect_representatives(labeled, score_col="n_chars")
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "keep",
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_BEST_KEEP = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+{_SQL_CANDS}, verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.ls, sb.ls)) AS DOUBLE)
+        / (len(sa.ls) + len(sb.ls) - len(list_intersect(sa.ls, sb.ls)))
+        >= 0.8
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+), reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.s AS id, reach.r AS r
+  FROM edges e JOIN reach ON e.d = reach.id
+), clusters AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+), best AS (
+  SELECT cluster_id, max(n_chars) AS b FROM lab GROUP BY cluster_id
+), win AS (
+  SELECT l.cluster_id, min(l.doc_id) AS keep_id
+  FROM lab l JOIN best ON l.cluster_id = best.cluster_id
+                      AND l.n_chars = best.b
+  GROUP BY l.cluster_id
+)
+SELECT l.doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       l.doc_id = w.keep_id AS keep
+FROM lab l JOIN win w USING (cluster_id)
+ORDER BY l.doc_id
+"""
+
+EXT5_QUERIES["dedup_best_keep"] = q_dedup_best_keep
+EXT5_ORACLES["dedup_best_keep"] = ORACLE_DEDUP_BEST_KEEP

@@ -363,3 +363,106 @@ def test_pack_sequences_with_subword_budget(spark):
             assert e1 == s2
         for _, s, e, off in spans:
             assert 0 <= off < 8 and 0 < e - s <= 8
+
+
+# ---------------- strip_boilerplate ----------------
+
+
+def test_strip_boilerplate_drops_every_occurrence(spark):
+    """Unlike dedup_segments, the first occurrence dies too."""
+    from grass_spark.operators.segdedup import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [
+            (1, "Unique intro\n\nCopyright Footer\n\nmore body"),
+            (2, "Other text\n\ncopyright   footer"),  # dup modulo norm
+            (3, "copyright footer"),                  # nothing survives
+        ],
+        ["doc_id", "text"],
+    )
+    segs = segments_by_separator(df, "text", r"\n\n")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(segs, max_docs=1).collect()
+    }
+    assert out[1]["n_segments"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == "unique intro more body"
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == "other text"
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+
+
+def test_strip_boilerplate_threshold_counts_distinct_docs(spark):
+    """A segment repeated N times INSIDE one document is not corpus
+    boilerplate: the census counts distinct documents, not rows."""
+    from grass_spark.operators.segdedup import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "echo\n\necho\n\necho"), (2, "solo line")],
+        ["doc_id", "text"],
+    )
+    segs = segments_by_separator(df, "text", r"\n\n")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(segs, max_docs=1).collect()
+    }
+    assert out[1]["n_kept"] == 3  # 1 distinct doc <= max_docs
+    assert out[2]["n_kept"] == 1
+
+
+def test_strip_boilerplate_max_frac(spark):
+    """max_frac resolves against the distinct-doc count: 10 docs at
+    0.25 -> max_docs 2, so a segment in 3 docs drops."""
+    from grass_spark.operators.segdedup import strip_boilerplate
+
+    rows = [
+        (i, ("footer\n\n" if i < 3 else "") + f"body {i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    segs = segments_by_separator(df, "text", r"\n\n")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(segs, max_frac=0.25).collect()
+    }
+    for i in range(3):
+        assert out[i]["n_kept"] == 1 and out[i]["dedup_text"] == f"body {i}"
+    # at 0.35 -> max_docs 3 the footer survives everywhere
+    out2 = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(segs, max_frac=0.35).collect()
+    }
+    assert out2[0]["n_kept"] == 2
+
+
+def test_strip_boilerplate_validates_args(spark):
+    from grass_spark.operators.segdedup import strip_boilerplate
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    segs = segments_by_words(df, "text", 2)
+    with pytest.raises(ValueError, match="exactly one"):
+        strip_boilerplate(segs)
+    with pytest.raises(ValueError, match="exactly one"):
+        strip_boilerplate(segs, max_docs=1, max_frac=0.5)
+    with pytest.raises(ValueError, match="max_frac"):
+        strip_boilerplate(segs, max_frac=1.5)
+    with pytest.raises(ValueError, match="max_docs"):
+        strip_boilerplate(segs, max_docs=0)
+
+
+def test_strip_boilerplate_census_is_combinable_not_a_window(spark):
+    """Same scale contract as the election: the distinct-doc census
+    must be partial/final HashAggregates with no Window node and no
+    count-distinct expand funneling the hot segment."""
+    from grass_spark.operators.segdedup import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [(i, "common footer line plus " + str(i)) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        strip_boilerplate(segments_by_words(df, "text", 2), max_docs=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -701,3 +701,60 @@ def test_cap_buckets_is_combinable_not_a_window(spark):
     )
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+# ---------------- keep-best representative election ----------------
+
+
+def test_elect_representatives_argmax_and_ties(spark):
+    from grass_spark.operators.dedup import elect_representatives
+
+    labeled = spark.createDataFrame(
+        [
+            # cluster 1: doc 3 has the best score -> keeps
+            (1, 1, 5.0), (2, 1, 9.0), (3, 1, 12.0),
+            # cluster 4: score tie between 4 and 5 -> smallest id keeps
+            (4, 4, 7.0), (5, 4, 7.0),
+            # singleton keeps itself
+            (6, 6, 0.0),
+        ],
+        ["doc_id", "cluster_id", "score"],
+    )
+    out = {r["doc_id"]: r["keep"] for r in elect_representatives(labeled).collect()}
+    assert out == {1: False, 2: False, 3: True, 4: True, 5: False, 6: True}
+
+
+def test_elect_representatives_separate_scores_frame(spark):
+    from grass_spark.operators.dedup import elect_representatives
+
+    labeled = spark.createDataFrame(
+        [(10, 10), (11, 10), (12, 12)], ["doc_id", "cluster_id"]
+    )
+    scores = spark.createDataFrame(
+        [(10, 1.0), (11, 2.0), (12, 3.0)], ["doc_id", "q"]
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["q"])
+        for r in elect_representatives(
+            labeled, scores, score_col="q"
+        ).collect()
+    }
+    assert out[11][0] is True and out[10][0] is False
+    assert out[12][0] is True
+    # the score column rides along in the output
+    assert out[11][1] == 2.0
+
+
+def test_elect_representatives_no_window_no_cartesian(spark):
+    from grass_spark.operators.dedup import elect_representatives
+
+    labeled = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)],
+        ["doc_id", "cluster_id", "score"],
+    )
+    plan = (
+        elect_representatives(labeled)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
