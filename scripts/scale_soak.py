@@ -156,6 +156,130 @@ def _semdedup_soak(args) -> None:
     }))
 
 
+def _semdecon_soak(args) -> None:
+    """Semantic decontamination at 10^6 corpus vectors: the broadcast
+    bench scoring pass (rows x |bench| fused HOF dot products, zero
+    Python) + the one map-side-combinable groupBy(id) max.  Interleaved
+    lo/hi rounds, min-of-N — the north rule's two-parallelism protocol."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_embeddings
+    from grass_spark.operators.semdecon import semantic_contamination
+    from grass_spark.session import get_spark
+
+    n = args.semdecon_vecs
+    nb = args.bench_vecs
+    vec_path = os.path.join(args.data, f"embs_{n}")
+    marker = vec_path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_emb_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_embeddings(spark, n_vecs=n).write.mode("overwrite").parquet(vec_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    def one_run(cores: int) -> tuple[float, int]:
+        spark = get_spark(
+            "soak_semdecon", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        e = spark.read.parquet(vec_path).select("vec_id", "embedding")
+        # ~50 MB parquet = 1-2 scan splits; spread the scoring pass
+        corpus = e.filter(F.col("vec_id") >= nb).repartition(cores * 4)
+        bench = e.filter(F.col("vec_id") < nb)
+        corpus = corpus.localCheckpoint()  # input prep outside the clock
+        bench = bench.localCheckpoint()
+        t0 = time.perf_counter()
+        out = semantic_contamination(corpus, bench)
+        n_flagged = out.filter(F.col("max_bench_cos") >= 0.9).count()
+        dt = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        return dt, n_flagged
+
+    lo, hi = 2, args.cores
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    n_flagged = 0
+    for _ in range(2):  # interleaved rounds, min-of-2
+        for cores in (lo, hi):
+            dt, n_flagged = one_run(cores)
+            times[cores].append(dt)
+    sec_lo, sec_hi = min(times[lo]), min(times[hi])
+    speedup = round(sec_lo / sec_hi, 3)
+    print(json.dumps({
+        "vecs": n - nb, "bench": nb, "gen_sec": gen_sec,
+        "cores_lo": lo, "cores_hi": hi,
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "times_lo": times[lo], "times_hi": times[hi],
+        "vecs_per_sec_hi": round((n - nb) / sec_hi),
+        "cos_per_sec_hi": round((n - nb) * nb / sec_hi),
+        "speedup": speedup,
+        "efficiency": round(speedup / (hi / lo), 3),
+        "flagged_at_0.9": int(n_flagged),
+    }))
+
+
+def _drift_soak(args) -> None:
+    """Corpus drift diagnostics (divergence.py) between two synthetic
+    snapshot halves at 10^6 docs: two corpus token scans + a
+    vocabulary-sized join/agg.  Interleaved lo/hi, min-of-2."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.divergence import corpus_divergence
+    from grass_spark.session import get_spark
+
+    n = args.drift_docs
+    doc_path = os.path.join(args.data, f"docs_{n}")
+    marker = doc_path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_doc_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_documents(spark, n_docs=n).write.mode("overwrite").parquet(doc_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    def one_run(cores: int) -> tuple[float, float]:
+        spark = get_spark(
+            "soak_drift", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        d = spark.read.parquet(doc_path).select("doc_id", "text")
+        d = d.repartition(cores * 4).localCheckpoint()
+        a = d.filter(F.col("doc_id") % 2 == 0)
+        b = d.filter(F.col("doc_id") % 2 == 1)
+        t0 = time.perf_counter()
+        row = corpus_divergence(a, b).first()
+        dt = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        return dt, float(row["js"])
+
+    lo, hi = 2, args.cores
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    js = 0.0
+    for _ in range(2):
+        for cores in (lo, hi):
+            dt, js = one_run(cores)
+            times[cores].append(dt)
+    sec_lo, sec_hi = min(times[lo]), min(times[hi])
+    speedup = round(sec_lo / sec_hi, 3)
+    print(json.dumps({
+        "docs": n, "gen_sec": gen_sec,
+        "cores_lo": lo, "cores_hi": hi,
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "times_lo": times[lo], "times_hi": times[hi],
+        "docs_per_sec_hi": round(n / sec_hi),
+        "speedup": speedup,
+        "efficiency": round(speedup / (hi / lo), 3),
+        "js": round(js, 6),
+    }))
+
+
 def _corpus_soak(args) -> None:
     """Corpus-hygiene stack (round-4 operators) at 10^6 docs: benchmark
     decontamination, segment dedup, sequence packing, mixture sampling.
@@ -589,6 +713,14 @@ def main() -> None:
                     help="instead of the rollup soak, run semantic "
                          "dedup over N planted-duplicate embeddings "
                          "with lo/hi-core scaling evidence")
+    ap.add_argument("--semdecon-vecs", type=int, default=0,
+                    help="run the semantic-decontamination soak at N "
+                         "corpus vectors instead of the rollup soak")
+    ap.add_argument("--bench-vecs", type=int, default=200,
+                    help="broadcast benchmark size for --semdecon-vecs")
+    ap.add_argument("--drift-docs", type=int, default=0,
+                    help="run the corpus-drift (KL/JS) soak at N docs "
+                         "instead of the rollup soak")
     ap.add_argument("--corpus-docs", type=int, default=0,
                     help="instead of the rollup soak, run the corpus-"
                          "hygiene stack (decontaminate, segment dedup, "
@@ -642,6 +774,12 @@ def main() -> None:
         return
     if args.semdedup_vecs:
         _semdedup_soak(args)
+        return
+    if args.semdecon_vecs:
+        _semdecon_soak(args)
+        return
+    if args.drift_docs:
+        _drift_soak(args)
         return
     if args.segdedup_hot:
         _segdedup_hot_soak(args)

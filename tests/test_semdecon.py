@@ -67,3 +67,60 @@ def test_plan_broadcasts_bench(frames):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_max" in plan  # per-id max combines map-side
+
+
+def test_arrow_path_matches_expr(frames):
+    """Same contract on both physical strategies: 6-dp-rounded max
+    cosine (round is monotone, so max-of-rounded == rounded-max)."""
+    _, corpus_emb, bench_emb = frames
+    expr = {
+        r["vec_id"]: r["max_bench_cos"]
+        for r in semantic_contamination(
+            corpus_emb, bench_emb, method="expr"
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["max_bench_cos"]
+        for r in semantic_contamination(
+            corpus_emb, bench_emb, method="arrow"
+        ).collect()
+    }
+    assert arrow == expr
+
+
+def test_arrow_path_empty_bench_flags_nothing(frames):
+    _, corpus_emb, bench_emb = frames
+    empty = bench_emb.limit(0)
+    for method in ("expr", "arrow"):
+        out = semantic_contamination(corpus_emb, empty, method=method)
+        assert out.count() == 0, method
+
+
+def test_method_auto_routes_on_bench_kdims(spark, frames):
+    """auto == expr below the threshold (the oracle query's regime);
+    a bench set past _EXPR_KDIMS_LIMIT routes to the pandas udf."""
+    _, corpus_emb, _ = frames
+    big_bench = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat((F.col("id") + 1).cast("double"), 128).alias(
+            "embedding"
+        ),
+    )  # 60 * 128 = 7680 > 4096
+    plan = (
+        semantic_contamination(corpus_emb.withColumn(
+            "embedding", F.array_repeat(F.lit(1.0), 128)
+        ), big_bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan
+    small = (
+        semantic_contamination(*frames[1:])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in small
+
+
+def test_method_validation(frames):
+    _, corpus_emb, bench_emb = frames
+    with pytest.raises(ValueError, match="method"):
+        semantic_contamination(corpus_emb, bench_emb, method="blas")
