@@ -24,7 +24,7 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
 _PRIORITY = ("dup_spans", "source_cap", "quality_filter",  # round-5 first
-             "boilerplate_strip", "dedup_best_keep",
+             "boilerplate_strip", "dedup_best_keep", "perplexity_buckets",
              "subword_tokens", "delta_dedup", "tfidf_keywords",
              "quality_classifier", "doc_chunks", "quantize_embeddings",
              "bpe_merges", "semantic_contamination", "corpus_divergence",

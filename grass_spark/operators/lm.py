@@ -114,3 +114,109 @@ def lm_score(
         )
         .withColumn("perplexity", F.pow(F.lit(2.0), F.col("logprob")))
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    add_k: float = 0.5,
+    train: DataFrame | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail strata: bucket each document by where its
+    LM perplexity falls among documents of the SAME language.
+
+    CCNet keeps the low-perplexity head+middle and drops the tail
+    (gibberish, mojibake, boilerplate); the thresholds are per-language
+    perplexity quantiles at ``cuts`` — NOT global, because languages
+    have wildly different base perplexities under any one model.
+
+    Scale shape (100 TB): scoring is :func:`lm_score` (two equi-joins +
+    one groupBy(doc)); the threshold frame is |languages| rows — it
+    broadcasts back, the scored corpus never reshuffles.  With
+    ``exact=True`` the per-language quantile is Spark's exact
+    ``percentile`` (Hyndman-Fan type 7, == DuckDB ``quantile_cont``) —
+    the aggregation buffers each language's value multiset, fine up to
+    ~10^8 docs per language; past that pass ``exact=False`` for
+    Greenwald-Khanna ``approx_percentile`` (rank error <= 1e-4,
+    NOT a cross-engine parity substitute — same contract as
+    ``APPROX_KERNELS``).
+
+    Cross-engine parity: quantiles are taken over the 6-dp-ROUNDED
+    perplexities and the thresholds round to 6 dp again before the
+    bucket comparison — JVM vs libm ``log``/``pow`` differ in the last
+    ulp, so unrounded inputs would flip bucket labels at the cut.
+
+    Returns one row per doc with >= 1 bigram: ``(id, lang, n_bigrams,
+    perplexity, ppl_head_cut, ppl_middle_cut, bucket)``.
+    """
+    lo, hi = float(cuts[0]), float(cuts[1])
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    scores = lm_score(
+        docs, model, id_col=id_col, text_col=text_col,
+        add_k=add_k, train=train,
+    )
+    j = (
+        docs.select(id_col, lang_col)
+        .join(scores, id_col)
+        .select(
+            id_col, lang_col, "n_bigrams",
+            F.round("perplexity", 6).alias("perplexity"),
+        )
+    )
+    if exact:
+        q = F.expr(f"percentile(perplexity, array({lo!r}D, {hi!r}D))")
+    else:
+        q = F.expr(
+            f"approx_percentile(perplexity, array({lo!r}D, {hi!r}D), 10000)"
+        )
+    thr = j.groupBy(lang_col).agg(
+        F.round(F.element_at(q, 1), 6).alias("ppl_head_cut"),
+        F.round(F.element_at(q, 2), 6).alias("ppl_middle_cut"),
+    )
+    return j.join(F.broadcast(thr), lang_col).select(
+        id_col, lang_col, "n_bigrams", "perplexity",
+        "ppl_head_cut", "ppl_middle_cut",
+        F.when(F.col("perplexity") <= F.col("ppl_head_cut"), "head")
+        .when(F.col("perplexity") <= F.col("ppl_middle_cut"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def ccnet_filter(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    keep: tuple[str, ...] = ("head", "middle"),
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    add_k: float = 0.5,
+    train: DataFrame | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep only the docs whose per-language perplexity bucket is in
+    ``keep`` (CCNet default: drop the tail).  Docs with no bigram
+    positions have no perplexity evidence and KEEP — same
+    no-evidence-no-drop contract as the decontaminators."""
+    bad = {b for b in keep if b not in ("head", "middle", "tail")}
+    if bad:
+        raise ValueError(f"unknown buckets in keep: {sorted(bad)}")
+    flagged = (
+        perplexity_buckets(
+            docs, model, id_col=id_col, text_col=text_col,
+            lang_col=lang_col, cuts=cuts, add_k=add_k,
+            train=train, exact=exact,
+        )
+        .filter(~F.col("bucket").isin(*keep))
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")

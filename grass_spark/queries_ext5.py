@@ -857,3 +857,74 @@ ORDER BY l.doc_id
 
 EXT5_QUERIES["dedup_best_keep"] = q_dedup_best_keep
 EXT5_ORACLES["dedup_best_keep"] = ORACLE_DEDUP_BEST_KEEP
+
+
+# ---------------------------------------------------------------------
+# CCNet perplexity buckets (operators/lm.py) — per-language
+# head/middle/tail strata over the self-trained bigram LM.  Thresholds
+# are exact HF7 quantiles of the 6-dp-ROUNDED perplexities (Spark
+# percentile == DuckDB quantile_cont), rounded again before the bucket
+# comparison so JVM-vs-libm log/pow last-ulp drift can't flip a label.
+# ---------------------------------------------------------------------
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """One row per doc with >= 1 bigram: perplexity, its language's
+    head/middle cuts, and the CCNet bucket.  The |langs|-row threshold
+    frame broadcasts; the corpus shuffles only in lm_score's groupBy."""
+    from grass_spark.operators.lm import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return perplexity_buckets(d)
+
+
+ORACLE_PERPLEXITY_BUCKETS = """
+WITH w AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM pos GROUP BY w1, w2
+), uni AS (
+  SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1 FROM big GROUP BY w1
+), voc AS (
+  SELECT CAST(count(DISTINCT wrd) AS DOUBLE) AS v
+  FROM (SELECT unnest(ws) AS wrd FROM w)
+), sc AS (
+  SELECT p.doc_id,
+         -log2((coalesce(b.c12, 0) + 0.5)
+               / (coalesce(u.c1, 0) + 0.5 * voc.v)) AS nlp
+  FROM pos p
+  LEFT JOIN big b USING (w1, w2)
+  LEFT JOIN uni u USING (w1)
+  CROSS JOIN voc
+), ppl AS (
+  SELECT sc.doc_id, w.lang,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(pow(2.0, avg(nlp)), 6) AS perplexity
+  FROM sc JOIN w USING (doc_id)
+  GROUP BY sc.doc_id, w.lang
+), thr AS (
+  SELECT lang,
+         round(CAST(quantile_cont(perplexity, 1.0/3.0) AS DOUBLE), 6)
+           AS ppl_head_cut,
+         round(CAST(quantile_cont(perplexity, 2.0/3.0) AS DOUBLE), 6)
+           AS ppl_middle_cut
+  FROM ppl GROUP BY lang
+)
+SELECT ppl.doc_id, ppl.lang, ppl.n_bigrams, ppl.perplexity,
+       thr.ppl_head_cut, thr.ppl_middle_cut,
+       CASE WHEN ppl.perplexity <= thr.ppl_head_cut THEN 'head'
+            WHEN ppl.perplexity <= thr.ppl_middle_cut THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ppl JOIN thr USING (lang)
+ORDER BY ppl.doc_id
+"""
+
+EXT5_QUERIES["perplexity_buckets"] = q_perplexity_buckets
+EXT5_ORACLES["perplexity_buckets"] = ORACLE_PERPLEXITY_BUCKETS
