@@ -928,3 +928,102 @@ ORDER BY ppl.doc_id
 
 EXT5_QUERIES["perplexity_buckets"] = q_perplexity_buckets
 EXT5_ORACLES["perplexity_buckets"] = ORACLE_PERPLEXITY_BUCKETS
+
+
+# ---------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py) — hashed-ngram
+# likelihood-ratio weights against a target subcorpus, and the
+# deterministic Gumbel-top-k sample.  Buckets and the Gumbel uniform
+# are the portable md5 recipe; ln() differs JVM-vs-libm in the last
+# ulp so sums and keys round to 6 dp in both engines.
+# ---------------------------------------------------------------------
+
+_DSIR_B = 1000
+
+
+def q_dsir_weights(spark, sf_dir):
+    """Per-doc DSIR log importance weight: target = the English
+    subcorpus, raw = everything.  Featurization is two scan-stage
+    Generates; the dense 1000-row log-ratio table broadcasts; one
+    combinable groupBy(doc) sums the weight."""
+    from grass_spark.operators.dsir import dsir_weights
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = d.filter(F.col("lang") == "en")
+    return dsir_weights(d, target, n_buckets=_DSIR_B)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """Gumbel-top-k DSIR sample (k=50) — reproduces bit-for-bit on any
+    engine: the noise is md5-derived, the selection a TakeOrdered."""
+    from grass_spark.operators.dsir import dsir_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = d.filter(F.col("lang") == "en")
+    return dsir_sample(d, target, 50, n_buckets=_DSIR_B)
+
+
+_SQL_DSIR_COMMON = """
+WITH w AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents
+), uni AS (
+  SELECT doc_id, g
+  FROM (SELECT doc_id, unnest(ws) AS g FROM w)
+  WHERE g <> ''
+), bi AS (
+  SELECT doc_id, ws[t.i] || ' ' || ws[t.i + 1] AS g
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+), grams AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % 1000
+              AS BIGINT) AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), ct AS (
+  SELECT g.bucket, CAST(count(*) AS DOUBLE) AS c
+  FROM grams g JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en' GROUP BY g.bucket
+), cr AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS c FROM grams GROUP BY bucket
+), nt AS (SELECT sum(c) AS n FROM ct),
+   nr AS (SELECT sum(c) AS n FROM cr),
+dense AS (
+  SELECT CAST(range AS BIGINT) AS bucket FROM range(1000)
+), lam AS (
+  SELECT dense.bucket,
+         ln((coalesce(ct.c, 0) + 1.0) / (nt.n + 1.0 * 1000))
+         - ln((coalesce(cr.c, 0) + 1.0) / (nr.n + 1.0 * 1000)) AS lam
+  FROM dense
+  LEFT JOIN ct USING (bucket)
+  LEFT JOIN cr USING (bucket)
+  CROSS JOIN nt CROSS JOIN nr
+), wsum AS (
+  SELECT doc_id, round(sum(lam), 6) AS logw
+  FROM grams JOIN lam USING (bucket) GROUP BY doc_id
+), allw AS (
+  SELECT d.doc_id, coalesce(wsum.logw, 0.0) AS logw
+  FROM documents d LEFT JOIN wsum USING (doc_id)
+)
+"""
+
+ORACLE_DSIR_WEIGHTS = (
+    _SQL_DSIR_COMMON + "SELECT doc_id, logw FROM allw ORDER BY doc_id"
+)
+
+ORACLE_DSIR_SAMPLE = _SQL_DSIR_COMMON + """
+SELECT doc_id, logw,
+       round(logw + (-ln(-ln(
+         (CAST('0x' || substr(md5(doc_id || ':'), 1, 8) AS UBIGINT) + 0.5)
+         / 4294967296.0))), 6) AS key
+FROM allw
+ORDER BY key DESC, doc_id
+LIMIT 50
+"""
+
+EXT5_QUERIES["dsir_weights"] = q_dsir_weights
+EXT5_ORACLES["dsir_weights"] = ORACLE_DSIR_WEIGHTS
+EXT5_QUERIES["dsir_sample"] = q_dsir_sample
+EXT5_ORACLES["dsir_sample"] = ORACLE_DSIR_SAMPLE
