@@ -133,6 +133,13 @@ TIER2 = [
     "bpe_merges",
     "semantic_contamination",
     "corpus_divergence",
+    # round 5: boilerplate strip + keep-best election + CCNet buckets
+    # + DSIR importance resampling
+    "boilerplate_strip",
+    "dedup_best_keep",
+    "perplexity_buckets",
+    "dsir_weights",
+    "dsir_sample",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

