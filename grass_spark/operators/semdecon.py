@@ -21,10 +21,15 @@ anything but its own id.  Two physical strategies with one contract
   Arrow batch costs one BLAS matmul + row max.  numpy's pairwise
   summation can differ from the fold in the last ulp *before*
   rounding, so this path is equivalent-after-rounding, not
-  bit-identical — oracle queries stay on ``"expr"``.  Measured 50x
-  on 1M x 200 at 8 cores (134.5 s expr, 2.7 s arrow —
-  scripts/scale_soak.py --semdecon-vecs).  max-of-rounded equals
-  rounded-max because round is monotone non-decreasing.
+  bit-identical — oracle queries stay on ``"expr"``.  Measured 58x
+  on 1M x 200 at 8 cores (134.5 s expr, 2.3 s arrow —
+  scripts/scale_soak.py --semdecon-vecs); at honest minutes-long
+  walls (8M x 4000 = 32e9 cosines) 664M cos/s at 8 cores with 2->8
+  scaling efficiency 0.869.  The GEMM is ROW-BLOCKED
+  (_SCORE_BLOCK_ROWS) — a batch-wide sims temporary was
+  memory-bandwidth-bound (eff 0.54, 4x slower); max runs BEFORE
+  round (both monotone-safe: max-of-rounded == rounded-max, and
+  dividing the max by the positive norm preserves argmax).
 
 ``"auto"`` routes to arrow when |bench| * dims crosses the same
 threshold the SemDeDup assigner uses.
@@ -79,19 +84,39 @@ def semantic_contamination(
                 ).limit(0)
             bmat = np.array(rows, dtype=np.float64)
             b_norm = np.sqrt((bmat * bmat).sum(axis=1))
+            # pre-normalize once: zero-norm bench rows become zero
+            # vectors, i.e. cosine contribution 0 — same as the expr
+            # path's explicit 0.0 for zero-norm pairs
+            b_safe = np.where(b_norm > 0.0, b_norm, 1.0)
+            b_unit = np.where(
+                b_norm[:, None] > 0.0, bmat / b_safe[:, None], 0.0
+            )
 
+            from grass_spark.operators.semdedup import _SCORE_BLOCK_ROWS
             from pyspark.sql.functions import pandas_udf
 
             @pandas_udf("double")
             def _maxcos(batch: pd.Series) -> pd.Series:
-                if len(batch) == 0:
+                n_rows = len(batch)
+                if n_rows == 0:
                     return pd.Series([], dtype="float64")
                 emat = np.vstack(batch.to_numpy())
-                e_norm = np.sqrt((emat * emat).sum(axis=1))
-                denom = e_norm[:, None] * b_norm[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = np.where(denom == 0.0, 0.0, (emat @ bmat.T) / denom)
-                return pd.Series(np.round(sims, 6).max(axis=1))
+                out = np.empty(n_rows, dtype=np.float64)
+                # row-block the GEMM so the sims block stays cache-sized
+                # instead of an 80 MB batch-wide temporary — the full
+                # matrix was memory-bandwidth-bound and didn't scale
+                # with cores.  max BEFORE round (round is monotone);
+                # dividing the max by the positive norm afterwards
+                # preserves argmax.
+                for s in range(0, n_rows, _SCORE_BLOCK_ROWS):
+                    blk = emat[s:s + _SCORE_BLOCK_ROWS]
+                    e_norm = np.sqrt((blk * blk).sum(axis=1))
+                    e_safe = np.where(e_norm > 0.0, e_norm, 1.0)
+                    m = (blk @ b_unit.T).max(axis=1)
+                    out[s:s + _SCORE_BLOCK_ROWS] = np.where(
+                        e_norm > 0.0, m / e_safe, 0.0
+                    )
+                return pd.Series(np.round(out, 6))
 
             return c.select(
                 F.col(id_col), _maxcos(F.col("_e")).alias("max_bench_cos")

@@ -26,6 +26,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pin BLAS to one thread per Python worker: the Arrow soak legs
+# (semdedup/semdecon) run numpy matmuls inside pyspark workers, and an
+# unpinned OpenBLAS spawns its own thread pool PER worker — the
+# local[2] leg then silently uses many cores and the lo/hi scaling
+# efficiency reads low for the wrong reason.  Workers inherit this env
+# through the JVM in local mode.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def _dedup_soak(args) -> None:
     """near_dedup end-to-end over a duplicate-rich corpus: exercises the
