@@ -140,6 +140,7 @@ TIER2 = [
     "perplexity_buckets",
     "dsir_weights",
     "dsir_sample",
+    "diversity_sample",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -401,3 +401,49 @@ def semantic_dedup(
             (F.col(id_col) == F.col("cluster_id")).alias("keep"),
         )
     )
+
+
+def diversity_sample(
+    emb: DataFrame,
+    cap: int,
+    *,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    method: str = "auto",
+    salt: str = "",
+    salts: int = 16,
+) -> DataFrame:
+    """Cluster-balanced sampling: keep at most ``cap`` vectors per
+    semantic cluster — the diversity-preserving downsample (cap the
+    over-represented modes instead of uniform random sampling, which
+    keeps the corpus's existing imbalance).
+
+    Composition of two gated operators: :func:`assign_clusters`
+    (zero-shuffle nearest-centroid labeling, seeded or caller-trained
+    centroids) then :func:`grass_spark.operators.caps.cap_per_group`
+    on the cluster id (deterministic md5 draw, skew-safe hot-cluster
+    selection — a degenerate all-one-cluster embedding distribution is
+    exactly the hot-group case the salted two-stage window bounds).
+
+    Returns (id, cluster_id, u) — the kept rows with their 6-dp
+    selection hash.  Exact for any ``salts``.
+    """
+    from grass_spark.operators.caps import cap_per_group
+
+    cents = (
+        centroids
+        if centroids is not None
+        else seeded_centroid_frame(emb, k, id_col=id_col, vec_col=vec_col)
+    )
+    assigned = assign_clusters(
+        emb, cents, id_col=id_col, vec_col=vec_col, method=method
+    ).select(id_col, "cluster_id")
+    kept = cap_per_group(
+        assigned, cap, group_col="cluster_id", id_col=id_col,
+        salt=salt, salts=salts, keep_hash=True,
+    )
+    return kept.select(
+        id_col, "cluster_id", F.round("_u", 6).alias("u")
+    )

@@ -1027,3 +1027,61 @@ EXT5_QUERIES["dsir_weights"] = q_dsir_weights
 EXT5_ORACLES["dsir_weights"] = ORACLE_DSIR_WEIGHTS
 EXT5_QUERIES["dsir_sample"] = q_dsir_sample
 EXT5_ORACLES["dsir_sample"] = ORACLE_DSIR_SAMPLE
+
+
+# ---------------------------------------------------------------------
+# Cluster-balanced diversity sampling (operators/semdedup.py
+# diversity_sample) — assign_clusters x cap_per_group composition:
+# at most `cap` vectors per semantic cluster, deterministic md5 draw.
+# The DuckDB twin replays the seeded argmax assignment (same
+# (sim desc, c_id asc) tie-break as the semantic_dedup oracle) and
+# the naive single-window cap.
+# ---------------------------------------------------------------------
+
+
+def q_diversity_sample(spark, sf_dir):
+    """Keep <= 10 embeddings per seeded cluster (16 centroids = the 16
+    smallest vec_ids).  The hot-cluster draw goes through the salted
+    two-stage window; exactness does not depend on salts."""
+    from grass_spark.operators.semdedup import diversity_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return diversity_sample(
+        emb, 10, k=16, salt="div", salts=4
+    ).orderBy("vec_id")
+
+
+ORACLE_DIVERSITY_SAMPLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, e AS ce FROM e ORDER BY vec_id LIMIT 16
+), sims AS (
+  SELECT e.vec_id, cent.c_id,
+         round(list_inner_product(e.e, cent.ce)
+               / (sqrt(list_inner_product(e.e, e.e))
+                  * sqrt(list_inner_product(cent.ce, cent.ce))), 6) AS sim
+  FROM e CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+), u AS (
+  SELECT vec_id, c_id,
+         CAST(('0x' || substr(md5(vec_id || ':div'), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS _u
+  FROM assign
+), r AS (
+  SELECT vec_id, c_id, _u,
+         row_number() OVER (PARTITION BY c_id ORDER BY _u, vec_id) AS rn
+  FROM u
+)
+SELECT vec_id, CAST(c_id AS BIGINT) AS cluster_id, round(_u, 6) AS u
+FROM r WHERE rn <= 10
+ORDER BY vec_id
+"""
+
+EXT5_QUERIES["diversity_sample"] = q_diversity_sample
+EXT5_ORACLES["diversity_sample"] = ORACLE_DIVERSITY_SAMPLE

@@ -124,3 +124,33 @@ def test_method_validation(frames):
     _, corpus_emb, bench_emb = frames
     with pytest.raises(ValueError, match="method"):
         semantic_contamination(corpus_emb, bench_emb, method="blas")
+
+
+def test_arrow_path_composes_on_readstream(spark, frames, tmp_path):
+    """The arrow scoring path is a stateless per-row projection —
+    it runs unchanged on readStream and emits batch-identical rows
+    (the expr path's groupBy(id) max does NOT stream; arrow is the
+    streaming-ingest scoring shape)."""
+    _, corpus_emb, bench_emb = frames
+    src = str(tmp_path / "src")
+    corpus_emb.write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    q = (
+        semantic_contamination(stream, bench_emb, method="arrow")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["vec_id"], r["max_bench_cos"])
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["vec_id"], r["max_bench_cos"])
+            for r in semantic_contamination(
+                corpus_emb, bench_emb, method="arrow").collect()}
+    assert got == want

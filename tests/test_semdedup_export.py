@@ -466,3 +466,65 @@ def test_semantic_dedup_degenerate_inputs(spark):
     assert [(r["vec_id"], r["cluster_id"], r["keep"]) for r in got] == [
         (5, 5, True)
     ]
+
+
+def test_diversity_sample_caps_every_cluster(spark):
+    """Composition exactness: diversity_sample == assign + the naive
+    per-cluster (u, id) window, for any salts."""
+    from grass_spark.operators.sampling import uniform_hash
+    from grass_spark.operators.semdedup import (
+        assign_clusters,
+        diversity_sample,
+        seeded_centroid_frame,
+    )
+    from pyspark.sql import Window
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 3 + 1).cast("double"),
+            ((F.col("id") * 7) % 5).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    got = {
+        (r["vec_id"], r["cluster_id"])
+        for r in diversity_sample(emb, 5, k=4, salt="t", salts=3).collect()
+    }
+    cents = seeded_centroid_frame(emb, 4)
+    naive = (
+        assign_clusters(emb, cents)
+        .select("vec_id", "cluster_id")
+        .withColumn("_u", uniform_hash(F.col("vec_id"), "t"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy("_u", "vec_id")
+            ),
+        )
+        .filter(F.col("_rn") <= 5)
+    )
+    want = {(r["vec_id"], r["cluster_id"]) for r in naive.collect()}
+    assert got == want
+    # every cluster at or under the cap, and at least one was capped
+    sizes = [len([1 for _, c in got if c == cid])
+             for cid in {c for _, c in got}]
+    assert max(sizes) <= 5 and len(got) < 300
+
+
+def test_diversity_sample_deterministic_and_salted(spark):
+    from grass_spark.operators.semdedup import diversity_sample
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), F.lit(1.0)
+        ).alias("embedding"),
+    )
+    a = {r["vec_id"] for r in diversity_sample(emb, 3, k=2).collect()}
+    b = {r["vec_id"] for r in diversity_sample(emb, 3, k=2).collect()}
+    c = {r["vec_id"] for r in diversity_sample(emb, 3, k=2,
+                                               salt="other").collect()}
+    assert a == b
+    assert a != c  # different draw, same sizes
+    assert len(a) == len(c)
