@@ -289,6 +289,129 @@ def _drift_soak(args) -> None:
     }))
 
 
+def _dsir_soak(args) -> None:
+    """DSIR selection at 10^6 raw docs: two distribution fits (one
+    combinable groupBy(bucket) each over the gram Generates), the
+    broadcast log-ratio scoring join + groupBy(doc), and the
+    TakeOrdered top-k.  Interleaved lo/hi, min-of-2."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.dsir import dsir_sample
+    from grass_spark.session import get_spark
+
+    n = args.dsir_docs
+    doc_path = os.path.join(args.data, f"docs_{n}")
+    marker = doc_path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_doc_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_documents(spark, n_docs=n).write.mode("overwrite").parquet(doc_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    def one_run(cores: int) -> tuple[float, int]:
+        spark = get_spark(
+            "soak_dsir", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        d = spark.read.parquet(doc_path).select("doc_id", "text")
+        d = d.repartition(cores * 4).localCheckpoint()
+        target = d.filter(F.col("doc_id") % 100 == 0)  # 1% "trusted"
+        t0 = time.perf_counter()
+        picked = dsir_sample(d, target, 10_000).count()
+        dt = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        return dt, picked
+
+    lo, hi = 2, args.cores
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    picked = 0
+    for _ in range(2):
+        for cores in (lo, hi):
+            dt, picked = one_run(cores)
+            times[cores].append(dt)
+    sec_lo, sec_hi = min(times[lo]), min(times[hi])
+    speedup = round(sec_lo / sec_hi, 3)
+    print(json.dumps({
+        "docs": n, "gen_sec": gen_sec,
+        "cores_lo": lo, "cores_hi": hi,
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "times_lo": times[lo], "times_hi": times[hi],
+        "docs_per_sec_hi": round(n / sec_hi),
+        "speedup": speedup,
+        "efficiency": round(speedup / (hi / lo), 3),
+        "picked": int(picked),
+    }))
+
+
+def _ppl_soak(args) -> None:
+    """CCNet perplexity buckets at 10^6 docs: self-trained bigram LM
+    (two combinable count groupBys), two bounded scoring joins +
+    groupBy(doc), the |langs|-row exact-quantile agg, broadcast-join
+    back.  Interleaved lo/hi, min-of-2."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.lm import perplexity_buckets
+    from grass_spark.session import get_spark
+
+    n = args.ppl_docs
+    doc_path = os.path.join(args.data, f"docs_{n}")
+    marker = doc_path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_doc_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_documents(spark, n_docs=n).write.mode("overwrite").parquet(doc_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    def one_run(cores: int) -> tuple[float, dict]:
+        spark = get_spark(
+            "soak_ppl", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        d = spark.read.parquet(doc_path).select(
+            "doc_id", "text", (F.col("doc_id") % 4).alias("lang")
+        )
+        d = d.repartition(cores * 4).localCheckpoint()
+        t0 = time.perf_counter()
+        counts = {
+            r["bucket"]: r["n"]
+            for r in perplexity_buckets(d, lang_col="lang")
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        dt = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        return dt, counts
+
+    lo, hi = 2, args.cores
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    counts: dict = {}
+    for _ in range(2):
+        for cores in (lo, hi):
+            dt, counts = one_run(cores)
+            times[cores].append(dt)
+    sec_lo, sec_hi = min(times[lo]), min(times[hi])
+    speedup = round(sec_lo / sec_hi, 3)
+    print(json.dumps({
+        "docs": n, "gen_sec": gen_sec,
+        "cores_lo": lo, "cores_hi": hi,
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "times_lo": times[lo], "times_hi": times[hi],
+        "docs_per_sec_hi": round(n / sec_hi),
+        "speedup": speedup,
+        "efficiency": round(speedup / (hi / lo), 3),
+        "buckets": counts,
+    }))
+
+
 def _corpus_soak(args) -> None:
     """Corpus-hygiene stack (round-4 operators) at 10^6 docs: benchmark
     decontamination, segment dedup, sequence packing, mixture sampling.
@@ -730,6 +853,10 @@ def main() -> None:
     ap.add_argument("--drift-docs", type=int, default=0,
                     help="run the corpus-drift (KL/JS) soak at N docs "
                          "instead of the rollup soak")
+    ap.add_argument("--dsir-docs", type=int, default=0,
+                    help="run the DSIR selection soak at N raw docs")
+    ap.add_argument("--ppl-docs", type=int, default=0,
+                    help="run the CCNet perplexity-bucket soak at N docs")
     ap.add_argument("--corpus-docs", type=int, default=0,
                     help="instead of the rollup soak, run the corpus-"
                          "hygiene stack (decontaminate, segment dedup, "
@@ -789,6 +916,12 @@ def main() -> None:
         return
     if args.drift_docs:
         _drift_soak(args)
+        return
+    if args.dsir_docs:
+        _dsir_soak(args)
+        return
+    if args.ppl_docs:
+        _ppl_soak(args)
         return
     if args.segdedup_hot:
         _segdedup_hot_soak(args)
