@@ -26,6 +26,7 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 _PRIORITY = ("dup_spans", "source_cap", "quality_filter",  # round-5 first
              "boilerplate_strip", "dedup_best_keep", "perplexity_buckets",
              "dsir_weights", "dsir_sample", "diversity_sample",
+             "dedup_report",
              "subword_tokens", "delta_dedup", "tfidf_keywords",
              "quality_classifier", "doc_chunks", "quantize_embeddings",
              "bpe_merges", "semantic_contamination", "corpus_divergence",

@@ -141,6 +141,7 @@ TIER2 = [
     "dsir_weights",
     "dsir_sample",
     "diversity_sample",
+    "dedup_report",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -521,3 +521,38 @@ def elect_representatives(
         .withColumn("keep", F.col(id_col) == F.col("_keep_id"))
         .drop("_keep_id")
     )
+
+
+def dedup_report(
+    decisions: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group dedup telemetry from a (id, cluster_id, keep)
+    decisions frame (:func:`near_dedup` output or the store's labels):
+    ``n_docs``, ``n_kept``, ``n_dropped``, ``dup_rate`` (6 dp) and
+    ``n_clusters`` (distinct cluster ids with a member in the group —
+    a cluster spanning groups counts in each group it touches).
+
+    One groupBy on ``group_col`` (bounded cardinality by contract);
+    counts are map-side-combinable, the distinct-cluster count is the
+    standard two-phase partial distinct.  The report is the monitoring
+    surface a recurring ingest watches for source-level contamination
+    spikes — dup_rate jumping on one source is the classic mirror-site
+    signature.
+    """
+    j = docs.select(id_col, group_col).join(decisions, id_col)
+    kept = F.sum(F.col("keep").cast("long"))
+    n = F.count(F.lit(1))
+    return (
+        j.groupBy(group_col)
+        .agg(
+            n.alias("n_docs"),
+            kept.alias("n_kept"),
+            (n - kept).alias("n_dropped"),
+            F.round((n - kept) / n, 6).alias("dup_rate"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+    )

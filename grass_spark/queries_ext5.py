@@ -1085,3 +1085,86 @@ ORDER BY vec_id
 
 EXT5_QUERIES["diversity_sample"] = q_diversity_sample
 EXT5_ORACLES["diversity_sample"] = ORACLE_DIVERSITY_SAMPLE
+
+
+# ---------------------------------------------------------------------
+# Dedup telemetry report (operators/dedup.py dedup_report) — per-source
+# duplicate statistics over the near-dedup keep decisions: the
+# monitoring surface a recurring ingest watches (a dup_rate spike on
+# one source is the mirror-site signature).
+# ---------------------------------------------------------------------
+
+
+def q_dedup_report(spark, sf_dir):
+    """Per-source dedup stats from the same md5-LSH -> Jaccard-verify
+    (>= 0.8) -> CC chain near_dedup_keep gates; one bounded-cardinality
+    groupBy(source) on top."""
+    from grass_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_report,
+        ngram_jaccard_pairs,
+        with_shingles,
+    )
+    from grass_spark.queries_ext3 import _md5_cands
+
+    d = _t(spark, sf_dir, "documents")
+    sh = with_shingles(d, "text", 3).select("doc_id", "sh_arr").localCheckpoint()
+    verified = ngram_jaccard_pairs(
+        d, _md5_cands(sh), shingle_n=3, shingles=sh
+    ).filter(F.col("jaccard") >= 0.8)
+    clusters = dedup_clusters(verified)
+    decisions = d.select("doc_id").join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    ).select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+    return dedup_report(decisions, d).orderBy("source")
+
+
+ORACLE_DEDUP_REPORT = f"""
+WITH RECURSIVE {{shingles}},
+{{cands}}, verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.ls, sb.ls)) AS DOUBLE)
+        / (len(sa.ls) + len(sb.ls) - len(list_intersect(sa.ls, sb.ls)))
+        >= 0.8
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+), reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.s AS id, reach.r AS r
+  FROM edges e JOIN reach ON e.d = reach.id
+), clusters AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), decisions AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+  FROM documents d
+  LEFT JOIN clusters c ON c.id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       round(CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS dup_rate,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM decisions
+GROUP BY source
+ORDER BY source
+""".format(shingles=_SQL_SHINGLES, cands=_SQL_CANDS)
+
+EXT5_QUERIES["dedup_report"] = q_dedup_report
+EXT5_ORACLES["dedup_report"] = ORACLE_DEDUP_REPORT
