@@ -169,6 +169,12 @@ def perplexity_buckets(
             id_col, lang_col, "n_bigrams",
             F.round("perplexity", 6).alias("perplexity"),
         )
+        # BOTH the threshold agg and the final join consume this frame:
+        # without the checkpoint the whole lm_score subtree (several
+        # corpus scans + two model joins) executes twice per action —
+        # the standard multi-consumer lineage trap.  The materialized
+        # frame is 4 narrow columns per doc.
+        .localCheckpoint(eager=False)
     )
     if exact:
         q = F.expr(f"percentile(perplexity, array({lo!r}D, {hi!r}D))")
