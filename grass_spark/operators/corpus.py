@@ -6,6 +6,9 @@ recipe), all as ONE declarative Spark plan per stage:
 
 1. **PII redaction** (``redact``) — scrub before anything else reads
    the text;
+1b. **line-level cleaning** (optional, ``line_rules``) — the
+   C4/RefinedWeb line rules: drop boilerplate/chrome lines inside each
+   document, swap in the cleaned text, reject docs that lost too much;
 2. **quality + repetition filter** — drop docs outside length bounds
    or above the repetition-fraction thresholds; optionally the full
    Gopher structural rule set (``quality_rules``) and/or an LM
@@ -59,6 +62,7 @@ def prepare_corpus(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    line_rules=None,
     min_words: int = 5,
     max_words: int | None = None,
     max_word_rep_frac: float = 0.6,
@@ -96,6 +100,8 @@ def prepare_corpus(
 
     ``None`` disables a stage (``benchmark=None`` skips
     decontamination, ``near_dedup_threshold=None`` skips near dedup,
+    ``line_rules=None`` skips line-level cleaning (pass a
+    :class:`grass_spark.operators.linefilter.LineRules`),
     ``quality_rules=None`` skips the Gopher structural rules,
     ``classifier_weights=None`` skips the hashed-linear quality
     classifier (pass a (bucket, weight) frame + ``min_quality_prob``),
@@ -139,6 +145,21 @@ def prepare_corpus(
 
     # 1. redaction (adds n_<kind> count columns, scrubs text in place)
     cur = redact(docs, text_col=text_col)
+
+    # 1b. line-level cleaning (optional): drop chrome lines inside each
+    # doc, substitute the cleaned text, reject docs that lost too much.
+    # Pure scan-stage projection — no checkpoint needed.
+    if line_rules is not None:
+        from grass_spark.operators.linefilter import line_filter
+
+        cur = (
+            line_filter(cur, line_rules, text_col=text_col)
+            .filter("keep")
+            .drop(text_col, "n_lines", "n_kept_lines",
+                  "removed_char_frac", "reject_reason", "keep")
+            .withColumnRenamed("clean_text", text_col)
+        )
+        _count("after_line_filter", cur)
 
     # 2. quality gates: length bounds + repetition fractions
     rep = repetition_stats(cur, id_col=id_col, text_col=text_col)

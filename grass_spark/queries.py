@@ -826,3 +826,10 @@ from grass_spark.queries_ext5 import EXT5_ORACLES, EXT5_QUERIES  # noqa: E402
 
 QUERIES.update(EXT5_QUERIES)
 ORACLES.update(EXT5_ORACLES)
+
+# sixth wave (line-level C4/RefinedWeb cleaning) —
+# grass_spark.queries_ext6
+from grass_spark.queries_ext6 import EXT6_ORACLES, EXT6_QUERIES  # noqa: E402
+
+QUERIES.update(EXT6_QUERIES)
+ORACLES.update(EXT6_ORACLES)

@@ -1,0 +1,113 @@
+"""Sixth wave of driver-contract queries: round-5 closing operators —
+line-level document cleaning (C4/RefinedWeb rules).
+
+Merged into the main registries by :mod:`grass_spark.queries`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grass_spark.queries_ext import _t
+
+EXT6_QUERIES: dict = {}
+EXT6_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------
+# Line-level cleaning (operators/linefilter.py) — the synthetic docs
+# are single-line word soup, so the query first wraps them into 7-word
+# pseudo-lines with ONE portable regexp_replace (both engines consume
+# matches non-overlapping left-to-right) and uppercases every 5th doc
+# to light up the mainly-uppercase rule; 'customer' is a vocab word so
+# the phrase rule discriminates.  The operator itself is a pure
+# scan-stage projection (plan-pinned zero-Exchange in tests).
+# ---------------------------------------------------------------------
+
+_WRAP_PAT = r"((?:\S+ ){6}\S+) "
+
+
+def q_line_filter(spark, sf_dir):
+    """Per-document line-cleaning report: line census, cleaned-text
+    hash, removed-character share, doc keep with first-fail reason."""
+    from grass_spark.operators.linefilter import LineRules, line_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    wrapped = F.regexp_replace(norm, _WRAP_PAT, "$1\n")
+    text2 = F.when(F.col("doc_id") % 5 == 0, F.upper(wrapped)).otherwise(
+        wrapped
+    )
+    rules = LineRules(
+        min_line_words=4,
+        require_terminal_punct=False,
+        drop_phrases=("customer",),
+        min_kept_lines=3,
+        max_removed_frac=0.35,
+    )
+    out = line_filter(d.select("doc_id", text2.alias("text")), rules)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.round("removed_char_frac", 6).alias("removed_char_frac"),
+        "reject_reason",
+        "keep",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_LINE_FILTER = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+           '{_WRAP_PAT}', '\\1' || chr(10), 'g') AS wrapped
+  FROM documents
+), t2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN upper(wrapped)
+              ELSE wrapped END AS text
+  FROM t
+), k AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), ln ->
+           len(list_filter(regexp_split_to_array(ln, '\\s+'),
+                           w -> w <> '')) >= 4
+           AND NOT contains(lower(ln), 'customer')
+           AND (len(regexp_replace(ln, '[^A-Za-z]', '', 'g')) = 0 OR
+                CAST(len(regexp_replace(ln, '[^A-Z]', '', 'g')) AS DOUBLE)
+                  / len(regexp_replace(ln, '[^A-Za-z]', '', 'g')) <= 0.6)
+           AND CAST(len(regexp_replace(ln, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(len(ln), 1) <= 0.5
+         ) AS kept
+  FROM t2
+), m AS (
+  SELECT doc_id, text,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         -- DuckDB array_to_string([]) is NULL where Spark's is ''
+         coalesce(array_to_string(kept, chr(10)), '') AS clean
+  FROM k
+), g AS (
+  SELECT *,
+         CAST(len(text) - len(clean) AS DOUBLE) / greatest(len(text), 1)
+           AS rf,
+         CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+              WHEN contains(text, '{{') THEN 'curly_brace'
+              WHEN n_kept_lines < 3 THEN 'too_few_lines'
+              WHEN CAST(len(text) - len(clean) AS DOUBLE)
+                     / greatest(len(text), 1) > 0.35 THEN 'removed_frac'
+              ELSE 'keep' END AS reject_reason
+  FROM m
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       round(rf, 6) AS removed_char_frac,
+       reject_reason,
+       reject_reason = 'keep' AS keep,
+       md5(clean) AS clean_md5
+FROM g ORDER BY doc_id
+"""
+
+EXT6_QUERIES["line_filter"] = q_line_filter
+EXT6_ORACLES["line_filter"] = ORACLE_LINE_FILTER

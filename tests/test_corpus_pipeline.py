@@ -298,3 +298,28 @@ def test_dsir_stage(spark, corpus):
     assert 1 in kept
     with pytest.raises(ValueError, match="dsir_k"):
         prepare_corpus(corpus, dsir_target=target, collect_stats=False)
+
+
+def test_line_filter_stage(spark, bench):
+    """Stage 1b: chrome lines vanish from the surviving text; docs
+    gutted below the removal threshold drop entirely."""
+    from grass_spark.operators.linefilter import LineRules
+
+    rows = [
+        (1, "en", GOOD + ".\nplease enable javascript to view.\n"
+                  + GOOD2 + "."),
+        (2, "en", "all rights reserved to the site owner.\n"
+                  "click here to read more about cookies."),  # all chrome
+        (3, "en", GOOD2 + " and more fresh prose follows here."),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    rules = LineRules(min_line_words=5, require_terminal_punct=True,
+                      min_kept_lines=1, max_removed_frac=0.6)
+    out, stats = prepare_corpus(
+        corpus, None, line_rules=rules, near_dedup_threshold=None,
+    )
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert sorted(kept) == [1, 3]
+    assert "javascript" not in kept[1]
+    assert GOOD in kept[1] and GOOD2 in kept[1]
+    assert stats["after_line_filter"] == 2
