@@ -149,6 +149,55 @@ def subword_token_counts(
     )
 
 
+def canonical_vocab(vocab: list[str] | tuple[str, ...]) -> list[str]:
+    """The id-assignment order shared by :func:`greedy_vocab_pattern`
+    and :func:`subword_encode`: descending length, then lexicographic —
+    piece i gets token id i."""
+    return sorted(set(vocab), key=lambda p: (-len(p), p))
+
+
+def subword_encode(
+    df: DataFrame,
+    vocab: list[str] | tuple[str, ...] = DEFAULT_SUBWORDS,
+    *,
+    text_col: str = "text",
+    out: str = "token_ids",
+) -> DataFrame:
+    """Greedy-subword tokenization to the TOKEN-ID sequence a trainer
+    consumes (``array<int>``), plus ``n_tokens``.
+
+    Ids are the piece's position in :func:`canonical_vocab`;
+    out-of-vocab single characters (the pattern's ``[^ ]`` fallback)
+    map to ``len(vocab) + codepoint`` — a disjoint, deterministic byte
+    range.  Whitespace separates pieces but emits no token (matching
+    :func:`subword_token_counts`).  The pieces are
+    one ``regexp_extract_all`` over the compiled vocab pattern and the
+    id lookup is a ``transform`` over a broadcast map LITERAL (plan
+    constant — capture-safe, zero Python, zero shuffle; the whole
+    encode stays inside the scan stage at any corpus size).
+    """
+    pieces_v = canonical_vocab(vocab)
+    pat = greedy_vocab_pattern(vocab)
+    id_map = F.create_map(
+        *[c for i, p in enumerate(pieces_v) for c in (F.lit(p), F.lit(i))]
+    )
+    oov_base = F.lit(len(pieces_v))
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    pieces = F.regexp_extract_all(norm, F.lit(pat), F.lit(0))
+    staged = df.withColumn("_pieces", pieces)
+    ids = F.transform(
+        F.col("_pieces"),
+        lambda p: F.coalesce(
+            F.element_at(id_map, p), F.ascii(p) + oov_base
+        ).cast("int"),
+    )
+    return (
+        staged.withColumn(out, ids)
+        .withColumn("n_tokens", F.size(F.col(out)).cast("long"))
+        .drop("_pieces")
+    )
+
+
 def fingerprints(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Two fingerprints: md5 of normalized text (exact-dup key) and a
     rolling 64-bit content hash over word 4-gram windows (xxhash64 of

@@ -111,3 +111,68 @@ FROM g ORDER BY doc_id
 
 EXT6_QUERIES["line_filter"] = q_line_filter
 EXT6_ORACLES["line_filter"] = ORACLE_LINE_FILTER
+
+
+# ---------------------------------------------------------------------
+# Subword encode (operators/textstats.py subword_encode) — the token-ID
+# sequence a trainer consumes.  Ids are canonical-vocab positions (the
+# same length-desc order that makes the regex greedy), OOV chars map to
+# len(vocab)+codepoint; both engines replay the identical pattern and
+# id assignment, so the md5 of the id sequence hash-gates the whole
+# encode path bit-for-bit.
+# ---------------------------------------------------------------------
+
+
+def q_subword_encode(spark, sf_dir):
+    """Per document: token count, id-sequence md5, and the first/last
+    token ids (spot-checkable without a wide row)."""
+    from grass_spark.operators.textstats import subword_encode
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = subword_encode(d)
+    ids = F.col("token_ids")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.element_at(ids, 1).alias("first_id"),
+        F.element_at(ids, -1).alias("last_id"),
+        F.md5(F.array_join(ids.cast("array<string>"), ",")).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
+def _subword_encode_oracle() -> str:
+    from grass_spark.operators.textstats import (
+        DEFAULT_SUBWORDS,
+        canonical_vocab,
+        greedy_vocab_pattern,
+    )
+
+    pat = greedy_vocab_pattern(DEFAULT_SUBWORDS)
+    vocab = canonical_vocab(DEFAULT_SUBWORDS)
+    vlit = "[" + ",".join(f"'{p}'" for p in vocab) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+           '{pat}') AS pieces
+  FROM documents
+), ids AS (
+  SELECT doc_id,
+         list_transform(pieces, p ->
+           CASE WHEN list_position({vlit}, p) > 0
+                THEN list_position({vlit}, p) - 1
+                ELSE ascii(p) + {len(vocab)} END) AS ids
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(ids) AS BIGINT) AS n_tokens,
+       CAST(ids[1] AS INT) AS first_id,
+       CAST(ids[-1] AS INT) AS last_id,
+       md5(coalesce(array_to_string(ids, ','), '')) AS ids_md5
+FROM ids ORDER BY doc_id
+"""
+
+
+EXT6_QUERIES["subword_encode"] = q_subword_encode
+EXT6_ORACLES["subword_encode"] = _subword_encode_oracle()

@@ -466,3 +466,63 @@ def test_strip_boilerplate_census_is_combinable_not_a_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_subword_encode_ids_and_roundtrip(spark):
+    """Encode emits canonical-vocab ids; OOV chars land in the disjoint
+    len(vocab)+codepoint range; spaces are skipped (the pattern's
+    fallback is ``[^ ]``, matching the counts op); decoding the pieces
+    reproduces the de-spaced normalized text."""
+    from grass_spark.operators.textstats import (
+        canonical_vocab,
+        subword_encode,
+    )
+
+    vocab = ("the", "ing", "th", "in", "e")
+    canon = canonical_vocab(vocab)
+    df = spark.createDataFrame(
+        [(1, "the thing"), (2, "@e"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in subword_encode(df, vocab).collect()}
+    # 'the thing' -> the, th, ing (the space is skipped, not a token)
+    v = len(canon)
+    assert rows[1].token_ids == [
+        canon.index("the"), canon.index("th"), canon.index("ing")
+    ]
+    assert rows[2].token_ids == [64 + v, canon.index("e")]
+    assert rows[3].token_ids == [] and rows[3].n_tokens == 0
+    # decode round-trip on doc 1 (spaces dropped by the tokenizer)
+    inv = {i: p for i, p in enumerate(canon)}
+    dec = "".join(
+        inv[t] if t in inv else chr(t - v) for t in rows[1].token_ids
+    )
+    assert dec == "thething"
+
+
+def test_subword_encode_count_matches_counts_op(spark):
+    from grass_spark.operators.textstats import (
+        subword_encode,
+        subword_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"some reasonably varied text number {i} with affixes "
+             "like nationalization and engineering")
+         for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    enc = {r.doc_id: r.n_tokens for r in subword_encode(df).collect()}
+    cnt = {r.doc_id: r.n_subword_tokens
+           for r in subword_token_counts(df).collect()}
+    assert enc == cnt
+
+
+def test_subword_encode_plan_scan_stage(spark):
+    from grass_spark.operators.textstats import subword_encode
+
+    df = spark.createDataFrame(
+        [(1, "inside the scan stage")], "doc_id bigint, text string"
+    )
+    plan = subword_encode(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
