@@ -23,7 +23,7 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("line_filter", "subword_encode",  # round-5 first
+_PRIORITY = ("line_filter", "subword_encode", "pq_codes",  # round-5 first
              "dup_spans", "source_cap", "quality_filter",
              "boilerplate_strip", "dedup_best_keep", "perplexity_buckets",
              "dsir_weights", "dsir_sample", "diversity_sample",

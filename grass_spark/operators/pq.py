@@ -1,0 +1,172 @@
+"""Product quantization (PQ) for embedding ANN at scale.
+
+The third leg of the similarity stack: SQ8 (:mod:`quantize`) shrinks
+each coordinate, IVF (:mod:`similarity`) prunes candidates, PQ shrinks
+the DISTANCE COMPUTATION — each vector becomes ``m`` small codes (one
+per subspace, each the nearest of ``k`` subspace centroids), and a
+query scans codes with a precomputed ``m x k`` lookup table (ADC,
+Jégou et al. 2011) instead of touching floats.  At 100 TB the PQ code
+table is ~dims/subdim bytes per vector and the scan is
+memory-bandwidth-, not FLOP-, bound.
+
+Codebook contract: centroids are SEEDED deterministically from the
+``k`` smallest-id vectors' subvectors (the same seeding contract as
+:func:`semdedup.assign_clusters` / ``diversity_sample``), not
+Lloyd-trained — deterministic, engine-replayable, and honest about it;
+callers with a trained codebook pass their own.  The codebook is
+k-bounded (one ``limit(k)`` collect) and enters the plan as literals —
+the measured literal-centroid ceiling (PLANS.md: ~4k values before
+codegen blows up) is validated, with ``m*k*subdim`` raised above it.
+
+Cross-engine parity: distances fold left-to-right over cast-to-double
+subvectors and ROUND to 6 dp before the argmin (JVM/libm last-ulp
+drift cannot flip an assignment — the assign_clusters discipline);
+ties break to the smallest centroid ordinal via struct min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: literal-budget guard — above this, plan-literal codegen degrades
+#: (measured on the semdedup literal-centroid path, PLANS.md)
+_MAX_LITERALS = 4096
+
+
+def pq_codebook(
+    df: DataFrame,
+    m: int,
+    k: int,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Seeded ``[m][k][subdim]`` codebook: subspace ``j`` of the ``k``
+    smallest-``id_col`` vectors.  One k-row bounded collect."""
+    rows = (
+        df.select(id_col, F.col(emb_col).cast("array<double>").alias("e"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need >= {k} vectors to seed a k={k} codebook")
+    dims = len(rows[0]["e"])
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sub = dims // m
+    if m * k * sub > _MAX_LITERALS:
+        raise ValueError(
+            f"m*k*subdim={m * k * sub} exceeds the plan-literal budget "
+            f"({_MAX_LITERALS}); train a smaller codebook or shard encode"
+        )
+    return [
+        [list(r["e"][j * sub:(j + 1) * sub]) for r in rows]
+        for j in range(m)
+    ]
+
+
+def _sq_dist(sub: Column, cvec: list[float]) -> Column:
+    """Left-to-right fold of (x-c)^2 over one subspace; the centroid is
+    a literal ARGUMENT array (zip_with input, never a lambda capture)."""
+    carr = F.array(*[F.lit(float(c)) for c in cvec])
+    return F.aggregate(
+        F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    out: str = "codes",
+    with_err: bool = False,
+) -> DataFrame:
+    """Adds ``codes`` (``array<int>`` of length ``m``): per subspace,
+    the ordinal of the nearest centroid (squared L2, distances rounded
+    to 6 dp before the argmin, ties -> smallest ordinal).
+    ``with_err=True`` also adds ``recon_err`` — the total quantization
+    distortion ``sum_j min_c dist(sub_j, centroid_c)`` (the chosen
+    distances summed in subspace order, rounded 6 dp) — the audit
+    column an index build gates on.
+
+    Pure scan-stage projection — the codebook is plan literals, the
+    argmin a struct ``array_min``; zero shuffles, zero Python.
+    """
+    m = len(codebook)
+    k = len(codebook[0])
+    sub = len(codebook[0][0])
+    xs = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    staged = df.withColumn("_xs", xs)
+    codes, dists = [], []
+    for j in range(m):
+        subv = F.slice(F.col("_xs"), j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(_sq_dist(subv, codebook[j][c]), 6).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k)
+            ]
+        )
+        best = F.array_min(cands)
+        codes.append(best["c"].cast("int"))
+        dists.append(best["d"])
+    out_df = staged.withColumn(out, F.array(*codes))
+    if with_err:
+        err = dists[0]
+        for d in dists[1:]:
+            err = err + d
+        out_df = out_df.withColumn("recon_err", F.round(err, 6))
+    return out_df.drop("_xs")
+
+
+def pq_adc(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    query: list[float],
+    *,
+    codes_col: str = "codes",
+    out: str = "adc",
+) -> Column | DataFrame:
+    """Adds ``adc``: the asymmetric-distance approximation of
+    ||query - x||^2 — ``sum_j T[j][codes_j]`` where ``T[j][c]`` is the
+    (6-dp-rounded) squared distance from the query's subspace ``j`` to
+    centroid ``c``.  The table is m*k plan literals; scoring touches
+    only the code column (the PQ scan shape: no float vectors read)."""
+    m = len(codebook)
+    k = len(codebook[0])
+    sub = len(codebook[0][0])
+    if len(query) != m * sub:
+        raise ValueError(f"query dims {len(query)} != {m * sub}")
+    table = [
+        [
+            round(
+                sum(
+                    (float(query[j * sub + t]) - float(codebook[j][c][t]))
+                    ** 2
+                    for t in range(sub)
+                ),
+                6,
+            )
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(v) for v in table[j]]),
+            F.element_at(F.col(codes_col), j + 1) + 1,
+        )
+        for j in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    return df.withColumn(out, F.round(adc, 6))

@@ -176,3 +176,75 @@ FROM ids ORDER BY doc_id
 
 EXT6_QUERIES["subword_encode"] = q_subword_encode
 EXT6_ORACLES["subword_encode"] = _subword_encode_oracle()
+
+
+# ---------------------------------------------------------------------
+# Product quantization (operators/pq.py) — m=8 subspaces x k=16 seeded
+# centroids over the 64-d embeddings.  Codes hash-gate the full
+# argmin chain (distances are pure IEEE *,-,+ folds in identical
+# left-to-right order, rounded 6 dp before the argmin — bit-identical
+# across engines); recon_err sums the chosen distances in subspace
+# order (DuckDB list(ORDER BY j) -> list_sum replays Spark's chain).
+# ---------------------------------------------------------------------
+
+_PQ_M, _PQ_K = 8, 16
+
+
+def q_pq_codes(spark, sf_dir):
+    """PQ-encode every embedding: the m-code vector (hashed) plus the
+    per-vector quantization distortion."""
+    from grass_spark.operators.pq import pq_codebook, pq_encode
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_codebook(e, _PQ_M, _PQ_K)
+    out = pq_encode(e, cb, with_err=True)
+    return out.select(
+        "vec_id",
+        F.md5(F.array_join(F.col("codes").cast("array<string>"), ","))
+            .alias("codes_md5"),
+        "recon_err",
+    ).orderBy("vec_id")
+
+
+_PQ_SUB = 64 // _PQ_M
+
+ORACLE_PQ_CODES = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), centn AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_K})
+), js AS (SELECT unnest(range({_PQ_M})) AS j),
+sub AS (
+  SELECT e.vec_id, js.j,
+         e.v[js.j * {_PQ_SUB} + 1 : js.j * {_PQ_SUB} + {_PQ_SUB}] AS sv
+  FROM e CROSS JOIN js
+), csub AS (
+  SELECT centn.c, js.j,
+         centn.v[js.j * {_PQ_SUB} + 1 : js.j * {_PQ_SUB} + {_PQ_SUB}] AS cv
+  FROM centn CROSS JOIN js
+), d AS (
+  SELECT sub.vec_id, sub.j, csub.c,
+         round(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+             t -> (sub.sv[t] - csub.cv[t]) * (sub.sv[t] - csub.cv[t]))), 6)
+           AS dist
+  FROM sub JOIN csub USING (j)
+), best AS (
+  SELECT vec_id, j, c, dist,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY dist, c) AS rn
+  FROM d
+), codes AS (
+  SELECT vec_id,
+         list(c ORDER BY j) AS codes,
+         round(list_sum(list(dist ORDER BY j)), 6) AS recon_err
+  FROM best WHERE rn = 1 GROUP BY vec_id
+)
+SELECT vec_id,
+       md5(array_to_string(codes, ',')) AS codes_md5,
+       recon_err
+FROM codes ORDER BY vec_id
+"""
+
+EXT6_QUERIES["pq_codes"] = q_pq_codes
+EXT6_ORACLES["pq_codes"] = ORACLE_PQ_CODES
