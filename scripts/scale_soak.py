@@ -816,6 +816,166 @@ def _delta_dedup_soak(args) -> None:
     spark.stop()
 
 
+def _pq_soak(args) -> None:
+    """PQ at corpus scale: the encode pass (the 100-TB hot path — one
+    scan-stage projection with m*k literal distance folds per row) at
+    interleaved lo/hi cores, plus one Lloyd training round (the
+    posexplode mean-update shuffle) at hi cores."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_embeddings
+    from grass_spark.operators.pq import pq_codebook, pq_encode
+    from grass_spark.session import get_spark
+
+    n = args.pq_vecs
+    path = os.path.join(args.data, f"pqvecs_{n}")
+    marker = path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_pq_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_embeddings(spark, n_vecs=n).write.mode("overwrite").parquet(path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    def one_run(cores: int) -> tuple[float, float]:
+        spark = get_spark(
+            "soak_pq", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        e = spark.read.parquet(path).select("vec_id", "embedding")
+        e = e.repartition(cores * 4).localCheckpoint()
+        cb = pq_codebook(e, 8, 16)
+        t0 = time.perf_counter()
+        row = pq_encode(e, cb, with_err=True).agg(
+            F.count("*"), F.avg("recon_err")
+        ).collect()[0]
+        dt = round(time.perf_counter() - t0, 1)
+        assert row[0] == n
+        spark.stop()
+        return dt, float(row[1])
+
+    lo, hi = 2, args.cores
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    err = 0.0
+    for _ in range(2):
+        for cores in (lo, hi):
+            dt, err = one_run(cores)
+            times[cores].append(dt)
+    sec_lo, sec_hi = min(times[lo]), min(times[hi])
+    # one training round at hi cores (encode + mean-update shuffle)
+    from grass_spark.operators.kmeans import pq_train
+
+    spark = get_spark(
+        "soak_pq_train", cores=hi,
+        shuffle_partitions=max(hi * 4, 32),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    e = spark.read.parquet(path).select("vec_id", "embedding")
+    e = e.repartition(hi * 4).localCheckpoint()
+    t0 = time.perf_counter()
+    _, hist = pq_train(e, 8, 16, rounds=1)
+    train_sec = round(time.perf_counter() - t0, 1)
+    spark.stop()
+    speedup = round(sec_lo / sec_hi, 3)
+    print(json.dumps({
+        "vecs": n, "gen_sec": gen_sec,
+        "cores_lo": lo, "cores_hi": hi,
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "times_lo": times[lo], "times_hi": times[hi],
+        "vecs_per_sec_hi": round(n / sec_hi),
+        "speedup": speedup,
+        "efficiency": round(speedup / (hi / lo), 3),
+        "mean_recon_err": round(err, 6),
+        "train_round_sec": train_sec,
+        "train_distortion": [round(h, 6) for h in hist],
+    }))
+
+
+def _textproj_soak(args) -> None:
+    """Scan-stage text projections at corpus scale: line_filter (HOF
+    line predicates) and subword_encode (vocab-regex extract + id map)
+    timed as separate passes, interleaved lo/hi, min-of-2."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.linefilter import LineRules, line_filter
+    from grass_spark.operators.textstats import subword_encode
+    from grass_spark.session import get_spark
+
+    # word-soup lines carry no terminal punctuation — disable that rule
+    # so the full predicate chain runs and keeps are non-trivial
+    rules = LineRules(min_line_words=4, require_terminal_punct=False,
+                      min_kept_lines=3, max_removed_frac=0.5)
+
+    n = args.textproj_docs
+    path = os.path.join(args.data, f"linedocs_{n}")
+    marker = path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_lines_gen", cores=None,
+                          shuffle_partitions=64)
+        t0 = time.perf_counter()
+        # wrap the word soup into 7-word lines once, at generation time
+        wrapped = F.regexp_replace(
+            F.col("text"), r"((?:\S+ ){6}\S+) ", "$1\n"
+        )
+        synth_documents(spark, n_docs=n).withColumn(
+            "text", wrapped
+        ).write.mode("overwrite").parquet(path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    def one_run(cores: int) -> tuple[float, float, int, int]:
+        spark = get_spark(
+            "soak_lines", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        d = spark.read.parquet(path).select("doc_id", "text")
+        d = d.repartition(cores * 4).localCheckpoint()
+        t0 = time.perf_counter()
+        # aggregate over clean_text too so column pruning cannot skip
+        # the rebuild — this IS the op's output at scale
+        row = line_filter(d, rules).agg(
+            F.sum(F.col("keep").cast("long")),
+            F.sum(F.length("clean_text")),
+        ).collect()[0]
+        kept = int(row[0])
+        lf_dt = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        toks = subword_encode(d).agg(F.sum("n_tokens")).collect()[0][0]
+        enc_dt = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        return lf_dt, enc_dt, kept, int(toks)
+
+    lo, hi = 2, args.cores
+    lf_times: dict[int, list[float]] = {lo: [], hi: []}
+    enc_times: dict[int, list[float]] = {lo: [], hi: []}
+    kept = toks = 0
+    for _ in range(2):
+        for cores in (lo, hi):
+            lf_dt, enc_dt, kept, toks = one_run(cores)
+            lf_times[cores].append(lf_dt)
+            enc_times[cores].append(enc_dt)
+    out = {"docs": n, "gen_sec": gen_sec, "cores_lo": lo, "cores_hi": hi,
+           "kept_docs": kept, "sum_tokens": toks}
+    for name, times in (("linefilter", lf_times), ("subword", enc_times)):
+        sec_lo, sec_hi = min(times[lo]), min(times[hi])
+        speedup = round(sec_lo / sec_hi, 3)
+        out[name] = {
+            "sec_lo": sec_lo, "sec_hi": sec_hi,
+            "times_lo": times[lo], "times_hi": times[hi],
+            "docs_per_sec_hi": round(n / sec_hi),
+            "speedup": speedup,
+            "efficiency": round(speedup / (hi / lo), 3),
+        }
+    print(json.dumps(out))
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -897,8 +1057,21 @@ def main() -> None:
                          "(e.g. N/50) keeps the tail under-cap so ~70%% "
                          "of rows take the zero-shuffle cold path "
                          "(realistic shape)")
+    ap.add_argument("--pq-vecs", type=int, default=0,
+                    help="PQ soak: encode pass lo/hi + one Lloyd "
+                         "training round over N vectors")
+    ap.add_argument("--textproj-docs", type=int, default=0,
+                    help="text-projection soak: line_filter + "
+                         "subword_encode passes over N line-wrapped "
+                         "docs, lo/hi")
     args = ap.parse_args()
 
+    if args.pq_vecs:
+        _pq_soak(args)
+        return
+    if args.textproj_docs:
+        _textproj_soak(args)
+        return
     if args.corpus_full:
         _corpus_full_soak(args)
         return
