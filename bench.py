@@ -142,6 +142,10 @@ TIER2 = [
     "dsir_sample",
     "diversity_sample",
     "dedup_report",
+    # round 5 close: line-level cleaning, subword token ids, PQ codes
+    "line_filter",
+    "subword_encode",
+    "pq_codes",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

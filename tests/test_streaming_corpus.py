@@ -148,3 +148,64 @@ def test_stream_chunking_matches_batch(spark, tmp_path):
     want = sorted((tuple(r) for r in batch.collect()),
                   key=lambda t: (t[0], t[1]))
     assert got == want and len(want) > 0
+
+
+def test_stream_subword_and_pq_match_batch(spark, tmp_path):
+    """subword_encode and pq_encode are stateless scan-stage
+    projections — both compose onto readStream unchanged."""
+    import numpy as np
+
+    from grass_spark.operators.pq import pq_codebook, pq_encode
+    from grass_spark.operators.textstats import subword_encode
+
+    # --- subword over a doc stream
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with engineering nationalization")
+         for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    din = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(din)
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(din)
+    dout = str(tmp_path / "docs_out")
+    q = (
+        subword_encode(stream)
+        .writeStream.format("parquet").option("path", dout)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: (r.n_tokens, r.token_ids)
+           for r in spark.read.parquet(dout).collect()}
+    want = {r.doc_id: (r.n_tokens, r.token_ids)
+            for r in subword_encode(docs).collect()}
+    assert got == want and len(want) == 8
+
+    # --- PQ encode over an embedding stream (codebook trained on the
+    # batch frame; the stream only runs the stateless encode)
+    rng = np.random.default_rng(5)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    vin = str(tmp_path / "vecs")
+    vecs.repartition(2).write.parquet(vin)
+    cb = pq_codebook(vecs, 4, 8)
+    vstream = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).option("maxFilesPerTrigger", 1).parquet(vin)
+    vout = str(tmp_path / "vecs_out")
+    q = (
+        pq_encode(vstream, cb, with_err=True)
+        .writeStream.format("parquet").option("path", vout)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.vec_id: (r.codes, r.recon_err)
+           for r in spark.read.parquet(vout).collect()}
+    want = {r.vec_id: (r.codes, r.recon_err)
+            for r in pq_encode(vecs, cb, with_err=True).collect()}
+    assert got == want and len(want) == 40
