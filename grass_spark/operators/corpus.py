@@ -90,6 +90,7 @@ def prepare_corpus(
     source_col: str = "source",
     mixture_targets: dict[str, float] | None = None,
     mixture_budget_tokens: int | None = None,
+    mixture_token_mode: str = "whitespace",
     group_col: str = "lang",
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
@@ -352,11 +353,26 @@ def prepare_corpus(
         cur = cur.localCheckpoint(eager=False)
         _count("after_source_cap", cur)
 
-    # 7. mixture sampling
+    # 7. mixture sampling.  Token budgets default to whitespace counts;
+    # "subword" budgets with the greedy tokenizer instead (whitespace
+    # under-counts what a trained tokenizer produces — long/rare words
+    # explode into pieces), still a pure scan-stage expression.
     if mixture_targets is not None:
-        toks = cur.withColumn(
-            "_nt", F.size(F.split(F.col(text_col), r"\s+")).cast("bigint")
-        )
+        if mixture_token_mode == "subword":
+            from grass_spark.operators.textstats import (
+                subword_token_counts,
+            )
+
+            toks = subword_token_counts(cur, text_col=text_col, out="_nt")
+        elif mixture_token_mode == "whitespace":
+            toks = cur.withColumn(
+                "_nt",
+                F.size(F.split(F.col(text_col), r"\s+")).cast("bigint"),
+            )
+        else:
+            raise ValueError(
+                f"unknown mixture_token_mode {mixture_token_mode!r}"
+            )
         if mixture_budget_tokens is None:
             total = toks.agg(F.sum("_nt")).collect()[0][0] or 0
             mixture_budget_tokens = int(total * 0.5)

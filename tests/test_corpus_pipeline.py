@@ -323,3 +323,27 @@ def test_line_filter_stage(spark, bench):
     assert "javascript" not in kept[1]
     assert GOOD in kept[1] and GOOD2 in kept[1]
     assert stats["after_line_filter"] == 2
+
+
+def test_mixture_subword_token_mode(spark):
+    """mixture_token_mode='subword' budgets with the greedy tokenizer:
+    long/rare words weigh more than their whitespace count, so the same
+    absolute budget keeps fewer docs of piece-heavy text."""
+    rows = [
+        (i, "en",
+         "internationalization denationalization " * 10 + f"tail {i}")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    kw = dict(near_dedup_threshold=None, max_word_rep_frac=1.0,
+              max_dup5_frac=1.0, mixture_targets={"en": 1.0},
+              mixture_budget_tokens=200)
+    out_ws, _ = prepare_corpus(corpus, None, **kw)
+    out_sw, _ = prepare_corpus(corpus, None,
+                               mixture_token_mode="subword", **kw)
+    n_ws, n_sw = out_ws.count(), out_sw.count()
+    # subword counts per doc are several x the whitespace counts here,
+    # so the 200-token budget admits fewer docs
+    assert 0 < n_sw < n_ws
+    with pytest.raises(ValueError, match="mixture_token_mode"):
+        prepare_corpus(corpus, None, mixture_token_mode="bogus", **kw)
