@@ -93,3 +93,107 @@ def linear_quality_score(
         score.alias("score"),
         prob.alias("prob"),
     )
+
+
+def train_classifier(
+    docs: DataFrame,
+    rounds: int = 10,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "",
+) -> tuple[DataFrame, list[float]]:
+    """Distributed logistic-regression training for the hashed
+    classifier — the fastText-style quality-filter fit, in-engine.
+
+    Model matches :func:`linear_quality_score` exactly: mean-pooled
+    hashed bag-of-words, ``p = sigmoid(sum_t w[bucket_t] / n_tokens)``.
+    ``label_col`` is 0/1 (e.g. curated=1 vs raw=0, the CCNet recipe).
+
+    Scale shape per round: features stage ONCE up front — (doc, bucket,
+    count) + per-doc totals, eagerly checkpointed so no round re-scans
+    text; each round is two map-side-combinable groupBys (score by doc,
+    gradient by bucket — the bucket key spreads hot docs, the doc key
+    spreads hot buckets) and ONE n_buckets-row collect that also cuts
+    the round's lineage (the kmeans discipline — weights re-enter the
+    next plan as a fresh local frame).  Docs with no token are skipped
+    (no features).  Returns ``(weights, logloss_history)`` — weights is
+    a (bucket, weight) frame covering every bucket, directly usable by
+    :func:`linear_quality_score`; history has ``rounds + 1`` entries
+    (loss before each update, final value appended).
+    """
+    spark = docs.sparkSession
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    words = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+        )
+    ).alias("word")
+    feats = (
+        docs.select(F.col(id_col), F.col(label_col).alias("_y"), words)
+        .withColumn("bucket", hash_bucket(F.col("word"), n_buckets, salt=salt))
+        .groupBy(id_col, "_y", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    ).localCheckpoint()  # eager: every round re-scans this frame
+    totals = (
+        feats.groupBy(id_col)
+        .agg(F.sum("_c").alias("_n"))
+        .localCheckpoint()
+    )
+    n_docs = totals.count()
+    if n_docs == 0:
+        raise ValueError("no documents with tokens to train on")
+    w = [0.0] * n_buckets
+    history: list[float] = []
+    for _ in range(rounds + 1):
+        wdf = spark.createDataFrame(
+            [(b, float(v)) for b, v in enumerate(w)],
+            "bucket long, weight double",
+        )
+        scored = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col, "_y")
+            .agg(F.sum(F.col("_c") * F.col("weight")).alias("_s"))
+            .join(totals, id_col)
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_s") / F.col("_n"))))
+        pc = F.greatest(F.least(p, F.lit(1.0 - 1e-12)), F.lit(1e-12))
+        scored = scored.withColumn("_p", p).withColumn(
+            "_ll",
+            -(F.col("_y") * F.log(pc)
+              + (1 - F.col("_y")) * F.log(F.lit(1.0) - pc)),
+        )
+        # one pass: loss AND the per-doc error both come off `scored`;
+        # localCheckpoint would be overkill (two cheap jobs on a
+        # checkpointed-feature join)
+        history.append(
+            float(scored.agg(F.avg("_ll")).collect()[0][0])
+        )
+        if len(history) == rounds + 1:
+            break
+        grad_rows = (
+            scored.select(
+                id_col, ((F.col("_p") - F.col("_y")) / F.col("_n")).alias("_g")
+            )
+            .join(feats.select(id_col, "bucket", "_c"), id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("_g") * F.col("_c")).alias("_grad"))
+        ).collect()
+        grad = [0.0] * n_buckets
+        for r in grad_rows:
+            grad[int(r["bucket"])] = float(r["_grad"])
+        # mean gradient: keeps lr meaningful at any corpus size
+        w = [
+            wi - lr * (gi / n_docs + l2 * wi)
+            for wi, gi in zip(w, grad)
+        ]
+    weights = spark.createDataFrame(
+        [(b, float(v)) for b, v in enumerate(w)],
+        "bucket long, weight double",
+    )
+    return weights, history

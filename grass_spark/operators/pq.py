@@ -170,3 +170,106 @@ def pq_adc(
     for t in terms[1:]:
         adc = adc + t
     return df.withColumn(out, F.round(adc, 6))
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF x PQ search — the full billion-scale recipe: corpus rows
+    live in their IVF cell WITH their PQ codes; each query probes its
+    ``nprobe`` best cells, builds its ADC lookup table ONCE (an
+    ``m x k`` array column on the broadcast query side), scans
+    candidate CODES with m ``element_at`` lookups per pair (no float
+    vectors touched — the memory-bandwidth-bound PQ scan), keeps the
+    ``shortlist`` best by ADC, and exact-cosine re-ranks only those.
+
+    Per query the rank windows are bounded by the probed candidate set
+    and then by ``shortlist`` — never corpus-wide.  Returns
+    (q_id, neighbor_id, adc, cosine, rank) rows, rank 1..k by exact
+    cosine within the shortlist.
+    """
+    from grass_spark.operators.similarity import (
+        _cell_of,
+        _top_cells,
+        dot,
+        l2norm,
+    )
+    from pyspark.sql import Window
+
+    m, kk = len(codebook), len(codebook[0])
+    sub = len(codebook[0][0])
+    c = pq_encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_e"),
+        ),
+        codebook, emb_col="_e", id_col="neighbor_id",
+    ).withColumn("cell", _cell_of(F.col("_e"), centroids))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("_qe"),
+    )
+    # per-query ADC table: T[j][c] = round(||q_sub_j - centroid_jc||^2, 6)
+    tbl = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _sq_dist(
+                            F.slice(F.col("_qe"), j * sub + 1, sub),
+                            codebook[j][c],
+                        ),
+                        6,
+                    )
+                    for c in range(kk)
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    q = q.withColumn("_T", tbl).withColumn(
+        "cell", F.explode(_top_cells(F.col("_qe"), centroids, nprobe))
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, on="cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .drop("cell")
+        .distinct()  # a neighbor can appear via several probed cells
+    )
+    terms = [
+        F.element_at(
+            F.element_at(F.col("_T"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        for j in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    cand = cand.withColumn("adc", F.round(adc, 6))
+    wa = Window.partitionBy("q_id").orderBy("adc", "neighbor_id")
+    short = cand.withColumn("_arank", F.row_number().over(wa)).filter(
+        F.col("_arank") <= shortlist
+    )
+    cos = F.round(
+        dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e")), 6
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        short.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "adc", "cosine", "rank")
+    )

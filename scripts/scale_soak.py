@@ -905,10 +905,12 @@ def _textproj_soak(args) -> None:
     from grass_spark.operators.textstats import subword_encode
     from grass_spark.session import get_spark
 
-    # word-soup lines carry no terminal punctuation — disable that rule
-    # so the full predicate chain runs and keeps are non-trivial
+    # word-soup lines carry no terminal punctuation and the synthetic
+    # vocab is digit-heavy ('w3183') — disable those two rules so lines
+    # actually survive and the clean_text rebuild does real work
     rules = LineRules(min_line_words=4, require_terminal_punct=False,
-                      min_kept_lines=3, max_removed_frac=0.5)
+                      max_digit_frac=1.0, min_kept_lines=3,
+                      max_removed_frac=0.5)
 
     n = args.textproj_docs
     path = os.path.join(args.data, f"linedocs_{n}")

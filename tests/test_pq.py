@@ -119,3 +119,50 @@ def test_literal_budget_guard(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="plan-literal budget"):
         pq_codebook(df, 8, 256)  # 8*256*8 = 16384 literals
+
+
+def test_ivf_pq_topk_recall(spark):
+    """IVF x PQ composed search: ADC shortlist + exact re-rank recovers
+    the exact in-cell neighbours on clustered data."""
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 16)) * 3.0
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.normal(size=16) * 0.1])
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    from grass_spark.operators.pq import ivf_pq_topk
+    from grass_spark.operators.similarity import cosine_topk
+
+    cents = [rows[i][1] for i in range(8)]  # one seed per cluster
+    cb = pq_codebook(df, 4, 8)
+    queries = df.filter("vec_id IN (5, 17, 100)")
+    got = ivf_pq_topk(df, queries, cents, cb, k=5, nprobe=2, shortlist=40)
+    exact = cosine_topk(df, queries, k=5)
+    g = {(r.q_id, r.rank): r.neighbor_id for r in got.collect()}
+    e = {(r.q_id, r.rank): r.neighbor_id for r in exact.collect()}
+    # per query, >= 4 of the exact top-5 recovered (cell boundary can
+    # clip at most the odd far neighbour)
+    for q in (5, 17, 100):
+        gs = {g[(q, r)] for r in range(1, 6)}
+        es = {e[(q, r)] for r in range(1, 6)}
+        assert len(gs & es) >= 4, q
+    # ADC never beats exact: every returned pair carries both scores
+    for r in got.collect():
+        assert r.adc >= 0.0 and -1.0 <= r.cosine <= 1.0
+
+
+def test_ivf_pq_plan_no_cartesian(spark):
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    from grass_spark.operators.pq import ivf_pq_topk
+
+    cents = [rows[i][1] for i in range(4)]
+    cb = pq_codebook(df, 4, 8)
+    plan = (
+        ivf_pq_topk(df, df.limit(3), cents, cb, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # query side broadcasts
