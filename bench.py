@@ -146,6 +146,7 @@ TIER2 = [
     "line_filter",
     "subword_encode",
     "pq_codes",
+    "ivf_pq_search",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -127,10 +127,13 @@ def pq_train(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> tuple[list[list[list[float]]], list[float]]:
     """Lloyd-trained PQ codebook: per-subspace L2 k-means, all ``m``
     subspaces updated in the SAME single aggregation pass per round
     (the element position encodes its subspace: ``j = pos / subdim``).
+    ``method`` passes through to :func:`pq.pq_encode` — ``"arrow"`` is
+    the corpus-scale assignment path.
 
     Starts from :func:`pq.pq_codebook`'s seeded contract; returns
     ``(codebook, distortion_history)`` — mean ``recon_err`` before
@@ -147,7 +150,8 @@ def pq_train(
     history: list[float] = []
     for _ in range(rounds + 1):
         enc = pq_encode(
-            base, cb, emb_col=vec_col, id_col=id_col, with_err=True
+            base, cb, emb_col=vec_col, id_col=id_col, with_err=True,
+            method=method,
         )
         history.append(
             float(enc.agg(F.avg("recon_err")).collect()[0][0])

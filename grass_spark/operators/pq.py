@@ -26,8 +26,14 @@ ties break to the smallest centroid ordinal via struct min.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: rows per numpy block in the Arrow encode path — bounds the
+#: (block, k, subdim) distance temporaries (the semdecon
+#: memory-bandwidth anti-finding, PLANS.md)
+_ENC_BLOCK_ROWS = 2048
 
 #: literal-budget guard — above this, plan-literal codegen degrades
 #: (measured on the semdedup literal-centroid path, PLANS.md)
@@ -86,6 +92,7 @@ def pq_encode(
     id_col: str = "vec_id",
     out: str = "codes",
     with_err: bool = False,
+    method: str = "expr",
 ) -> DataFrame:
     """Adds ``codes`` (``array<int>`` of length ``m``): per subspace,
     the ordinal of the nearest centroid (squared L2, distances rounded
@@ -95,9 +102,29 @@ def pq_encode(
     distances summed in subspace order, rounded 6 dp) — the audit
     column an index build gates on.
 
-    Pure scan-stage projection — the codebook is plan literals, the
-    argmin a struct ``array_min``; zero shuffles, zero Python.
+    Two physical strategies, same contract (the assign_clusters
+    discipline):
+
+    * ``"expr"`` (default) — codebook as plan literals, argmin a
+      struct ``array_min``.  Zero shuffles, zero Python, bit-identical
+      to the DuckDB oracle — but higher-order-function lambdas NEVER
+      enter whole-stage codegen (the plan is a bare interpreted
+      ``Project``), so per-row cost carries expression-tree overhead.
+    * ``"arrow"`` — a vectorized ``pandas_udf``: the codebook rides
+      the closure, each Arrow batch is scored in numpy blocks of
+      ``_ENC_BLOCK_ROWS`` rows (bounded temporaries).  Distances are
+      rounded to 6 dp before the argmin, so code assignment is
+      equivalent-after-rounding (numpy's sum order can differ from the
+      fold in the last ulp *before* rounding) — oracle queries stay on
+      ``"expr"``; the corpus-scale encode pass takes this (measured
+      throughput path).
     """
+    if method == "arrow":
+        return _pq_encode_arrow(
+            df, codebook, emb_col=emb_col, out=out, with_err=with_err
+        )
+    if method != "expr":
+        raise ValueError(f"unknown method {method!r}")
     m = len(codebook)
     k = len(codebook[0])
     sub = len(codebook[0][0])
@@ -125,6 +152,53 @@ def pq_encode(
             err = err + d
         out_df = out_df.withColumn("recon_err", F.round(err, 6))
     return out_df.drop("_xs")
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    *,
+    emb_col: str,
+    out: str,
+    with_err: bool,
+) -> DataFrame:
+    """numpy implementation of the encode contract (see pq_encode)."""
+    import numpy as np
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, sub)
+
+    @F.pandas_udf("struct<codes: array<int>, recon_err: double>")
+    def _enc(batch: pd.Series) -> pd.DataFrame:
+        outs = []
+        vals = batch.to_numpy()
+        for s in range(0, len(vals), _ENC_BLOCK_ROWS):
+            blk = vals[s:s + _ENC_BLOCK_ROWS]
+            if len(blk) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in blk])
+            codes = np.empty((len(blk), m), dtype=np.int32)
+            err = np.zeros(len(blk), dtype=np.float64)
+            for j in range(m):
+                S = X[:, j * sub:(j + 1) * sub]
+                dif = S[:, None, :] - cb[j][None, :, :]
+                d = np.round((dif * dif).sum(axis=-1), 6)
+                codes[:, j] = d.argmin(axis=1)  # first min = smallest c
+                err += d[np.arange(len(blk)), codes[:, j]]
+            outs.append(pd.DataFrame({
+                "codes": list(codes),
+                "recon_err": np.round(err, 6),
+            }))
+        if not outs:
+            return pd.DataFrame({"codes": [], "recon_err": []})
+        return pd.concat(outs, ignore_index=True)
+
+    res = df.withColumn("_enc", _enc(F.col(emb_col).cast("array<double>")))
+    res = res.withColumn(out, F.col("_enc.codes"))
+    if with_err:
+        res = res.withColumn("recon_err", F.col("_enc.recon_err"))
+    return res.drop("_enc")
 
 
 def pq_adc(
@@ -183,6 +257,7 @@ def ivf_pq_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
     """IVF x PQ search — the full billion-scale recipe: corpus rows
     live in their IVF cell WITH their PQ codes; each query probes its
@@ -212,7 +287,7 @@ def ivf_pq_topk(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("_e"),
         ),
-        codebook, emb_col="_e", id_col="neighbor_id",
+        codebook, emb_col="_e", id_col="neighbor_id", method=method,
     ).withColumn("cell", _cell_of(F.col("_e"), centroids))
     q = queries.select(
         F.col(id_col).alias("q_id"),

@@ -208,8 +208,9 @@ def q_pq_codes(spark, sf_dir):
 
 _PQ_SUB = 64 // _PQ_M
 
-ORACLE_PQ_CODES = f"""
-WITH e AS (
+#: shared PQ chain: e (double vectors), centn (seeded codebook rows),
+#: sub/csub (subvectors), best (per (vec, j) argmin), codes (+ recon)
+_SQL_PQ_COMMON = f"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), centn AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
@@ -239,7 +240,10 @@ sub AS (
          list(c ORDER BY j) AS codes,
          round(list_sum(list(dist ORDER BY j)), 6) AS recon_err
   FROM best WHERE rn = 1 GROUP BY vec_id
-)
+)"""
+
+ORACLE_PQ_CODES = f"""
+WITH {_SQL_PQ_COMMON}
 SELECT vec_id,
        md5(array_to_string(codes, ',')) AS codes_md5,
        recon_err
@@ -248,3 +252,110 @@ FROM codes ORDER BY vec_id
 
 EXT6_QUERIES["pq_codes"] = q_pq_codes
 EXT6_ORACLES["pq_codes"] = ORACLE_PQ_CODES
+
+
+# ---------------------------------------------------------------------
+# IVF x PQ composed search (operators/pq.py ivf_pq_topk) — the whole
+# billion-scale retrieval path hash-gated end to end: seeded IVF cells
+# (argmax of dot - |c|^2/2, pure IEEE fold — bit-identical unrounded),
+# per-query ADC tables, code-only candidate scoring, shortlist, exact
+# cosine re-rank.  Tie-break parity pinned per expression: cell argmax
+# breaks ties to the SMALLEST ordinal (array_max of (s, -i)) while the
+# query's probe ranking breaks to the LARGEST (reverse(array_sort) on
+# (s, i)) — the oracle replays each exactly.
+# ---------------------------------------------------------------------
+
+_IVF_K, _NPROBE, _SHORTLIST, _TOPK = 8, 3, 40, 10
+
+
+def q_ivf_pq_search(spark, sf_dir):
+    """Top-10 by exact cosine within the ADC shortlist of the 3 probed
+    IVF cells, for the 5 smallest-id query vectors over the full
+    embeddings table."""
+    from grass_spark.operators.pq import ivf_pq_topk, pq_codebook
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.orderBy("vec_id").limit(_IVF_K).collect()
+    ]
+    cb = pq_codebook(e, _PQ_M, _PQ_K)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        e, q, cents, cb, k=_TOPK, nprobe=_NPROBE, shortlist=_SHORTLIST
+    ).orderBy("q_id", "rank")
+
+
+ORACLE_IVF_PQ = f"""
+WITH {_SQL_PQ_COMMON}, ivfc AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+), cellscore AS (
+  SELECT e.vec_id, ivfc.c,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                                 i -> e.v[i] * ivfc.cv[i]))
+         - list_sum(list_transform(ivfc.cv, x -> x * x)) / 2.0 AS s
+  FROM e CROSS JOIN ivfc
+), cell AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, c ASC) AS rn
+    FROM cellscore) WHERE rn = 1
+), probes AS (
+  -- query-side probe ranking ties break to the LARGER cell id
+  -- (reverse(array_sort) on (s, i) structs)
+  SELECT vec_id AS q_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, c DESC) AS rn
+    FROM cellscore WHERE vec_id < 5) WHERE rn <= {_NPROBE}
+), qtab AS (
+  -- per-query ADC table: T[j][c] = round(||q_sub_j - centroid_jc||^2, 6)
+  SELECT q.vec_id AS q_id, csub.j, csub.c,
+         round(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+             t -> (q.v[csub.j * {_PQ_SUB} + t] - csub.cv[t])
+                  * (q.v[csub.j * {_PQ_SUB} + t] - csub.cv[t]))), 6) AS t
+  FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN csub
+), cand AS (
+  SELECT p.q_id, cell.vec_id AS n_id
+  FROM probes p JOIN cell ON cell.cell = p.cell
+  WHERE cell.vec_id <> p.q_id
+), cc AS (
+  SELECT vec_id, CAST(g.j - 1 AS BIGINT) AS j, codes[g.j] AS code
+  FROM codes, unnest(generate_series(1, {_PQ_M})) AS g(j)
+), adct AS (
+  SELECT cand.q_id, cand.n_id,
+         round(list_sum(list(T.t ORDER BY T.j)), 6) AS adc
+  FROM cand
+  JOIN cc ON cc.vec_id = cand.n_id
+  JOIN qtab T ON T.q_id = cand.q_id AND T.j = cc.j AND T.c = cc.code
+  GROUP BY cand.q_id, cand.n_id
+), short AS (
+  SELECT q_id, n_id, adc FROM (
+    SELECT q_id, n_id, adc,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc, n_id) AS rn
+    FROM adct) WHERE rn <= {_SHORTLIST}
+), rescored AS (
+  SELECT s.q_id, s.n_id, s.adc,
+         round(list_sum(list_transform(range(1, len(qe.v) + 1),
+                                       i -> qe.v[i] * ne.v[i]))
+               / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ne.v, x -> x * x)))), 6)
+           AS cosine
+  FROM short s
+  JOIN e qe ON qe.vec_id = s.q_id
+  JOIN e ne ON ne.vec_id = s.n_id
+)
+SELECT q_id, n_id AS neighbor_id, adc, cosine,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM rescored) WHERE rank <= {_TOPK}
+ORDER BY q_id, rank
+"""
+
+EXT6_QUERIES["ivf_pq_search"] = q_ivf_pq_search
+EXT6_ORACLES["ivf_pq_search"] = ORACLE_IVF_PQ

@@ -839,7 +839,7 @@ def _pq_soak(args) -> None:
         spark.stop()
         open(marker, "w").write("ok")
 
-    def one_run(cores: int) -> tuple[float, float]:
+    def one_run(cores: int, method: str) -> tuple[float, float]:
         spark = get_spark(
             "soak_pq", cores=cores,
             shuffle_partitions=max(cores * 4, 32),
@@ -849,7 +849,7 @@ def _pq_soak(args) -> None:
         e = e.repartition(cores * 4).localCheckpoint()
         cb = pq_codebook(e, 8, 16)
         t0 = time.perf_counter()
-        row = pq_encode(e, cb, with_err=True).agg(
+        row = pq_encode(e, cb, with_err=True, method=method).agg(
             F.count("*"), F.avg("recon_err")
         ).collect()[0]
         dt = round(time.perf_counter() - t0, 1)
@@ -858,13 +858,29 @@ def _pq_soak(args) -> None:
         return dt, float(row[1])
 
     lo, hi = 2, args.cores
-    times: dict[int, list[float]] = {lo: [], hi: []}
-    err = 0.0
+    times: dict[tuple, list[float]] = {}
+    errs: dict[str, float] = {}
     for _ in range(2):
-        for cores in (lo, hi):
-            dt, err = one_run(cores)
-            times[cores].append(dt)
-    sec_lo, sec_hi = min(times[lo]), min(times[hi])
+        for method in ("expr", "arrow"):
+            for cores in (lo, hi):
+                dt, err = one_run(cores, method)
+                times.setdefault((method, cores), []).append(dt)
+                errs[method] = round(err, 6)
+    arrow = {}
+    for method in ("expr", "arrow"):
+        s_lo = min(times[(method, lo)])
+        s_hi = min(times[(method, hi)])
+        arrow[method] = {
+            "sec_lo": s_lo, "sec_hi": s_hi,
+            "times_lo": times[(method, lo)],
+            "times_hi": times[(method, hi)],
+            "vecs_per_sec_hi": round(n / s_hi),
+            "speedup": round(s_lo / s_hi, 3),
+            "efficiency": round(s_lo / s_hi / (hi / lo), 3),
+            "mean_recon_err": errs[method],
+        }
+    sec_lo, sec_hi = arrow["expr"]["sec_lo"], arrow["expr"]["sec_hi"]
+    err = errs["expr"]
     # one training round at hi cores (encode + mean-update shuffle)
     from grass_spark.operators.kmeans import pq_train
 
@@ -879,16 +895,11 @@ def _pq_soak(args) -> None:
     _, hist = pq_train(e, 8, 16, rounds=1)
     train_sec = round(time.perf_counter() - t0, 1)
     spark.stop()
-    speedup = round(sec_lo / sec_hi, 3)
     print(json.dumps({
         "vecs": n, "gen_sec": gen_sec,
         "cores_lo": lo, "cores_hi": hi,
-        "sec_lo": sec_lo, "sec_hi": sec_hi,
-        "times_lo": times[lo], "times_hi": times[hi],
-        "vecs_per_sec_hi": round(n / sec_hi),
-        "speedup": speedup,
-        "efficiency": round(speedup / (hi / lo), 3),
-        "mean_recon_err": round(err, 6),
+        "expr": arrow["expr"],
+        "arrow": arrow["arrow"],
         "train_round_sec": train_sec,
         "train_distortion": [round(h, 6) for h in hist],
     }))

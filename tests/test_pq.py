@@ -166,3 +166,17 @@ def test_ivf_pq_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # query side broadcasts
+
+
+def test_arrow_encode_matches_expr(spark):
+    """The Arrow encode path reproduces the expression path's codes and
+    recon_err (equal-after-round contract, like assign_clusters)."""
+    rows, df = _vecs(spark, n=150, dims=32)
+    cb = pq_codebook(df, 4, 8)
+    a = {r.vec_id: (list(r.codes), r.recon_err)
+         for r in pq_encode(df, cb, with_err=True, method="arrow").collect()}
+    e = {r.vec_id: (list(r.codes), r.recon_err)
+         for r in pq_encode(df, cb, with_err=True, method="expr").collect()}
+    assert a == e
+    with pytest.raises(ValueError, match="unknown method"):
+        pq_encode(df, cb, method="bogus")
