@@ -860,14 +860,15 @@ def _pq_soak(args) -> None:
     lo, hi = 2, args.cores
     times: dict[tuple, list[float]] = {}
     errs: dict[str, float] = {}
+    methods = tuple(args.pq_methods.split(","))
     for _ in range(2):
-        for method in ("expr", "arrow"):
+        for method in methods:
             for cores in (lo, hi):
                 dt, err = one_run(cores, method)
                 times.setdefault((method, cores), []).append(dt)
                 errs[method] = round(err, 6)
     arrow = {}
-    for method in ("expr", "arrow"):
+    for method in methods:
         s_lo = min(times[(method, lo)])
         s_hi = min(times[(method, hi)])
         arrow[method] = {
@@ -892,17 +893,18 @@ def _pq_soak(args) -> None:
     e = spark.read.parquet(path).select("vec_id", "embedding")
     e = e.repartition(hi * 4).localCheckpoint()
     t0 = time.perf_counter()
-    _, hist = pq_train(e, 8, 16, rounds=1)
+    _, hist = pq_train(
+        e, 8, 16, rounds=1,
+        method="arrow" if "arrow" in methods else "expr",
+    )
     train_sec = round(time.perf_counter() - t0, 1)
     spark.stop()
-    print(json.dumps({
-        "vecs": n, "gen_sec": gen_sec,
-        "cores_lo": lo, "cores_hi": hi,
-        "expr": arrow["expr"],
-        "arrow": arrow["arrow"],
-        "train_round_sec": train_sec,
-        "train_distortion": [round(h, 6) for h in hist],
-    }))
+    out = {"vecs": n, "gen_sec": gen_sec,
+           "cores_lo": lo, "cores_hi": hi,
+           "train_round_sec": train_sec,
+           "train_distortion": [round(h, 6) for h in hist]}
+    out.update(arrow)
+    print(json.dumps(out))
 
 
 def _textproj_soak(args) -> None:
@@ -1070,6 +1072,8 @@ def main() -> None:
                          "(e.g. N/50) keeps the tail under-cap so ~70%% "
                          "of rows take the zero-shuffle cold path "
                          "(realistic shape)")
+    ap.add_argument("--pq-methods", default="expr,arrow",
+                    help="PQ soak: comma list of encode methods to time")
     ap.add_argument("--pq-vecs", type=int, default=0,
                     help="PQ soak: encode pass lo/hi + one Lloyd "
                          "training round over N vectors")
