@@ -880,8 +880,6 @@ def _pq_soak(args) -> None:
             "efficiency": round(s_lo / s_hi / (hi / lo), 3),
             "mean_recon_err": errs[method],
         }
-    sec_lo, sec_hi = arrow["expr"]["sec_lo"], arrow["expr"]["sec_hi"]
-    err = errs["expr"]
     # one training round at hi cores (encode + mean-update shuffle)
     from grass_spark.operators.kmeans import pq_train
 
