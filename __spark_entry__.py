@@ -24,7 +24,7 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
 _PRIORITY = ("line_filter", "subword_encode", "pq_codes",  # round-5 first
-             "ivf_pq_search",
+             "ivf_pq_search", "temperature_sample",
              "dup_spans", "source_cap", "quality_filter",
              "boilerplate_strip", "dedup_best_keep", "perplexity_buckets",
              "dsir_weights", "dsir_sample", "diversity_sample",

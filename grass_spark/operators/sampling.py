@@ -38,6 +38,55 @@ def uniform_hash(id_col: Column, salt: str = "") -> Column:
     )
 
 
+def temperature_rates(
+    df: DataFrame,
+    alpha: float,
+    budget_tokens: int,
+    *,
+    group_col: str = "lang",
+    weight_col: str | Column = "n_tokens",
+) -> DataFrame:
+    """Per-group keep rates for a TEMPERATURE-flattened mixture —
+    the multilingual sampling rule (XLM-R / mT5 style):
+    ``share_g ∝ tokens_g^alpha``.  ``alpha=1`` reproduces natural
+    proportions, ``alpha -> 0`` approaches uniform across groups —
+    low-resource groups are up-weighted without hand-written targets.
+
+    Same output schema and downstream contract as
+    :func:`mixture_rates` (feed :func:`hash_sample`); rates are
+    up-capped at 1 (no up-sampling).  The share rounds to 6 dp before
+    the rate arithmetic: ``pow`` is libm (last-ulp engine drift) but
+    everything after the round is exact IEEE, so any engine reproduces
+    the identical sample.  The group frame is group-cardinality-sized;
+    the 1-row total broadcasts.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    g = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(w).cast("bigint").alias("tokens"),
+        )
+        .withColumn(
+            "_p", F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
+        )
+    )
+    tot = g.agg(F.sum("_p").alias("_t"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("target_share", F.round(F.col("_p") / F.col("_t"), 6))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                F.col("target_share") * F.lit(float(budget_tokens))
+                / F.col("tokens"),
+            ),
+        )
+        .select(group_col, "n_docs", "tokens", "target_share", "keep_rate")
+    )
+
+
 def hash_sample(
     df: DataFrame,
     rates: float | dict[str, float] | DataFrame,

@@ -359,3 +359,52 @@ ORDER BY q_id, rank
 
 EXT6_QUERIES["ivf_pq_search"] = q_ivf_pq_search
 EXT6_ORACLES["ivf_pq_search"] = ORACLE_IVF_PQ
+
+
+# ---------------------------------------------------------------------
+# Temperature mixture sampling (operators/sampling.py
+# temperature_rates) — share_g ∝ tokens_g^alpha, the XLM-R/mT5
+# multilingual rule.  pow is libm so the share rounds to 6 dp before
+# the rate arithmetic; the md5 draw after that is exact in both
+# engines, so the SAMPLE ITSELF is the gated artifact.
+# ---------------------------------------------------------------------
+
+_TEMP_ALPHA, _TEMP_BUDGET = 0.3, 25000
+
+
+def q_temperature_sample(spark, sf_dir):
+    """End-to-end temperature-flattened sampling (alpha=0.3, char
+    budget 25k, weights = n_chars): the kept (doc_id, lang) set."""
+    from grass_spark.operators.sampling import hash_sample, temperature_rates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    rates = temperature_rates(
+        d, _TEMP_ALPHA, _TEMP_BUDGET, weight_col="n_chars"
+    )
+    return hash_sample(d, rates, salt="temp1").select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+ORACLE_TEMPERATURE_SAMPLE = f"""
+WITH g AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tokens,
+         pow(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE), {_TEMP_ALPHA})
+           AS p
+  FROM documents GROUP BY lang
+), t AS (SELECT sum(p) AS tp FROM g),
+r AS (
+  SELECT lang,
+         least(1.0, round(p / tp, 6) * {_TEMP_BUDGET} / tokens)
+           AS keep_rate
+  FROM g CROSS JOIN t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(d.doc_id || ':temp1'), 1, 8)) AS UBIGINT)
+      / 4294967296.0 < r.keep_rate
+ORDER BY d.doc_id
+"""
+
+EXT6_QUERIES["temperature_sample"] = q_temperature_sample
+EXT6_ORACLES["temperature_sample"] = ORACLE_TEMPERATURE_SAMPLE

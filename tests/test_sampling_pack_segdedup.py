@@ -526,3 +526,24 @@ def test_subword_encode_plan_scan_stage(spark):
     )
     plan = subword_encode(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_temperature_rates_flatten_mixture(spark):
+    """alpha < 1 up-weights low-resource groups: the small group's
+    share exceeds its natural proportion, the big group's shrinks;
+    alpha=1 reproduces natural shares; rates cap at 1."""
+    from grass_spark.operators.sampling import temperature_rates
+
+    rows = [(i, "big" if i < 90 else "small", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens bigint")
+    nat = {r.lang: r.target_share
+           for r in temperature_rates(df, 1.0, 1000).collect()}
+    assert abs(nat["big"] - 0.9) < 1e-6 and abs(nat["small"] - 0.1) < 1e-6
+    flat = {r.lang: r for r in temperature_rates(df, 0.3, 1000).collect()}
+    assert flat["small"].target_share > 0.1
+    assert flat["big"].target_share < 0.9
+    assert abs(flat["small"].target_share + flat["big"].target_share - 1.0) < 1e-5
+    # tiny budget -> uncapped fractional rates; huge budget -> capped at 1
+    capped = {r.lang: r.keep_rate
+              for r in temperature_rates(df, 0.3, 10**9).collect()}
+    assert capped["big"] == 1.0 and capped["small"] == 1.0
