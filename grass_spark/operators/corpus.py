@@ -89,6 +89,7 @@ def prepare_corpus(
     source_cap: int | None = None,
     source_col: str = "source",
     mixture_targets: dict[str, float] | None = None,
+    mixture_alpha: float | None = None,
     mixture_budget_tokens: int | None = None,
     mixture_token_mode: str = "whitespace",
     group_col: str = "lang",
@@ -357,6 +358,15 @@ def prepare_corpus(
     # "subword" budgets with the greedy tokenizer instead (whitespace
     # under-counts what a trained tokenizer produces — long/rare words
     # explode into pieces), still a pure scan-stage expression.
+    # ``mixture_targets`` gives explicit shares; ``mixture_alpha``
+    # derives them from the data instead (share ∝ tokens^alpha — the
+    # XLM-R temperature rule; mutually exclusive with targets).
+    if mixture_targets is not None and mixture_alpha is not None:
+        raise ValueError(
+            "pass mixture_targets OR mixture_alpha, not both"
+        )
+    if mixture_alpha is not None:
+        mixture_targets = "temperature"  # sentinel: enter the stage
     if mixture_targets is not None:
         if mixture_token_mode == "subword":
             from grass_spark.operators.textstats import (
@@ -376,10 +386,18 @@ def prepare_corpus(
         if mixture_budget_tokens is None:
             total = toks.agg(F.sum("_nt")).collect()[0][0] or 0
             mixture_budget_tokens = int(total * 0.5)
-        rates = mixture_rates(
-            toks, mixture_targets, mixture_budget_tokens,
-            group_col=group_col, weight_col="_nt",
-        )
+        if mixture_alpha is not None:
+            from grass_spark.operators.sampling import temperature_rates
+
+            rates = temperature_rates(
+                toks, mixture_alpha, mixture_budget_tokens,
+                group_col=group_col, weight_col="_nt",
+            )
+        else:
+            rates = mixture_rates(
+                toks, mixture_targets, mixture_budget_tokens,
+                group_col=group_col, weight_col="_nt",
+            )
         cur = hash_sample(
             toks, rates, id_col=id_col, group_col=group_col, salt="corpus"
         ).drop("_nt")

@@ -347,3 +347,26 @@ def test_mixture_subword_token_mode(spark):
     assert 0 < n_sw < n_ws
     with pytest.raises(ValueError, match="mixture_token_mode"):
         prepare_corpus(corpus, None, mixture_token_mode="bogus", **kw)
+
+
+def test_mixture_temperature_mode(spark):
+    """mixture_alpha derives targets from the data: the low-resource
+    group keeps a larger share of itself than under natural sampling
+    at the same budget."""
+    rows = ([(i, "big", f"common words fill document number {i} nicely")
+             for i in range(90)]
+            + [(i + 90, "small", f"rare language document number {i} here")
+               for i in range(10)])
+    corpus = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    kw = dict(near_dedup_threshold=None, max_word_rep_frac=1.0,
+              max_dup5_frac=1.0, min_words=3, mixture_budget_tokens=300)
+    out_nat, _ = prepare_corpus(
+        corpus, None, mixture_targets={"big": 0.9, "small": 0.1}, **kw)
+    out_t, _ = prepare_corpus(corpus, None, mixture_alpha=0.2, **kw)
+    def frac_small(df):
+        n = df.count()
+        return df.filter("lang = 'small'").count() / n
+    assert frac_small(out_t) > frac_small(out_nat)
+    with pytest.raises(ValueError, match="not both"):
+        prepare_corpus(corpus, None, mixture_targets={"big": 1.0},
+                       mixture_alpha=0.5, **kw)
