@@ -328,6 +328,7 @@ def semantic_dedup(
     max_iters: int | None = None,
     assign_method: str = "auto",
     probes: int = 1,
+    train_rounds: int = 0,
 ) -> DataFrame:
     """End-to-end semantic dedup: every input id labeled with its
     semantic-group survivor.
@@ -348,9 +349,27 @@ def semantic_dedup(
     Degenerate inputs degrade instead of raising: an empty input (or
     empty centroid frame) returns the all-keep labeling, and ``probes``
     is clamped to the number of centroids actually available.
+
+    ``train_rounds > 0`` refines the seeded centroids with that many
+    distributed Lloyd iterations (:func:`kmeans.lloyd_refine`) before
+    clustering — better-balanced clusters mean less pair work and
+    higher within-cluster recall.  Trained centroids are deterministic
+    only up to distributed fp sum order, so oracle-gated queries keep
+    the default 0 (seeded).  Ignored when ``centroids`` is supplied.
     """
     import math
 
+    if train_rounds and centroids is None:
+        from grass_spark.operators.kmeans import lloyd_refine
+
+        try:
+            trained, _ = lloyd_refine(
+                emb, k, rounds=train_rounds, id_col=id_col, vec_col=vec_col
+            )
+        except ValueError:
+            trained = None  # fewer than k rows: stay on seeded/degrade
+        if trained is not None:
+            centroids = centroid_frame(emb.sparkSession, trained)
     cents = (
         centroids
         if centroids is not None

@@ -86,3 +86,32 @@ def test_pq_train_distortion_decreases(spark):
         F.avg("recon_err")
     ).collect()[0][0]
     assert e1 < e0
+
+
+def test_semantic_dedup_with_training_keeps_contract(spark):
+    """train_rounds composes: same keep/cluster contract, and on
+    planted near-dups the trained run still flags every copy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(120):
+        if i % 10 == 1:  # copy of the previous id with tiny noise
+            base = np.array(rows[i - 1][1])
+            v = base + rng.normal(size=32) * 0.002
+        else:
+            v = rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(df, k=8, threshold=0.95, train_rounds=2)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 120
+    for i in range(1, 120, 10):
+        assert got[i].cluster_id == got[i - 1].cluster_id == i - 1
+        assert not got[i].keep and got[i - 1].keep
+    # tiny input degrades instead of raising
+    small = semantic_dedup(df.limit(3), k=8, train_rounds=2)
+    assert small.count() == 3
