@@ -547,3 +547,31 @@ def test_temperature_rates_flatten_mixture(spark):
     capped = {r.lang: r.keep_rate
               for r in temperature_rates(df, 0.3, 10**9).collect()}
     assert capped["big"] == 1.0 and capped["small"] == 1.0
+
+
+def test_compression_ratio_orders_text_classes(spark):
+    """Repetitive boilerplate << natural-ish prose << random junk;
+    empty text gets NULL (no evidence)."""
+    import random
+    import string
+
+    rnd = random.Random(8)
+    junk = "".join(rnd.choices(string.ascii_letters + string.digits, k=2000))
+    rows = [
+        (1, "all work and no play " * 100),
+        (2, ("the quick brown fox jumps over the lazy dog while seven "
+             "wizards brew quirky potions beneath the ancient library ")
+            * 5),
+        (3, junk),
+        (4, ""),
+    ]
+    from grass_spark.operators.textstats import compression_ratio
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.zlib_ratio for r in compression_ratio(df).collect()}
+    assert got[4] is None
+    assert got[1] < got[2] < got[3]
+    assert got[1] < 0.2 and got[3] > 0.7
+    # deterministic: zlib at a fixed level is stable
+    again = {r.doc_id: r.zlib_ratio for r in compression_ratio(df).collect()}
+    assert got == again
