@@ -71,6 +71,8 @@ def prepare_corpus(
     max_perplexity: float | None = None,
     ppl_bucket_keep: tuple[str, ...] | None = None,
     ppl_bucket_cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    max_zlib_ratio: float | None = None,
+    min_zlib_ratio: float | None = None,
     classifier_weights: DataFrame | None = None,
     classifier_buckets: int = 1024,
     min_quality_prob: float = 0.5,
@@ -187,6 +189,23 @@ def prepare_corpus(
         )
         cur = cur.join(ok, id_col, "left_semi")
         _count("after_quality_rules", cur)
+
+    # 2a'. compression-ratio gate (optional): the RedPajama-v2/Dolma
+    # entropy proxy — too-compressible docs are boilerplate/repetition,
+    # near-incompressible ones are junk/binary soup.  The engine's one
+    # Python-path signal (Arrow-batched zlib); docs with empty text
+    # (NULL ratio) drop only if a bound is set on that side.
+    if max_zlib_ratio is not None or min_zlib_ratio is not None:
+        from grass_spark.operators.textstats import compression_ratio
+
+        scored = compression_ratio(cur, text_col=text_col)
+        cond = F.lit(True)
+        if min_zlib_ratio is not None:
+            cond = cond & (F.col("zlib_ratio") >= min_zlib_ratio)
+        if max_zlib_ratio is not None:
+            cond = cond & (F.col("zlib_ratio") <= max_zlib_ratio)
+        cur = scored.filter(cond).drop("zlib_ratio")
+        _count("after_zlib_gate", cur)
 
     # 2b. LM perplexity gate (optional): self-scored bigram model over
     # the quality-surviving corpus; docs above the threshold drop

@@ -370,3 +370,34 @@ def test_mixture_temperature_mode(spark):
     with pytest.raises(ValueError, match="not both"):
         prepare_corpus(corpus, None, mixture_targets={"big": 1.0},
                        mixture_alpha=0.5, **kw)
+
+
+def test_zlib_gate_stage(spark):
+    """Stage 2a': the compression-ratio bounds drop repetitive
+    boilerplate (low ratio) and random junk (high ratio), keep prose."""
+    import random
+    import string
+
+    rnd = random.Random(3)
+    junk = " ".join(
+        "".join(rnd.choices(string.ascii_letters + string.digits
+                            + string.punctuation, k=9))
+        for _ in range(150)
+    )
+    prose = (GOOD + " " + GOOD2 + " meanwhile seven curious wizards "
+             "brewed quirky potions beneath the ancient library while "
+             "discussing the economics of distributed query engines "
+             "and the art of writing honest benchmarks")
+    rows = [
+        (1, "en", prose),           # ~0.60: natural prose
+        (2, "en", "repeat me now " * 80),  # ~0.03: boilerplate
+        (3, "en", junk),            # ~0.83: entropy soup
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out, stats = prepare_corpus(
+        corpus, None, near_dedup_threshold=None,
+        max_word_rep_frac=1.0, max_dup5_frac=1.0,
+        min_zlib_ratio=0.2, max_zlib_ratio=0.7,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [1]
+    assert stats["after_zlib_gate"] == 1
