@@ -267,3 +267,45 @@ def compression_ratio(
         return pd.Series(outv, dtype="float64")
 
     return df.withColumn(out, _ratio(F.col(text_col)))
+
+
+#: typographic -> ASCII unification map (applied before whitespace
+#: collapse; literal replaces, no regex)
+NORMALIZE_REPLACEMENTS = (
+    ("“", '"'), ("”", '"'), ("„", '"'),
+    ("‘", "'"), ("’", "'"),
+    ("–", "-"), ("—", "-"),
+    ("…", "..."),
+    (" ", " "),  # non-breaking space is NOT \s in Java/RE2
+)
+
+_CONTROL_PAT = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out: str = "norm_text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the step every dedup/hash key
+    should share: typographic quotes/dashes/ellipses to ASCII,
+    non-breaking spaces to spaces, control characters stripped,
+    whitespace collapsed to single spaces, trimmed, optionally
+    lowercased.
+
+    Pure scan-stage expressions (literal ``replace`` chain + two
+    regexps) — zero shuffle; every piece replays bit-for-bit in DuckDB
+    (literal replaces are engine-agnostic, the control class is plain
+    ASCII ranges in both regex dialects, and ``\\s`` is the same ASCII
+    set in Java and RE2 once NBSP is handled by the replace chain).
+    """
+    c = F.col(text_col)
+    for a, b in NORMALIZE_REPLACEMENTS:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    c = F.regexp_replace(c, _CONTROL_PAT, "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out, c)

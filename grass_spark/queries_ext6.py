@@ -408,3 +408,62 @@ ORDER BY d.doc_id
 
 EXT6_QUERIES["temperature_sample"] = q_temperature_sample
 EXT6_ORACLES["temperature_sample"] = ORACLE_TEMPERATURE_SAMPLE
+
+
+# ---------------------------------------------------------------------
+# Text normalization (operators/textstats.py normalize_text) — the
+# canonical pre-dedup cleanup.  The synthetic docs are plain ASCII, so
+# the query first INJECTS the typographic zoo (curly quotes, em dash,
+# NBSP, ellipsis, a control char, doubled spaces) as a literal suffix
+# — identical bytes in both engines — then hash-gates the normalized
+# result.
+# ---------------------------------------------------------------------
+
+_NORM_SUFFIX = "  “Quoted” — ‘stressed’… END\x07 tail   spaces"
+
+
+def q_normalize_text(spark, sf_dir):
+    """md5 of the normalized (text + typographic-zoo suffix), plus the
+    char delta the cleanup removed."""
+    from grass_spark.operators.textstats import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NORM_SUFFIX)).alias("text")
+    )
+    out = normalize_text(messy)
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_raw_chars"),
+        F.length("norm_text").alias("n_norm_chars"),
+        F.md5("norm_text").alias("norm_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_NORMALIZE_TEXT = """
+WITH messy AS (
+  SELECT doc_id,
+         text || '  “Quoted” — ‘stressed’…' || chr(160) || 'END'
+              || chr(7) || ' tail   spaces' AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id, text,
+    lower(trim(regexp_replace(
+      regexp_replace(
+        replace(replace(replace(replace(replace(replace(replace(replace(
+          replace(text, '“', '"'), '”', '"'), '„', '"'),
+          '‘', chr(39)), '’', chr(39)), '–', '-'), '—', '-'),
+          '…', '...'), chr(160), ' '),
+        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+      '\\s+', ' ', 'g'))) AS norm_text
+  FROM messy
+)
+SELECT doc_id,
+       CAST(len(text) AS INT) AS n_raw_chars,
+       CAST(len(norm_text) AS INT) AS n_norm_chars,
+       md5(norm_text) AS norm_md5
+FROM norm ORDER BY doc_id
+"""
+
+EXT6_QUERIES["normalize_text"] = q_normalize_text
+EXT6_ORACLES["normalize_text"] = ORACLE_NORMALIZE_TEXT
