@@ -148,6 +148,7 @@ TIER2 = [
     "pq_codes",
     "ivf_pq_search",
     "temperature_sample",
+    "normalize_text",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -159,3 +159,32 @@ def test_stream_matches_batch(spark, tmp_path):
         for c in ("n_lines", "n_kept_lines", "clean_text",
                   "reject_reason", "keep"):
             assert got[k][c] == want[k][c], (k, c)
+
+
+def test_normalize_text_invariants(spark):
+    """Idempotence + cleanliness over an adversarial batch: a second
+    normalize pass is a no-op, no typographic chars or doubled spaces
+    survive, and ASCII prose passes through (modulo case)."""
+    import random
+
+    from grass_spark.operators.textstats import normalize_text
+
+    rnd = random.Random(12)
+    zoo = "“”„‘’–—… \x07\x1f\t\n"
+    rows = [(0, ""), (1, "   "), (2, "Plain ASCII text stays put.")]
+    for i in range(3, 40):
+        n = rnd.randint(0, 60)
+        rows.append((i, "".join(rnd.choice(zoo + "abcXYZ .") for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    once = normalize_text(df).select("doc_id", F.col("norm_text").alias("text"))
+    twice = normalize_text(once)
+    for r in twice.collect():
+        assert r.norm_text == r.text, r.doc_id  # idempotent
+        for bad in "“”„‘’–—…\x07\x1f ":
+            assert bad not in r.norm_text
+        assert "  " not in r.norm_text
+        assert r.norm_text == r.norm_text.strip()
+    got = {r.doc_id: r.norm_text
+           for r in normalize_text(df).collect()}
+    assert got[2] == "plain ascii text stays put."
+    assert got[0] == "" and got[1] == ""

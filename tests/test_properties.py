@@ -189,3 +189,65 @@ def test_allen_relations_exclusive_complete_spark():
     iv = df.filter("a_e IS NOT NULL AND b_e IS NOT NULL")
     iv_zero = iv.filter(n_rel == 0).count()
     assert iv_zero == 0, "interval pairs must match exactly one relation"
+
+
+# ---------------- greedy subword tokenizer ----------------
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=0, max_size=80,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_greedy_pattern_covers_every_nonspace_char(s):
+    """Python re is leftmost-first like java.util.regex and RE2: the
+    compiled vocab pattern tokenizes ANY input with full coverage —
+    concatenating the pieces reproduces the de-spaced text (the [^ ]
+    fallback guarantees no character is ever skipped or duplicated)."""
+    import re
+
+    from grass_spark.operators.textstats import (
+        DEFAULT_SUBWORDS,
+        greedy_vocab_pattern,
+    )
+
+    norm = " ".join(s.lower().split())
+    pieces = re.findall(greedy_vocab_pattern(DEFAULT_SUBWORDS), norm)
+    assert "".join(pieces) == norm.replace(" ", "")
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),
+        min_size=1, max_size=20, unique=True,
+    ),
+    st.text(alphabet="abcdef ", min_size=0, max_size=60),
+)
+@settings(max_examples=120, deadline=None)
+def test_greedy_pattern_is_greedy_longest_for_any_vocab(vocab, s):
+    """At every position the chosen piece is the LONGEST vocab piece
+    matching there (single-char fallback otherwise) — the MaxMatch
+    invariant, for arbitrary vocabularies."""
+    import re
+
+    from grass_spark.operators.textstats import greedy_vocab_pattern
+
+    norm = " ".join(s.split())
+    pat = re.compile(greedy_vocab_pattern(vocab))
+    vset = sorted(set(vocab), key=len, reverse=True)
+    i, out = 0, []
+    while i < len(norm):
+        if norm[i] == " ":
+            i += 1
+            continue
+        for v in vset:
+            if norm.startswith(v, i):
+                out.append(v)
+                i += len(v)
+                break
+        else:
+            out.append(norm[i])
+            i += 1
+    assert pat.findall(norm) == out
