@@ -62,6 +62,7 @@ def prepare_corpus(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = False,
     line_rules=None,
     min_words: int = 5,
     max_words: int | None = None,
@@ -147,8 +148,24 @@ def prepare_corpus(
 
     _count("input", docs)
 
+    # 0b. canonical normalization (optional): typographic cleanup +
+    # whitespace collapse BEFORE anything hashes or matches the text —
+    # dedup keys, decontamination shingles and quality ratios then all
+    # share one canonical form.  NOTE lowercasing is part of the
+    # canonical form; run before redaction (patterns are case-robust).
+    if normalize:
+        from grass_spark.operators.textstats import normalize_text
+
+        cur = (
+            normalize_text(docs, text_col=text_col)
+            .drop(text_col)
+            .withColumnRenamed("norm_text", text_col)
+        )
+    else:
+        cur = docs
+
     # 1. redaction (adds n_<kind> count columns, scrubs text in place)
-    cur = redact(docs, text_col=text_col)
+    cur = redact(cur, text_col=text_col)
 
     # 1b. line-level cleaning (optional): drop chrome lines inside each
     # doc, substitute the cleaned text, reject docs that lost too much.

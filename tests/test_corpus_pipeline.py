@@ -401,3 +401,24 @@ def test_zlib_gate_stage(spark):
     )
     assert sorted(r.doc_id for r in out.collect()) == [1]
     assert stats["after_zlib_gate"] == 1
+
+
+def test_normalize_stage(spark):
+    """Stage 0b: typographic variants of the same doc become exact
+    duplicates once normalized — dedup then collapses them."""
+    rows = [
+        (1, "en", "The “Quick”  Brown—Fox jumps over the lazy dog today"),
+        (2, "en", 'the "quick" brown-fox jumps over the lazy dog today'),
+        (3, "en", GOOD2),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out, stats = prepare_corpus(
+        corpus, None, normalize=True, near_dedup_threshold=None,
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 3]  # 2 is an exact dup after normalization
+    t = {r.doc_id: r.text for r in out.collect()}
+    assert t[1] == 'the "quick" brown-fox jumps over the lazy dog today'
+    # without normalization both variants survive exact dedup
+    out2, _ = prepare_corpus(corpus, None, near_dedup_threshold=None)
+    assert out2.count() == 3
