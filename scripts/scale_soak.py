@@ -989,6 +989,68 @@ def _textproj_soak(args) -> None:
     print(json.dumps(out))
 
 
+def _classifier_soak(args) -> None:
+    """Distributed LR training at corpus scale: the one-off feature
+    staging (explode + groupBy(doc, bucket) + eager checkpoint) and the
+    per-round cost (score groupBy(doc) + gradient groupBy(bucket) +
+    n_buckets collect), interleaved lo/hi, min-of-2."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.classify import train_classifier
+    from grass_spark.session import get_spark
+
+    n = args.classifier_docs
+    path = os.path.join(args.data, f"docs_{n}")
+    marker = path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_clf_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_documents(spark, n_docs=n).write.mode("overwrite").parquet(path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    def one_run(cores: int) -> tuple[float, float]:
+        spark = get_spark(
+            "soak_clf", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        d = spark.read.parquet(path).select(
+            "doc_id",
+            (F.col("doc_id") % 2).cast("int").alias("label"),
+            "text",
+        )
+        d = d.repartition(cores * 4).localCheckpoint()
+        t0 = time.perf_counter()
+        _, hist = train_classifier(d, rounds=2, lr=8.0, n_buckets=4096)
+        dt = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        return dt, hist[-1]
+
+    lo, hi = 2, args.cores
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    loss = 0.0
+    for _ in range(2):
+        for cores in (lo, hi):
+            dt, loss = one_run(cores)
+            times[cores].append(dt)
+    sec_lo, sec_hi = min(times[lo]), min(times[hi])
+    speedup = round(sec_lo / sec_hi, 3)
+    print(json.dumps({
+        "docs": n, "gen_sec": gen_sec, "rounds": 2, "n_buckets": 4096,
+        "cores_lo": lo, "cores_hi": hi,
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "times_lo": times[lo], "times_hi": times[hi],
+        "docs_per_round_sec_hi": round(n / (sec_hi / 3)),
+        "speedup": speedup,
+        "efficiency": round(speedup / (hi / lo), 3),
+        "final_loss": round(loss, 6),
+    }))
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -1070,6 +1132,9 @@ def main() -> None:
                          "(e.g. N/50) keeps the tail under-cap so ~70%% "
                          "of rows take the zero-shuffle cold path "
                          "(realistic shape)")
+    ap.add_argument("--classifier-docs", type=int, default=0,
+                    help="LR-trainer soak: stage features + 2 training "
+                         "rounds over N labeled docs, lo/hi")
     ap.add_argument("--pq-methods", default="expr,arrow",
                     help="PQ soak: comma list of encode methods to time")
     ap.add_argument("--pq-vecs", type=int, default=0,
@@ -1081,6 +1146,9 @@ def main() -> None:
                          "docs, lo/hi")
     args = ap.parse_args()
 
+    if args.classifier_docs:
+        _classifier_soak(args)
+        return
     if args.pq_vecs:
         _pq_soak(args)
         return
