@@ -29,8 +29,23 @@ from grass_spark.operators.keywords import WORD_PATTERN
 from grass_spark.operators.sampling import uniform_hash
 
 
-def hash_bucket(word: Column, n_buckets: int, *, salt: str = "") -> Column:
-    """Portable feature-hash bucket in [0, n_buckets)."""
+def hash_bucket(
+    word: Column, n_buckets: int, *, salt: str = "", hash: str = "portable"
+) -> Column:
+    """Feature-hash bucket in [0, n_buckets).
+
+    ``"portable"`` is the md5-uint32 recipe (bit-identical in DuckDB —
+    the oracle contract) but allocates an md5 hex string PER TOKEN,
+    which at corpus scale is allocation-bound (the line_filter wall,
+    PLANS.md).  ``"fast"`` is ``xxhash64`` — pure JVM long math, no
+    string temporaries — for training/scoring paths that don't need an
+    external-engine replay.  The two produce DIFFERENT bucketings:
+    weights trained under one hash must be scored under the same one.
+    """
+    if hash == "fast":
+        return F.pmod(F.xxhash64(word, F.lit(salt)), F.lit(n_buckets))
+    if hash != "portable":
+        raise ValueError(f"unknown hash {hash!r}")
     h = F.md5(F.concat_ws(":", word.cast("string"), F.lit(salt)))
     u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     return (u32 % n_buckets).cast("long")
@@ -54,6 +69,7 @@ def linear_quality_score(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     salt: str = "",
+    hash: str = "portable",
 ) -> DataFrame:
     """Per-document linear score + length-normalized sigmoid prob.
 
@@ -69,7 +85,7 @@ def linear_quality_score(
         )
     ).alias("word")
     toks = df.select(F.col(id_col), words).withColumn(
-        "bucket", hash_bucket(F.col("word"), n_buckets, salt=salt)
+        "bucket", hash_bucket(F.col("word"), n_buckets, salt=salt, hash=hash)
     )
     scored = (
         toks.join(F.broadcast(weights), "bucket")
@@ -106,6 +122,7 @@ def train_classifier(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     salt: str = "",
+    hash: str = "portable",
 ) -> tuple[DataFrame, list[float]]:
     """Distributed logistic-regression training for the hashed
     classifier — the fastText-style quality-filter fit, in-engine.
@@ -136,7 +153,10 @@ def train_classifier(
     ).alias("word")
     feats = (
         docs.select(F.col(id_col), F.col(label_col).alias("_y"), words)
-        .withColumn("bucket", hash_bucket(F.col("word"), n_buckets, salt=salt))
+        .withColumn(
+            "bucket",
+            hash_bucket(F.col("word"), n_buckets, salt=salt, hash=hash),
+        )
         .groupBy(id_col, "_y", "bucket")
         .agg(F.count(F.lit(1)).alias("_c"))
     ).localCheckpoint()  # eager: every round re-scans this frame

@@ -1025,7 +1025,8 @@ def _classifier_soak(args) -> None:
         )
         d = d.repartition(cores * 4).localCheckpoint()
         t0 = time.perf_counter()
-        _, hist = train_classifier(d, rounds=2, lr=8.0, n_buckets=4096)
+        _, hist = train_classifier(d, rounds=2, lr=8.0, n_buckets=4096,
+                                   hash="fast")
         dt = round(time.perf_counter() - t0, 1)
         spark.stop()
         return dt, hist[-1]
