@@ -196,11 +196,20 @@ def train_classifier(
         )
         if len(history) == rounds + 1:
             break
+        # gradient: per-doc error joined back onto the feature frame.
+        # The error side is (id, _g) — 16 bytes/doc — so up to tens of
+        # millions of docs it BROADCASTS and the 40x-bigger feature
+        # frame never reshuffles (measured: the SMJ re-sorted the
+        # feature frame EVERY round).  Past the gate, fall back to the
+        # shuffle join (executor memory, not correctness, is the bound).
+        err = scored.select(
+            id_col, ((F.col("_p") - F.col("_y")) / F.col("_n")).alias("_g")
+        )
+        if n_docs <= 20_000_000:
+            err = F.broadcast(err)
         grad_rows = (
-            scored.select(
-                id_col, ((F.col("_p") - F.col("_y")) / F.col("_n")).alias("_g")
-            )
-            .join(feats.select(id_col, "bucket", "_c"), id_col)
+            feats.select(id_col, "bucket", "_c")
+            .join(err, id_col)
             .groupBy("bucket")
             .agg(F.sum(F.col("_g") * F.col("_c")).alias("_grad"))
         ).collect()
