@@ -23,7 +23,9 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("line_filter", "subword_encode", "pq_codes",  # round-5 first
+_PRIORITY = ("sft_examples", "context_tail", "transcript_lint",
+             "sb_perplexity",
+             "line_filter", "subword_encode", "pq_codes",  # round-5 first
              "ivf_pq_search", "temperature_sample", "normalize_text",
              "dup_spans", "source_cap", "quality_filter",
              "boilerplate_strip", "dedup_best_keep", "perplexity_buckets",

@@ -226,3 +226,153 @@ def ccnet_filter(
         .select(id_col)
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------
+# Trigram stupid backoff (Brants et al. 2007, "Large Language Models in
+# Machine Translation") — the web-scale n-gram score: no discounting,
+# no normalization, just count ratios with a fixed backoff penalty.
+# ---------------------------------------------------------------------
+
+
+def _word_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, i, w) — one row per word position (1-based index)."""
+    d = df.withColumn("_ws", F.split(normalize_text(F.col(text_col)), " "))
+    return (
+        d.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            id_col,
+            F.posexplode("_ws").alias("i0", "w"),
+        )
+        .select(id_col, (F.col("i0") + 1).alias("i"), "w")
+    )
+
+
+def trigram_model(
+    train: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Count tables for stupid backoff: (trigram, bigram, unigram,
+    1-row total-token count) — four DataFrames, never collected.
+
+    Unigrams count every word occurrence; bigrams/trigrams the adjacent
+    pairs/triples.  Each table is one map-side-combined groupBy fed
+    straight from the scan-stage gram explode (the index-explode +
+    slice shape, PLANS.md) — no joins, the corpus shuffles only on the
+    gram keys themselves, which IS the model, not overhead.
+    """
+    words = _word_rows(train, id_col, text_col)
+    uni = words.groupBy(F.col("w").alias("u_w")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    big = _bigram_rows(train, id_col, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    tri = _trigram_rows(train, id_col, text_col).groupBy(
+        "w1", "w2", "w3"
+    ).agg(F.count(F.lit(1)).alias("c123"))
+    total = words.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+    return tri, big, uni, total
+
+
+def _trigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, idx, w1, w2, w3) — one row per trigram position (the
+    index-explode + slice shape, PLANS.md round-4 notes)."""
+    d = df.withColumn("_ws", F.split(normalize_text(F.col(text_col)), " "))
+    return (
+        d.filter(F.size("_ws") >= 3)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("_ws") - 3)).alias("idx"),
+            "_ws",
+        )
+        .select(
+            id_col,
+            "idx",
+            F.element_at("_ws", F.col("idx") + 1).alias("w1"),
+            F.element_at("_ws", F.col("idx") + 2).alias("w2"),
+            F.element_at("_ws", F.col("idx") + 3).alias("w3"),
+        )
+    )
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    add_k: float = 0.0,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean -log2 stupid-backoff score + pseudo-perplexity.
+
+        S(w3 | w1 w2) = c123/c12           if c123 > 0
+                      = a * c23/c2         elif c23 > 0
+                      = a^2 * (c3+k)/(N+kV) otherwise
+
+    ``alpha`` is Brants' fixed 0.4 backoff penalty; scores are NOT a
+    normalized distribution (by design), so ``sb_perplexity`` is a
+    relative quality signal, not cross-entropy.  With the default
+    ``add_k=0`` the unigram floor is the raw relative frequency —
+    exact only when every scored word occurs in the training corpus
+    (always true in self-scoring mode, ``model is None and train is
+    None``); scoring unseen text against a fixed model needs
+    ``add_k > 0`` or OOV words hit log(0).
+
+    Scale shape: scoring = 5 equi-joins from the position frame into
+    the count tables (tri once, big twice under both key rotations,
+    uni twice) + one groupBy(doc); the 1-row totals frame broadcasts.
+    No window, no collect.
+    """
+    if model is None:
+        model = trigram_model(
+            train if train is not None else docs,
+            id_col=id_col, text_col=text_col,
+        )
+    tri, big, uni, total = model
+    a = float(alpha)
+    k = float(add_k)
+    pos = _trigram_rows(docs, id_col, text_col)
+    big12 = big.select("w1", "w2", F.col("c12").alias("c12"))
+    big23 = big.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c12").alias("c23"),
+    )
+    uni2 = uni.select(F.col("u_w").alias("w2"), F.col("c1").alias("c2"))
+    uni3 = uni.select(F.col("u_w").alias("w3"), F.col("c1").alias("c3"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(big12, ["w1", "w2"], "left")
+        .join(big23, ["w2", "w3"], "left")
+        .join(uni2, ["w2"], "left")
+        .join(uni3, ["w3"], "left")
+        .join(F.broadcast(total))
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "_s",
+            F.when(
+                F.coalesce(F.col("c123"), F.lit(0)) > 0,
+                F.col("c123") / F.col("c12"),
+            )
+            .when(
+                F.coalesce(F.col("c23"), F.lit(0)) > 0,
+                F.lit(a) * F.col("c23") / F.col("c2"),
+            )
+            .otherwise(
+                F.lit(a * a)
+                * (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(k))
+                / (F.col("n_tokens") + F.lit(k) * F.col("v"))
+            ),
+        )
+        .withColumn("_nls", -F.log2("_s"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.avg("_nls").alias("sb_logscore"),
+        )
+        .withColumn("sb_perplexity", F.pow(F.lit(2.0), F.col("sb_logscore")))
+    )

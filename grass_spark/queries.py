@@ -833,3 +833,10 @@ from grass_spark.queries_ext6 import EXT6_ORACLES, EXT6_QUERIES  # noqa: E402
 
 QUERIES.update(EXT6_QUERIES)
 ORACLES.update(EXT6_ORACLES)
+
+# seventh wave (SFT example assembly over transcript turns, trigram
+# stupid backoff) — grass_spark.queries_ext7
+from grass_spark.queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
+
+QUERIES.update(EXT7_QUERIES)
+ORACLES.update(EXT7_ORACLES)
