@@ -149,6 +149,12 @@ TIER2 = [
     "ivf_pq_search",
     "temperature_sample",
     "normalize_text",
+    # round 5: SFT example assembly + trigram stupid backoff
+    "sft_examples",
+    "context_tail",
+    "transcript_lint",
+    "sb_perplexity",
+    "sft_jsonl",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

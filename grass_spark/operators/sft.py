@@ -225,3 +225,24 @@ def transcript_lint(
         .withColumn("keep", F.col("reject_reason").isNull())
         .drop("_min_idx", "_max_idx", "_n_idx")
     )
+
+
+def sft_jsonl_lines(
+    examples: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    fields: tuple[str, ...] = ("text", "n_mask_chars", "mask_spans"),
+) -> DataFrame:
+    """Serialize :func:`sft_examples` output to training-shard JSONL.
+
+    One compact JSON object per conversation (``conv_col`` first, then
+    ``fields``, field order preserved) — the line format trainers
+    stream.  Pure ``to_json`` projection (0 Exchange on top of the
+    examples frame); compose with
+    :func:`grass_spark.operators.export.write_shards` for the
+    byte-stable sharded write at scale.
+    """
+    return examples.select(
+        conv_col,
+        F.to_json(F.struct(conv_col, *fields)).alias("line"),
+    )

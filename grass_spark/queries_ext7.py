@@ -312,3 +312,64 @@ FROM sc GROUP BY doc_id
 
 EXT7_QUERIES["sb_perplexity"] = q_sb_perplexity
 EXT7_ORACLES["sb_perplexity"] = ORACLE_SB_PERPLEXITY
+
+
+# ---------------------------------------------------------------------
+# SFT JSONL serialization (operators/sft.py sft_jsonl_lines) — gates
+# the JSON escape/format parity of the training-shard line format.
+# ---------------------------------------------------------------------
+
+
+def q_sft_jsonl(spark, sf_dir):
+    """One JSONL training line per conversation (conv_id, rendered
+    text, mask metadata); md5-gated so the exact byte format — compact
+    separators, \\n and quote escapes — matches the oracle."""
+    from grass_spark.operators.sft import sft_examples, sft_jsonl_lines
+
+    t = _turns(spark, sf_dir)
+    ex = sft_examples(t, mask_roles=("assistant",))
+    out = sft_jsonl_lines(ex)
+    return out.select(
+        "conv_id",
+        F.length("line").alias("n_line_chars"),
+        F.md5("line").alias("line_md5"),
+    )
+
+
+ORACLE_SFT_JSONL = f"""
+WITH t AS ({_ORACLE_TURNS(order="ts, event_id", role=_ROLE, text=_PLAIN_TEXT, ts="ts")}),
+p AS (
+  SELECT conv_id, turn_idx, role, text,
+         role || ': ' || text || chr(10) AS piece
+  FROM t
+), o AS (
+  SELECT *,
+         sum(len(piece)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS cend
+  FROM p
+), ex AS (
+  SELECT conv_id,
+         string_agg(piece, '' ORDER BY turn_idx) AS text,
+         CAST(coalesce(sum(len(text)) FILTER (WHERE role = 'assistant'), 0)
+              AS BIGINT) AS n_mask_chars,
+         coalesce(string_agg(
+             CAST(cend - len(piece) + len(role) + 2 AS VARCHAR) || '-' ||
+             CAST(cend - len(piece) + len(role) + 2 + len(text) AS VARCHAR),
+             ',' ORDER BY turn_idx) FILTER (WHERE role = 'assistant'),
+           '') AS mask_spans
+  FROM o GROUP BY conv_id
+), lines AS (
+  SELECT conv_id,
+         to_json(struct_pack(
+           conv_id := conv_id, text := text,
+           n_mask_chars := n_mask_chars, mask_spans := mask_spans
+         )) AS line
+  FROM ex
+)
+SELECT conv_id, CAST(len(line) AS INT) AS n_line_chars,
+       md5(line) AS line_md5
+FROM lines
+"""
+
+EXT7_QUERIES["sft_jsonl"] = q_sft_jsonl
+EXT7_ORACLES["sft_jsonl"] = ORACLE_SFT_JSONL

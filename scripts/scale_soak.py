@@ -989,6 +989,95 @@ def _textproj_soak(args) -> None:
     print(json.dumps(out))
 
 
+def _sft_soak(args) -> None:
+    """SFT assembly at transcript scale: sft_examples (per-conv render
+    + loss-mask spans), transcript_lint, and context_tail timed as
+    separate passes over the same turns table, interleaved lo/hi,
+    min-of-2."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_transcripts
+    from grass_spark.operators.sft import (
+        context_tail, sft_examples, transcript_lint,
+    )
+    from grass_spark.session import get_spark
+
+    n = args.sft_turns
+    n_convs = max(n // args.avg_turns, 1)
+    path = os.path.join(args.data, f"sft_turns_{n}")
+    marker = path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_sft_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_transcripts(
+            spark, n_convs=n_convs, avg_turns=args.avg_turns, seed=7
+        ).write.mode("overwrite").parquet(path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    def one_run(cores: int) -> tuple[dict[str, float], dict[str, int]]:
+        spark = get_spark(
+            "soak_sft", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        t = spark.read.parquet(path).select(
+            "conv_id", "turn_idx", "role", "text", "ts"
+        )
+        t = t.repartition(cores * 4).localCheckpoint()
+        walls: dict[str, float] = {}
+        stats: dict[str, int] = {}
+        t0 = time.perf_counter()
+        row = sft_examples(t).agg(
+            F.sum(F.length("text")), F.sum("n_mask_chars"),
+            F.count(F.lit(1)),
+        ).collect()[0]
+        walls["sft"] = round(time.perf_counter() - t0, 1)
+        stats["rendered_chars"] = int(row[0])
+        stats["mask_chars"] = int(row[1])
+        stats["convs"] = int(row[2])
+        t0 = time.perf_counter()
+        row = transcript_lint(t).agg(
+            F.sum(F.col("keep").cast("long")), F.count(F.lit(1)),
+        ).collect()[0]
+        walls["lint"] = round(time.perf_counter() - t0, 1)
+        stats["kept_convs"] = int(row[0])
+        t0 = time.perf_counter()
+        row = context_tail(t, 512).agg(
+            F.count(F.lit(1)), F.sum("n_tokens"),
+        ).collect()[0]
+        walls["tail"] = round(time.perf_counter() - t0, 1)
+        stats["tail_rows"] = int(row[0])
+        spark.stop()
+        return walls, stats
+
+    lo, hi = 2, args.cores
+    times: dict[str, dict[int, list[float]]] = {
+        k: {lo: [], hi: []} for k in ("sft", "lint", "tail")
+    }
+    stats: dict[str, int] = {}
+    for _ in range(2):
+        for cores in (lo, hi):
+            walls, stats = one_run(cores)
+            for k, v in walls.items():
+                times[k][cores].append(v)
+    out: dict = {"turns": n, "convs": n_convs, "gen_sec": gen_sec,
+                 "cores_lo": lo, "cores_hi": hi, **stats}
+    for name, tt in times.items():
+        sec_lo, sec_hi = min(tt[lo]), min(tt[hi])
+        speedup = round(sec_lo / sec_hi, 3)
+        out[name] = {
+            "sec_lo": sec_lo, "sec_hi": sec_hi,
+            "times_lo": tt[lo], "times_hi": tt[hi],
+            "turns_per_sec_hi": round(n / sec_hi),
+            "speedup": speedup,
+            "efficiency": round(speedup / (hi / lo), 3),
+        }
+    print(json.dumps(out))
+
+
 def _classifier_soak(args) -> None:
     """Distributed LR training at corpus scale: the one-off feature
     staging (explode + groupBy(doc, bucket) + eager checkpoint) and the
@@ -1141,6 +1230,9 @@ def main() -> None:
     ap.add_argument("--pq-vecs", type=int, default=0,
                     help="PQ soak: encode pass lo/hi + one Lloyd "
                          "training round over N vectors")
+    ap.add_argument("--sft-turns", type=int, default=0,
+                    help="SFT soak: sft_examples + transcript_lint + "
+                         "context_tail over N synthetic turns, lo/hi")
     ap.add_argument("--textproj-docs", type=int, default=0,
                     help="text-projection soak: line_filter + "
                          "subword_encode passes over N line-wrapped "
@@ -1152,6 +1244,9 @@ def main() -> None:
         return
     if args.pq_vecs:
         _pq_soak(args)
+        return
+    if args.sft_turns:
+        _sft_soak(args)
         return
     if args.textproj_docs:
         _textproj_soak(args)

@@ -208,3 +208,32 @@ class TestStupidBackoff:
         rows = stupid_backoff_score(docs).collect()
         assert [r["doc_id"] for r in rows] == [2]
         assert rows[0]["n_trigrams"] == 2
+
+
+class TestSftJsonl:
+    def test_lines_roundtrip_through_from_json(self, spark, conv):
+        from grass_spark.operators.sft import sft_examples, sft_jsonl_lines
+
+        ex = sft_examples(conv)
+        lines = sft_jsonl_lines(ex)
+        parsed = lines.select(
+            F.from_json(
+                "line",
+                "conv_id string, text string, n_mask_chars long, "
+                "mask_spans string",
+            ).alias("j")
+        ).select("j.*")
+        orig = {r["conv_id"]: r for r in ex.collect()}
+        back = {r["conv_id"]: r for r in parsed.collect()}
+        assert set(orig) == set(back)
+        for cid, r in back.items():
+            assert r["text"] == orig[cid]["text"]
+            assert r["n_mask_chars"] == orig[cid]["n_mask_chars"]
+            assert r["mask_spans"] == orig[cid]["mask_spans"]
+
+    def test_line_is_compact_single_line_json(self, spark, conv):
+        from grass_spark.operators.sft import sft_examples, sft_jsonl_lines
+
+        line = sft_jsonl_lines(sft_examples(conv)).collect()[0]["line"]
+        assert "\n" not in line and '": ' not in line
+        assert line.startswith('{"conv_id":')
