@@ -23,7 +23,8 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("sft_examples", "context_tail", "transcript_lint",
+_PRIORITY = ("preference_pairs", "upsample_epochs",
+             "sft_examples", "context_tail", "transcript_lint",
              "sb_perplexity", "sft_jsonl",
              "line_filter", "subword_encode", "pq_codes",  # round-5 first
              "ivf_pq_search", "temperature_sample", "normalize_text",

@@ -840,3 +840,10 @@ from grass_spark.queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
 
 QUERIES.update(EXT7_QUERIES)
 ORACLES.update(EXT7_ORACLES)
+
+# eighth wave (preference pairs, epoch upsampling) —
+# grass_spark.queries_ext8
+from grass_spark.queries_ext8 import EXT8_ORACLES, EXT8_QUERIES  # noqa: E402
+
+QUERIES.update(EXT8_QUERIES)
+ORACLES.update(EXT8_ORACLES)
