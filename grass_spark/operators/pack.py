@@ -114,3 +114,72 @@ def pack_sequences(
             (F.col("seq_id") + 1) * L <= F.col("_total")
         ).drop("_total")
     return out.drop("_cum_start")
+
+
+def length_batches(
+    docs: DataFrame,
+    batch_size: int,
+    *,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str | Column = "n_tokens",
+    drop_partial: bool = False,
+) -> DataFrame:
+    """Length-bucketed batch assembly — the PADDING dataloader's twin
+    of :func:`pack_sequences` (which models the CONCATENATION one).
+
+    SFT/reward-model training pads every sequence in a batch to the
+    batch max; random batching wastes ~half the FLOPs on pad tokens.
+    The standard fix is length bucketing: sort by length, cut into
+    fixed-count batches, so near-equal lengths share a batch.  Output:
+    one row per doc with
+
+    * ``batch_idx`` — 0-based batch within the group (sorted by
+      ``(n_tokens, id)`` ascending — deterministic in any engine);
+    * ``padded_to`` — the batch's max token count (what every row
+      pads to);
+    * ``pad_waste`` — ``padded_to - n_tokens`` pad tokens this doc
+      costs.
+
+    ``drop_partial`` drops the trailing under-full batch per group.
+
+    Scale shape: same contract as :func:`pack_sequences` — the group
+    is a bounded packing shard and ``group_col=None`` warns (global
+    single-partition sort).  The second window (batch max) partitions
+    by ``(group, batch_idx)``: HashPartitioning(group) from the first
+    window already satisfies that clustering, so it adds a sort but
+    NO second Exchange (pinned by
+    ``tests/test_preference.py::test_length_batches_single_exchange``).
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if group_col is None:
+        warnings.warn(
+            "length_batches(group_col=None) sorts the whole input in "
+            "ONE window partition.  Pass group_col (a bounded shard) "
+            "for anything bigger than one shard.",
+            stacklevel=2,
+        )
+    toks = (
+        F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    ).cast("bigint")
+    gcols = [group_col] if group_col else []
+    w1 = (Window.partitionBy(*gcols) if gcols else Window.partitionBy()).orderBy(
+        toks.asc(), F.col(id_col).asc()
+    )
+    d = (
+        docs.withColumn("_n", toks)
+        .withColumn("_rn", F.row_number().over(w1) - 1)
+        .withColumn(
+            "batch_idx", F.floor(F.col("_rn") / F.lit(int(batch_size)))
+        )
+    )
+    w2 = Window.partitionBy(*gcols, "batch_idx")
+    d = d.withColumn("padded_to", F.max("_n").over(w2)).withColumn(
+        "pad_waste", F.col("padded_to") - F.col("_n")
+    )
+    if drop_partial:
+        d = d.withColumn("_bn", F.count(F.lit(1)).over(w2)).where(
+            F.col("_bn") == batch_size
+        ).drop("_bn")
+    return d.drop("_rn", "_n")

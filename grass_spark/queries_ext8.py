@@ -144,3 +144,115 @@ ORDER BY doc_id, epoch
 
 EXT8_QUERIES["upsample_epochs"] = q_upsample_epochs
 EXT8_ORACLES["upsample_epochs"] = ORACLE_UPSAMPLE_EPOCHS
+
+
+# ---------------------------------------------------------------------
+# length-bucketed batches — the padding dataloader's packing twin
+# ---------------------------------------------------------------------
+
+def q_length_batches(spark, sf_dir):
+    from grass_spark.operators.pack import length_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    out = length_batches(
+        docs.select("source", "doc_id", "n_chars"),
+        8,
+        group_col="source",
+        id_col="doc_id",
+        tokens_col="n_chars",
+    )
+    return out.select(
+        "source", "doc_id", "batch_idx", "padded_to", "pad_waste"
+    ).orderBy("source", "batch_idx", "doc_id")
+
+
+ORACLE_LENGTH_BATCHES = """
+WITH b AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor((row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) - 1)
+                    / 8) AS BIGINT) AS batch_idx
+  FROM documents
+)
+SELECT source, doc_id, batch_idx,
+       max(n_chars) OVER (PARTITION BY source, batch_idx) AS padded_to,
+       max(n_chars) OVER (PARTITION BY source, batch_idx) - n_chars
+         AS pad_waste
+FROM b
+ORDER BY source, batch_idx, doc_id
+"""
+
+EXT8_QUERIES["length_batches"] = q_length_batches
+EXT8_ORACLES["length_batches"] = ORACLE_LENGTH_BATCHES
+
+
+# ---------------------------------------------------------------------
+# DPO JSONL lines — preference pairs through the shard-line serializer
+# (gates the byte format end-to-end: escapes, compact separators)
+# ---------------------------------------------------------------------
+
+def q_dpo_jsonl(spark, sf_dir):
+    from grass_spark.operators.sft import sft_jsonl_lines
+
+    pairs = preference_pairs(
+        _scored_completions(spark, sf_dir),
+        prompt_col="prompt_id",
+        id_col="doc_id",
+        text_col="text",
+        score_col="score",
+        min_margin=0.05,
+    )
+    out = sft_jsonl_lines(
+        pairs, conv_col="prompt_id", fields=("chosen_text", "rejected_text")
+    )
+    return out.select(
+        "prompt_id",
+        F.length("line").alias("n_line_chars"),
+        F.md5("line").alias("line_md5"),
+    ).orderBy("prompt_id")
+
+
+_ORACLE_PAIRS_CTE = f"""
+s AS (
+  SELECT CAST({_DUCK_HASH.format(salt='prompt')} % 64 AS BIGINT) AS prompt_id,
+         doc_id, text,
+         round({_DUCK_HASH.format(salt='score')} / 4294967296.0, 6) AS s
+  FROM documents
+),
+ranked AS (
+  SELECT prompt_id, doc_id, text, s,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY s DESC, doc_id DESC) AS rc,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY s ASC, doc_id ASC) AS rr,
+         count(*) OVER (PARTITION BY prompt_id) AS n
+  FROM s
+),
+pairs AS (
+  SELECT c.prompt_id,
+         c.text AS chosen_text, r.text AS rejected_text
+  FROM ranked c
+  JOIN ranked r ON c.prompt_id = r.prompt_id AND r.rr = 1
+  WHERE c.rc = 1 AND c.n >= 2 AND round(c.s - r.s, 6) >= 0.05
+)
+"""
+
+ORACLE_DPO_JSONL = f"""
+WITH {_ORACLE_PAIRS_CTE},
+lines AS (
+  SELECT prompt_id,
+         to_json(struct_pack(
+           prompt_id := prompt_id,
+           chosen_text := chosen_text,
+           rejected_text := rejected_text
+         )) AS line
+  FROM pairs
+)
+SELECT prompt_id, CAST(len(line) AS INT) AS n_line_chars,
+       md5(line) AS line_md5
+FROM lines
+ORDER BY prompt_id
+"""
+
+EXT8_QUERIES["dpo_jsonl"] = q_dpo_jsonl
+EXT8_ORACLES["dpo_jsonl"] = ORACLE_DPO_JSONL

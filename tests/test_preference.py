@@ -165,3 +165,75 @@ def test_upsample_plan_no_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+# ---------------------------------------------------------------------
+# length_batches (operators/pack.py)
+# ---------------------------------------------------------------------
+
+def _len_docs(spark):
+    rows = [(i, "s%d" % (i % 2), (i * 7) % 23 + 1) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens bigint")
+
+
+def test_length_batches_groups_similar_lengths(spark):
+    from grass_spark.operators.pack import length_batches
+
+    out = length_batches(
+        _len_docs(spark), 4, group_col="source"
+    ).collect()
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault((r["source"], r["batch_idx"]), []).append(r)
+    for rows in by_batch.values():
+        mx = max(r["n_tokens"] for r in rows)
+        assert all(r["padded_to"] == mx for r in rows)
+        assert all(r["pad_waste"] == mx - r["n_tokens"] for r in rows)
+        assert len(rows) <= 4
+    # sorted batching: batch maxes are non-decreasing per group
+    for src in ("s0", "s1"):
+        maxes = [
+            max(r["n_tokens"] for r in rows)
+            for (s, b), rows in sorted(by_batch.items())
+            if s == src
+        ]
+        assert maxes == sorted(maxes)
+
+
+def test_length_batches_drop_partial(spark):
+    from grass_spark.operators.pack import length_batches
+
+    # 20 docs per source, batch 8 -> 2 full batches, 4-row tail dropped
+    out = length_batches(
+        _len_docs(spark), 8, group_col="source", drop_partial=True
+    ).collect()
+    assert len(out) == 32
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault((r["source"], r["batch_idx"]), []).append(r)
+    assert all(len(v) == 8 for v in by_batch.values())
+
+
+def test_length_batches_single_exchange(spark):
+    """The (group, batch_idx) padded_to window must reuse the first
+    window's HashPartitioning(group) — exactly ONE Exchange."""
+    from grass_spark.operators.pack import length_batches
+
+    plan = (
+        length_batches(_len_docs(spark), 4, group_col="source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_length_batches_global_warns(spark):
+    import warnings as W
+
+    from grass_spark.operators.pack import length_batches
+
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        length_batches(_len_docs(spark), 4)
+    assert any("ONE window partition" in str(c.message) for c in caught)
