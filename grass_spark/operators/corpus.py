@@ -31,7 +31,11 @@ recipe), all as ONE declarative Spark plan per stage:
    target group mixture;
 8. **DSIR selection** (optional) — keep the ``dsir_k`` docs most like
    a trusted target corpus (hashed-ngram importance weights +
-   deterministic Gumbel-top-k).
+   deterministic Gumbel-top-k);
+9. **epoch upsampling** (optional) — ``epoch_weights`` fans the
+   survivors into (doc, epoch) training-schedule rows for sources
+   repeated more than once per run (weights above 1; see
+   :func:`grass_spark.operators.preference.upsample_epochs`).
 
 Every stage is the same operator the driver queries gate one-by-one;
 this module only sequences them.  Stages that re-use the corpus more
@@ -99,6 +103,8 @@ def prepare_corpus(
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
     dsir_buckets: int = 10_000,
+    epoch_weights=None,
+    epoch_default_weight: float = 1.0,
     collect_stats: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the full hygiene pipeline; see module docstring for stages.
@@ -455,5 +461,18 @@ def prepare_corpus(
         cur = cur.join(picked, id_col, "left_semi")
         cur = cur.localCheckpoint(eager=False)
         _count("after_dsir", cur)
+
+    # 9. epoch upsampling (optional): mixture weights ABOVE 1 — fan
+    # the surviving docs into (doc, epoch) training-schedule rows
+    # (LLaMA-style source repeats).  Pure scan-stage explode on top of
+    # the already-checkpointed survivors; adds an ``epoch`` column.
+    if epoch_weights is not None:
+        from grass_spark.operators.preference import upsample_epochs
+
+        cur = upsample_epochs(
+            cur, epoch_weights, group_col=group_col, id_col=id_col,
+            default_weight=epoch_default_weight, salt="corpus-epoch",
+        )
+        _count("after_epochs", cur)
 
     return cur, stats

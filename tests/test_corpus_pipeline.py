@@ -422,3 +422,19 @@ def test_normalize_stage(spark):
     # without normalization both variants survive exact dedup
     out2, _ = prepare_corpus(corpus, None, near_dedup_threshold=None)
     assert out2.count() == 3
+
+
+def test_epoch_upsampling_stage(spark, corpus, bench):
+    out, stats = prepare_corpus(
+        corpus, bench, near_dedup_threshold=0.7,
+        epoch_weights={"en": 2.0, "de": 1.0}, group_col="lang",
+    )
+    rows = out.collect()
+    assert "epoch" in out.columns
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # survivors: 1 (en, weight 2 -> epochs 0,1), 7+8 (de, 1 epoch)
+    assert sorted(per_doc[1]) == [0, 1]
+    assert per_doc[7] == [0] and per_doc[8] == [0]
+    assert stats["after_epochs"] == 4
