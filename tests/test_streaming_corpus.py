@@ -209,3 +209,41 @@ def test_stream_subword_and_pq_match_batch(spark, tmp_path):
     want = {r.vec_id: (r.codes, r.recon_err)
             for r in pq_encode(vecs, cb, with_err=True).collect()}
     assert got == want and len(want) == 40
+
+
+def test_stream_upsample_epochs_matches_batch(spark, tmp_path):
+    """upsample_epochs is a stateless explode + filter (dict weights
+    are a plan literal), so it composes onto readStream unchanged and
+    emits batch-identical (doc, epoch) rows."""
+    from grass_spark.operators.preference import upsample_epochs
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    in_dir = str(tmp_path / "uin")
+    docs.repartition(2).write.parquet(in_dir)
+
+    weights = {"s0": 2.5, "s1": 1.0, "s2": 0.0}
+    batch = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in upsample_epochs(docs, weights).collect()
+    )
+
+    out = str(tmp_path / "uout")
+    stream = spark.readStream.schema("doc_id bigint, source string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        upsample_epochs(stream, weights)
+        .select("doc_id", "epoch")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "uckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert streamed == batch
