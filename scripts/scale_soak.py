@@ -648,6 +648,53 @@ def _segdedup_hot_soak(args) -> None:
     spark.stop()
 
 
+def _pref_hot_soak(args) -> None:
+    """Adversarial preference-election skew soak: ONE prompt holds 30%
+    of N scored completions (a degenerate best-of-N sweep).  The
+    min/max(struct) election must absorb the hot prompt map-side —
+    a row_number-window plan would single-task 0.3N rows.  Wall +
+    completions/s recorded for BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.preference import preference_pairs
+    from grass_spark.session import get_spark
+
+    n = args.pref_hot
+    spark = get_spark(
+        "soak_prefhot", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    # ~30% of completions land on prompt 0; the rest spread over n/10
+    cold = 1 + F.abs(F.xxhash64(F.lit(3), "doc_id")) % F.lit(max(n // 10, 1))
+    comp = (
+        spark.range(n).withColumnRenamed("id", "doc_id")
+        .repartition(args.cores * 4)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 3, F.lit(0).cast("bigint"))
+            .otherwise(cold).alias("prompt_id"),
+            F.concat(F.lit("completion text body "),
+                     F.col("doc_id").cast("string")).alias("text"),
+            ((F.xxhash64(F.lit(7), "doc_id") % 1000000) / 1000000.0)
+            .alias("score"),
+        )
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    pairs = preference_pairs(comp, min_margin=0.0)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.max("n_completions").alias("hottest"),
+    ).first()
+    wall = round(time.perf_counter() - t0, 1)
+    print(json.dumps({
+        "completions": n, "cores": args.cores,
+        "pairs": int(agg["pairs"]), "hottest_prompt": int(agg["hottest"]),
+        "sec": wall, "completions_per_sec": round(n / wall),
+    }))
+    spark.stop()
+
+
 def _span_hot_soak(args) -> None:
     """Adversarial duplicate-span skew soak: ONE 12-word boilerplate
     run planted in ~30% of N docs (plus a per-doc unique 20-word body).
@@ -1193,6 +1240,9 @@ def main() -> None:
     ap.add_argument("--segdedup-hot", type=int, default=0,
                     help="adversarial segment-dedup skew soak: ONE "
                          "boilerplate segment in ~30%% of N docs")
+    ap.add_argument("--pref-hot", type=int, default=0,
+                    help="adversarial preference-pair soak: N scored "
+                         "completions, one prompt holds 30%% of them")
     ap.add_argument("--span-hot", type=int, default=0,
                     help="adversarial duplicate-span skew soak: ONE "
                          "boilerplate run in ~30%% of N docs")
@@ -1280,6 +1330,9 @@ def main() -> None:
         return
     if args.span_hot:
         _span_hot_soak(args)
+        return
+    if args.pref_hot:
+        _pref_hot_soak(args)
         return
     if args.delta_dedup:
         _delta_dedup_soak(args)
