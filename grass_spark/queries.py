@@ -847,3 +847,10 @@ from grass_spark.queries_ext8 import EXT8_ORACLES, EXT8_QUERIES  # noqa: E402
 
 QUERIES.update(EXT8_QUERIES)
 ORACLES.update(EXT8_ORACLES)
+
+# Ninth wave (rejection sampling top-k, word-boundary blocklist) —
+# grass_spark.queries_ext9
+from grass_spark.queries_ext9 import EXT9_ORACLES, EXT9_QUERIES  # noqa: E402
+
+QUERIES.update(EXT9_QUERIES)
+ORACLES.update(EXT9_ORACLES)

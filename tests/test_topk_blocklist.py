@@ -1,0 +1,167 @@
+"""top_per_group rejection sampling (operators/caps.py) + the
+word-boundary blocklist gate (operators/blocklist.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from grass_spark.operators.blocklist import (
+    blocklist_pattern,
+    blocklist_stats,
+)
+from grass_spark.operators.caps import top_per_group
+from grass_spark.operators.sampling import uniform_hash
+
+
+def _completions(spark, n=400, hot_frac=0.5):
+    """Scored completions where one prompt holds ``hot_frac`` of all
+    rows (the best-of-N sweep skew shape)."""
+    hot_n = int(n * hot_frac)
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < hot_n, F.lit(0))
+        .otherwise(1 + F.col("id") % 13).alias("prompt_id"),
+        uniform_hash(F.col("id"), "sc").alias("score"),
+    )
+    return df
+
+
+def _brute_top(df, k):
+    w = Window.partitionBy("prompt_id").orderBy(
+        F.round(F.col("score"), 6).desc(), "doc_id"
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("prompt_id", "doc_id")
+    )
+
+
+def test_top_equals_brute_window(spark):
+    df = _completions(spark)
+    for k in (1, 2, 7):
+        got = sorted(
+            (r.prompt_id, r.doc_id)
+            for r in top_per_group(df, k, salts=4).collect()
+        )
+        want = sorted(
+            (r.prompt_id, r.doc_id) for r in _brute_top(df, k).collect()
+        )
+        assert got == want, f"k={k}"
+
+
+def test_top_salts_invariant_and_passthrough(spark):
+    df = _completions(spark, n=200).withColumn("extra", F.lit("x"))
+    a = sorted(r.doc_id for r in top_per_group(df, 3, salts=2).collect())
+    b = sorted(r.doc_id for r in top_per_group(df, 3, salts=16).collect())
+    assert a == b  # exactness independent of salts
+    out = top_per_group(df, 3, salts=2)
+    assert out.columns == ["doc_id", "prompt_id", "score", "extra"]
+
+
+def test_top_ties_break_on_id(spark):
+    # identical rounded scores -> smallest ids win deterministically
+    df = spark.createDataFrame(
+        [(i, 1, 0.5) for i in range(10)],
+        "doc_id long, prompt_id long, score double",
+    )
+    kept = sorted(r.doc_id for r in top_per_group(df, 3).collect())
+    assert kept == [0, 1, 2]
+
+
+def test_top_rounds_score_before_ranking(spark):
+    # scores differing only past 6 dp are ties -> id decides, so the
+    # last-ulp engine drift cannot flip the kept set
+    df = spark.createDataFrame(
+        [(0, 1, 0.1000000001), (1, 1, 0.1000000002), (2, 1, 0.2)],
+        "doc_id long, prompt_id long, score double",
+    )
+    kept = sorted(r.doc_id for r in top_per_group(df, 2).collect())
+    assert kept == [0, 2]
+
+
+def test_top_validation(spark):
+    df = _completions(spark, n=10)
+    with pytest.raises(ValueError):
+        top_per_group(df, 0)
+    with pytest.raises(ValueError):
+        top_per_group(df, 3, salts=0)
+
+
+def test_top_plan_no_bare_group_window_over_full_input(spark):
+    """Skew contract: cold groups bypass all ordering work (broadcast
+    anti-join) and the stage-1 window includes the shard column."""
+    import re
+
+    df = _completions(spark, n=300)
+    plan = (
+        top_per_group(df, 3, salts=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert any("_s" in s for s in specs), "stage-1 salted window missing"
+
+
+# ---------------------------------------------------------------------
+# blocklist
+# ---------------------------------------------------------------------
+
+def test_blocklist_pattern_longest_first():
+    pat = blocklist_pattern(["fast", "fast table", "merge"])
+    # length-desc: the phrase alternative precedes its prefix word
+    body = pat[len(r"\b(?:"):-len(r")\b")]
+    alts = body.split("|")
+    assert alts == ["fast\\ table", "merge", "fast"]
+
+
+def test_blocklist_pattern_validation():
+    with pytest.raises(ValueError):
+        blocklist_pattern([])
+    with pytest.raises(ValueError):
+        blocklist_pattern([""])
+    with pytest.raises(ValueError):
+        blocklist_pattern(["bad!"])  # non-word edge inverts \b
+    with pytest.raises(ValueError):
+        blocklist_pattern(["!bad"])
+
+
+def test_blocklist_counts_word_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the fast table of fast tables"),   # phrase + bare fast
+            (1, "a fastx fast, FAST. tableau"),     # 2 hits, case-folded
+            (2, "nothing here"),                    # 0 hits
+            (3, "merge merge merge"),               # 3 hits
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_blocked, r.keep) for r in blocklist_stats(
+        df, ("fast table", "fast", "merge"), max_hits=2
+    ).collect()}
+    assert out[0] == (2, True)   # "fast table" greedy + "fast"; "tables" no
+    assert out[1] == (2, True)
+    assert out[2] == (0, True)
+    assert out[3] == (3, False)
+
+
+def test_blocklist_frac_and_max_frac_gate(spark):
+    df = spark.createDataFrame(
+        [(0, "merge a b c")], "doc_id long, text string"
+    )
+    r = blocklist_stats(df, ("merge",), max_hits=5, max_frac=0.1).collect()[0]
+    assert r.n_blocked == 1 and r.blocked_frac == 0.25
+    assert not r.keep  # frac gate fails even though count passes
+
+
+def test_blocklist_plan_zero_exchange_zero_python(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = (
+        blocklist_stats(df, ("merge",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
