@@ -73,6 +73,8 @@ def prepare_corpus(
     max_word_rep_frac: float = 0.6,
     max_dup5_frac: float = 0.6,
     quality_rules=None,
+    blocklist_terms: tuple[str, ...] | list[str] | None = None,
+    blocklist_max_hits: int = 0,
     max_perplexity: float | None = None,
     ppl_bucket_keep: tuple[str, ...] | None = None,
     ppl_bucket_cuts: tuple[float, float] = (1 / 3, 2 / 3),
@@ -114,6 +116,8 @@ def prepare_corpus(
     ``line_rules=None`` skips line-level cleaning (pass a
     :class:`grass_spark.operators.linefilter.LineRules`),
     ``quality_rules=None`` skips the Gopher structural rules,
+    ``blocklist_terms=None`` skips the C4-style word-boundary
+    blocklist gate (``blocklist_max_hits`` occurrences allowed),
     ``classifier_weights=None`` skips the hashed-linear quality
     classifier (pass a (bucket, weight) frame + ``min_quality_prob``),
     ``embeddings=None`` skips semantic dedup, ``segment_words=None``
@@ -212,6 +216,22 @@ def prepare_corpus(
         )
         cur = cur.join(ok, id_col, "left_semi")
         _count("after_quality_rules", cur)
+
+    # 2a''. word-boundary blocklist gate (optional): the C4
+    # badword-list rule — pure scan-stage regexp count, no shuffle.
+    if blocklist_terms is not None:
+        from grass_spark.operators.blocklist import blocklist_stats
+
+        ok = (
+            blocklist_stats(
+                cur, blocklist_terms, text_col=text_col,
+                max_hits=blocklist_max_hits,
+            )
+            .filter("keep")
+            .select(id_col)
+        )
+        cur = cur.join(ok, id_col, "left_semi")
+        _count("after_blocklist", cur)
 
     # 2a'. compression-ratio gate (optional): the RedPajama-v2/Dolma
     # entropy proxy — too-compressible docs are boilerplate/repetition,

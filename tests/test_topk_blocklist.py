@@ -165,3 +165,57 @@ def test_blocklist_plan_zero_exchange_zero_python(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_prepare_corpus_blocklist_stage(spark):
+    from grass_spark.operators.corpus import prepare_corpus
+
+    clean = "the quick brown fox jumps over the lazy dog near the barn"
+    dirty = "the quick brown fox badword jumps over the lazy dog here"
+    docs = spark.createDataFrame(
+        [(0, clean, "en", "s0"), (1, dirty, "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out, stats = prepare_corpus(
+        docs, near_dedup_threshold=None,
+        blocklist_terms=("badword",),
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [0]
+    assert stats["after_blocklist"] == 1
+
+
+def test_stream_blocklist_matches_batch(spark, tmp_path):
+    rows = [
+        (0, "clean prose about engines and shuffles at scale"),
+        (1, "one badword in otherwise clean text"),
+        (2, "badword badword badword soup"),
+        (3, "badwords is a different token entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    in_dir = str(tmp_path / "in")
+    docs.repartition(2).write.parquet(in_dir)
+
+    stage = lambda df: blocklist_stats(df, ("badword",), max_hits=1)  # noqa: E731
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        stage(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # availableNow drains deterministically
+
+    got = sorted(
+        (r.doc_id, r.n_blocked, r.keep)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_blocked, r.keep) for r in stage(docs).collect()
+    )
+    assert got == want
+    assert dict((d, (n, k)) for d, n, k in got)[3] == (0, True)
