@@ -61,12 +61,92 @@ def cosine_topk(
     )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("neighbor_id") != F.col("q_id"))
     sim = dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.select("q_id", "neighbor_id", sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _topk_per_query(
+        pairs.select("q_id", "neighbor_id", sim.alias("cosine")), k
     )
+
+
+def _topk_per_query(scored: DataFrame, k: int, salts: int = 16) -> DataFrame:
+    """Exact top-``k`` per ``q_id`` over (q_id, neighbor_id, cosine)
+    rows — TWO-STAGE: a window over ``(q_id, shard-of-neighbor)``
+    keeps a local top-``k`` (each task sees ~|corpus|/salts rows per
+    query), then the final window ranks only the ``<= salts*k``
+    survivors.  A bare ``partitionBy(q_id)`` window would funnel every
+    scored corpus row for one query into ONE task — |corpus| rows per
+    task at brute-force scale.  Stage 1 is exact-superset for the
+    total order (cosine DESC, neighbor ASC), so the composition equals
+    the single-window answer bit-for-bit (same machinery as
+    operators/caps.py; pinned by tests/test_operators_ext.py)."""
+    shard = F.pmod(F.xxhash64("neighbor_id"), F.lit(salts)).cast("int")
+    local = Window.partitionBy("q_id", "_s").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    final = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_s", shard)
+        .withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= k)
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .drop("_s", "_rn")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    q_id_col: str | None = None,
+    q_vec_col: str | None = None,
+    q_label_col: str | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query, the ``k``
+    most-cosine-similar corpus vectors whose ``label_col`` DIFFERS
+    from the query's — the near-the-boundary negatives a contrastive
+    or reranker trainer wants (DPR / Contriever recipe: negatives that
+    look like positives).
+
+    Ranks on the 6-dp-ROUNDED cosine (ties -> smallest neighbor id):
+    JVM vs libm fused-multiply differences flip unrounded ranks at
+    near-ties, and a near-tie is exactly where hard negatives live.
+    Output: (q_id, rank, neighbor_id, label, cosine).
+
+    Scale shape: query side broadcast (the query set is the small side
+    by contract), label exclusion is a scan-stage predicate BEFORE any
+    ranking work, and top-k runs the two-stage sharded selection
+    (:func:`_topk_per_query`) — no per-query single-task window.  For
+    corpora past brute-force reach, mine within IVF probe cells first
+    (:func:`ivf_topk`) and re-rank exactly.
+    """
+    q_id_col = q_id_col or id_col
+    q_vec_col = q_vec_col or vec_col
+    q_label_col = q_label_col or label_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("_e"),
+        F.col(label_col).alias("label"),
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        _as_double(q_vec_col).alias("_qe"),
+        F.col(q_label_col).alias("_ql"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("label") != F.col("_ql"))
+    )
+    sim = F.round(dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e")), 6)
+    topk = _topk_per_query(
+        pairs.select("q_id", "neighbor_id", "label", sim.alias("cosine")), k
+    )
+    return topk.select("q_id", "rank", "neighbor_id", "label", "cosine")
 
 
 def _planes(dims: int, n_planes: int, seed: int) -> list[list[float]]:

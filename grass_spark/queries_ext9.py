@@ -93,3 +93,43 @@ ORDER BY doc_id
 
 EXT9_QUERIES["blocklist_flags"] = q_blocklist_flags
 EXT9_ORACLES["blocklist_flags"] = ORACLE_BLOCKLIST_FLAGS
+
+
+# ---------------------------------------------------------------------
+# hard-negative mining — top-5 cross-label neighbors per query vector
+# ---------------------------------------------------------------------
+
+def q_hard_negatives(spark, sf_dir):
+    from grass_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = hard_negatives(emb, q, k=5)
+    return out.orderBy("q_id", "rank")
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe, label AS ql FROM e WHERE vec_id < 3),
+pairs AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         round(list_inner_product(q.qe, e.e)
+               / (sqrt(list_inner_product(q.qe, q.qe))
+                  * sqrt(list_inner_product(e.e, e.e))), 6) AS cosine
+  FROM q CROSS JOIN e
+  WHERE e.label <> q.ql AND e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       label, cosine
+FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+EXT9_QUERIES["hard_negatives"] = q_hard_negatives
+EXT9_ORACLES["hard_negatives"] = ORACLE_HARD_NEGATIVES

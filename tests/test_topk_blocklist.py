@@ -219,3 +219,82 @@ def test_stream_blocklist_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert dict((d, (n, k)) for d, n, k in got)[3] == (0, True)
+
+
+# ---------------------------------------------------------------------
+# two-stage knn + hard negatives
+# ---------------------------------------------------------------------
+
+def _emb(spark):
+    import math
+    rows = []
+    for i in range(40):
+        a = i * 0.37
+        rows.append((i, [math.cos(a), math.sin(a), 0.1 * (i % 5)], i % 3))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_cosine_topk_two_stage_equals_bare_window(spark):
+    from grass_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 4)
+    got = sorted(
+        (r.q_id, r.rank, r.neighbor_id)
+        for r in cosine_topk(emb, q, k=6).collect()
+    )
+    # brute single-window reference
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    pairs = q.select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("qe")).crossJoin(c)
+    dot = F.aggregate(F.zip_with("qe", "embedding", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    sim = dot / (norm(F.col("qe")) * norm(F.col("embedding")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    want = sorted(
+        (r.q_id, r.rank, r.neighbor_id)
+        for r in pairs.filter("q_id <> neighbor_id")
+        .select("q_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 6).collect()
+    )
+    assert got == want
+
+
+def test_cosine_topk_plan_has_sharded_stage1_window(spark):
+    import re
+
+    from grass_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 2)
+    plan = (
+        cosine_topk(emb, q, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and any("_s" in s for s in specs), plan
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from grass_spark.operators.similarity import hard_negatives
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = hard_negatives(emb, q, k=5).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    assert len(out) == 15
+    for r in out:
+        assert r.label != labels[r.q_id]
+        assert r.neighbor_id != r.q_id
+    # ranks are 1..5 per query, cosine non-increasing
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r.q_id, r.rank)):
+        by_q.setdefault(r.q_id, []).append(r.cosine)
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True) and len(sims) == 5
