@@ -24,6 +24,7 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
 _PRIORITY = ("rejection_sample", "blocklist_flags", "hard_negatives",
+             "shard_manifest",
              "preference_pairs", "upsample_epochs", "length_batches",
              "dpo_jsonl",
              "sft_examples", "context_tail", "transcript_lint",

@@ -133,3 +133,40 @@ ORDER BY q_id, rank
 
 EXT9_QUERIES["hard_negatives"] = q_hard_negatives
 EXT9_ORACLES["hard_negatives"] = ORACLE_HARD_NEGATIVES
+
+
+# ---------------------------------------------------------------------
+# shard manifest — order-independent per-shard integrity fingerprints
+# ---------------------------------------------------------------------
+
+def q_shard_manifest(spark, sf_dir):
+    from grass_spark.operators.export import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    out = shard_manifest(docs, 8, tokens_col="n_chars")
+    return out.orderBy("shard_id")
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH staged AS (
+  SELECT doc_id, text, n_chars,
+         CAST(floor({_DUCK_HASH.format(salt='export')} / 4294967296.0 * 8)
+              AS INTEGER) AS shard_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)),
+                             1, 8) AS UBIGINT) AS fp
+  FROM documents
+)
+SELECT shard_id,
+       count(*) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       CAST(sum(fp) AS BIGINT) AS fingerprint
+FROM staged
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+EXT9_QUERIES["shard_manifest"] = q_shard_manifest
+EXT9_ORACLES["shard_manifest"] = ORACLE_SHARD_MANIFEST

@@ -298,3 +298,49 @@ def test_hard_negatives_excludes_same_label(spark):
         by_q.setdefault(r.q_id, []).append(r.cosine)
     for sims in by_q.values():
         assert sims == sorted(sims, reverse=True) and len(sims) == 5
+
+
+# ---------------------------------------------------------------------
+# shard manifest
+# ---------------------------------------------------------------------
+
+def test_shard_manifest_matches_written_shards(spark, tmp_path):
+    from grass_spark.operators.export import shard_manifest, write_shards
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+    )
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, 4)
+    man = {r.shard_id: (r.n_docs, r.fingerprint)
+           for r in shard_manifest(docs, 4).collect()}
+
+    back = spark.read.parquet(path)
+    fp = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.md5("text"))), 1, 8),
+        16, 10).cast("bigint")
+    got = {r.shard_id: (r.n, r.f) for r in back.groupBy("shard_id").agg(
+        F.count("*").alias("n"), F.sum(fp).alias("f")).collect()}
+    assert got == man
+    assert sum(n for n, _ in man.values()) == 300
+
+
+def test_shard_manifest_detects_mutation(spark):
+    from grass_spark.operators.export import shard_manifest
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+    )
+    base = {r.shard_id: r.fingerprint
+            for r in shard_manifest(docs, 2).collect()}
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    after = {r.shard_id: r.fingerprint
+             for r in shard_manifest(mutated, 2).collect()}
+    assert base != after
+    # exactly the shard holding doc 7 moved
+    assert sum(1 for k in base if base[k] != after.get(k)) == 1
