@@ -49,6 +49,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     q_id_col: str | None = None,
     q_vec_col: str | None = None,
+    salts: int = 16,
 ) -> DataFrame:
     """Exact top-k neighbors per query (query side broadcast)."""
     q_id_col = q_id_col or id_col
@@ -62,7 +63,7 @@ def cosine_topk(
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("neighbor_id") != F.col("q_id"))
     sim = dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e"))
     return _topk_per_query(
-        pairs.select("q_id", "neighbor_id", sim.alias("cosine")), k
+        pairs.select("q_id", "neighbor_id", sim.alias("cosine")), k, salts
     )
 
 
@@ -105,6 +106,7 @@ def hard_negatives(
     q_id_col: str | None = None,
     q_vec_col: str | None = None,
     q_label_col: str | None = None,
+    salts: int = 16,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each query, the ``k``
     most-cosine-similar corpus vectors whose ``label_col`` DIFFERS
@@ -144,7 +146,8 @@ def hard_negatives(
     )
     sim = F.round(dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e")), 6)
     topk = _topk_per_query(
-        pairs.select("q_id", "neighbor_id", "label", sim.alias("cosine")), k
+        pairs.select("q_id", "neighbor_id", "label", sim.alias("cosine")),
+        k, salts,
     )
     return topk.select("q_id", "rank", "neighbor_id", "label", "cosine")
 

@@ -695,6 +695,79 @@ def _pref_hot_soak(args) -> None:
     spark.stop()
 
 
+def _knn_shape_soak(args) -> None:
+    """Brute-force knn top-k plan-shape comparison: N corpus vectors x
+    2 query vectors.  The pre-round-5 shape (bare partitionBy(q_id)
+    window) puts ALL N scored rows for one query in ONE task — at 2
+    queries only 2 cores ever work.  The sharded two-stage top-k
+    (_topk_per_query) spreads each query over 16 shards.  Same exact
+    result; walls for both shapes printed."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.similarity import cosine_topk, dot, l2norm
+    from grass_spark.session import get_spark
+
+    n, dims = args.knn_vecs, args.knn_dims
+    spark = get_spark(
+        "soak_knnshape", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dims)),
+        lambda j: F.sin(F.col("vec_id").cast("double") * 0.7 + j * 1.3),
+    )
+    emb = (
+        spark.range(n).withColumnRenamed("id", "vec_id")
+        .repartition(args.cores * 4)
+        .select("vec_id", vec.alias("embedding"))
+        .localCheckpoint()
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+
+    # the old shape, inlined for comparison
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("_e"))
+    qq = q.select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("_qe"))
+    pairs = F.broadcast(qq).crossJoin(c).filter("neighbor_id <> q_id")
+    sim = dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    bare_df = (
+        pairs.select("q_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    sharded_df = cosine_topk(emb, q, k=10)
+
+    def _run(df):
+        t0 = time.perf_counter()
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.min("cosine").alias("mn")).first()
+        return round(time.perf_counter() - t0, 1), r
+
+    # interleaved min-of-2 (one-sided host noise; JIT warms on round 1)
+    walls = {"sharded": [], "bare": []}
+    res = {}
+    for _ in range(2):
+        t, res["sharded"] = _run(sharded_df)
+        walls["sharded"].append(t)
+        t, res["bare"] = _run(bare_df)
+        walls["bare"].append(t)
+    sharded, bare = min(walls["sharded"]), min(walls["bare"])
+    got, old = res["sharded"], res["bare"]
+    assert got["n"] == old["n"] and math.isclose(got["mn"], old["mn"])
+    print(json.dumps({
+        "vecs": n, "cores": args.cores, "rows": int(got["n"]),
+        "sharded_sec": sharded, "bare_window_sec": bare,
+        "speedup": round(bare / sharded, 2),
+    }))
+    spark.stop()
+
+
 def _span_hot_soak(args) -> None:
     """Adversarial duplicate-span skew soak: ONE 12-word boilerplate
     run planted in ~30% of N docs (plus a per-doc unique 20-word body).
@@ -1243,6 +1316,12 @@ def main() -> None:
     ap.add_argument("--pref-hot", type=int, default=0,
                     help="adversarial preference-pair soak: N scored "
                          "completions, one prompt holds 30%% of them")
+    ap.add_argument("--knn-vecs", type=int, default=0,
+                    help="brute-knn plan-shape soak: N corpus vectors "
+                         "x 2 queries, sharded vs bare-window top-k")
+    ap.add_argument("--knn-dims", type=int, default=32,
+                    help="vector dims for --knn-vecs (small dims "
+                         "isolate the selection stage from scoring)")
     ap.add_argument("--span-hot", type=int, default=0,
                     help="adversarial duplicate-span skew soak: ONE "
                          "boilerplate run in ~30%% of N docs")
@@ -1333,6 +1412,9 @@ def main() -> None:
         return
     if args.pref_hot:
         _pref_hot_soak(args)
+        return
+    if args.knn_vecs:
+        _knn_shape_soak(args)
         return
     if args.delta_dedup:
         _delta_dedup_soak(args)
