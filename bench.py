@@ -155,6 +155,15 @@ TIER2 = [
     "transcript_lint",
     "sb_perplexity",
     "sft_jsonl",
+    # round 5 final: RLHF/export wave
+    "preference_pairs",
+    "upsample_epochs",
+    "length_batches",
+    "dpo_jsonl",
+    "rejection_sample",
+    "blocklist_flags",
+    "hard_negatives",
+    "shard_manifest",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -107,6 +107,7 @@ def write_shards(
     id_col: str = "doc_id",
     salt: str = "export",
     format: str = "parquet",
+    order_col: str | None = None,
 ) -> None:
     """Write the permuted corpus as ``n_shards`` shard directories.
 
@@ -114,6 +115,14 @@ def write_shards(
     sort by the permutation key, ``partitionBy(shard_id)`` layout so a
     loader opens ``shard_id=K/`` directly.  Deterministic: re-running
     produces the same rows in the same order per shard.
+
+    ``order_col`` switches the IN-SHARD order from the hash permutation
+    to CURRICULUM order (ascending ``order_col`` — e.g. a difficulty or
+    perplexity score — with the permutation key as the tie-break, so
+    equal-score rows still interleave deterministically).  Shard
+    MEMBERSHIP stays the pure (id, salt, n_shards) hash either way: a
+    loader reading shards round-robin sees every shard sweep
+    easy-to-hard while each shard remains an unbiased corpus sample.
 
     The in-partition sort leads with ``shard_id``: a dynamic
     ``partitionBy`` write REQUIRES the data sorted by the partition
@@ -126,11 +135,13 @@ def write_shards(
     ``(_u, id)`` order is the one on disk.
     """
     u = uniform_hash(F.col(id_col), salt)
+    in_shard = (["_u", id_col] if order_col is None
+                else [order_col, "_u", id_col])
     out = (
         df.withColumn("_u", u)
         .withColumn("shard_id", F.floor(F.col("_u") * n_shards).cast("int"))
         .repartition(n_shards, F.col("shard_id"))
-        .sortWithinPartitions("shard_id", "_u", id_col)
+        .sortWithinPartitions("shard_id", *in_shard)
         .drop("_u")
     )
     (

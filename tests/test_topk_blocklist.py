@@ -344,3 +344,31 @@ def test_shard_manifest_detects_mutation(spark):
     assert base != after
     # exactly the shard holding doc 7 moved
     assert sum(1 for k in base if base[k] != after.get(k)) == 1
+
+
+def test_write_shards_curriculum_order(spark, tmp_path):
+    from grass_spark.operators.export import write_shards
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+        ((F.col("id") * 37) % 101).cast("double").alias("difficulty"),
+    )
+    plain = str(tmp_path / "plain")
+    curr = str(tmp_path / "curr")
+    write_shards(docs, plain, 4)
+    write_shards(docs, curr, 4, order_col="difficulty")
+
+    a = spark.read.parquet(plain)
+    b = spark.read.parquet(curr)
+    # same membership per shard
+    sa = sorted((r.shard_id, r.doc_id) for r in a.collect())
+    sb = sorted((r.shard_id, r.doc_id) for r in b.collect())
+    assert sa == sb
+    # in-shard order is ascending difficulty (file row order preserved
+    # by per-file reads; single file per shard at this size)
+    for s in range(4):
+        rows = spark.read.parquet(f"{curr}/shard_id={s}").collect()
+        difficulties = [r.difficulty for r in rows]
+        assert difficulties == sorted(difficulties)
+        assert len(rows) > 0
