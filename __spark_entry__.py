@@ -23,7 +23,8 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("rejection_sample", "blocklist_flags", "hard_negatives",
+_PRIORITY = ("event_funnel", "retention_cohorts", "event_props",
+             "rejection_sample", "blocklist_flags", "hard_negatives",
              "shard_manifest",
              "preference_pairs", "upsample_epochs", "length_batches",
              "dpo_jsonl",

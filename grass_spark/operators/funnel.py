@@ -1,0 +1,194 @@
+"""Event-stream analytics over the ``events`` table: windowed funnels,
+retention cohorts, and typed JSON-props extraction.
+
+These are the classic time-series-engine companions to the temporal
+rollup core (reference analog: the t.rast.accumulate/accdetect family
+computes per-series threshold progressions, ``temporal/t.rast.accdetect``
+— a funnel is the cross-type version of the same "ordered milestones
+within a window" question, asked per user instead of per cell).
+
+Scale notes (the whole point of the shapes chosen here):
+
+* :func:`event_funnel` is a JOIN CHAIN, never a per-user
+  ``collect_list``: step *k* is ``min(ts)`` over the type-*k* events
+  strictly after the user's step *k-1* timestamp and within the window
+  anchored at step 1.  Each per-step frame is a map-side-combinable
+  ``groupBy(user).min`` — a bot user with 10^8 events never
+  materializes as one array in one task (the hot key is absorbed by
+  partial aggregation).  Each step scans the events source with the
+  ``event_type = <step>`` filter PUSHED DOWN, so a funnel over 3 of 50
+  event types reads ~6 % of the table per step, not all of it.
+* :func:`retention_cohorts` does ONE exchange on the user key; the
+  per-user day set is ``collect_set(day)``, bounded by the calendar
+  span of the data (365 entries/user/year regardless of event volume),
+  so the "array per group" here is genuinely bounded at any scale.
+* :func:`extract_props` is a pure scan-stage projection
+  (``get_json_object`` is JVM-side, whole-stage codegen) — 0 Exchange,
+  0 Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def extract_props(
+    df: DataFrame,
+    fields: dict[str, tuple[str, str]],
+    *,
+    props_col: str = "props",
+) -> DataFrame:
+    """Project typed fields out of a JSON-string column.
+
+    ``fields`` maps output column name -> (JSONPath, Spark cast type),
+    e.g. ``{"k": ("$.k", "bigint")}``.  Unparseable / absent paths
+    yield NULL (``get_json_object`` semantics), so a malformed props
+    row never fails the scan.
+    """
+    if not fields:
+        raise ValueError("extract_props: fields must be non-empty")
+    cols = [
+        F.get_json_object(F.col(props_col), path).cast(dtype).alias(name)
+        for name, (path, dtype) in fields.items()
+    ]
+    return df.select("*", *cols)
+
+
+def _day(ts_col: str) -> Column:
+    return F.to_date(F.date_trunc("day", F.col(ts_col)))
+
+
+def event_funnel(
+    df: DataFrame,
+    steps: list[str] | tuple[str, ...],
+    window_seconds: int,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Windowed ordered funnel (ClickHouse ``windowFunnel`` semantics).
+
+    A user *enters* the funnel at ``t1 = min(ts)`` of their
+    ``steps[0]`` events.  Step *k* completes at the earliest type-*k*
+    event STRICTLY after step *k-1*'s timestamp and at most
+    ``window_seconds`` after ``t1`` (boundary inclusive).  Repeated
+    types in ``steps`` are allowed — each occurrence needs a strictly
+    later event of that type.
+
+    Returns one row per funnel entrant: ``(user_col, entered_at,
+    steps_completed)`` — users with no ``steps[0]`` event at all are
+    absent (implicitly 0 steps).
+
+    Plan shape: per step, a pushed-down ``event_type`` scan joined to
+    the (per-user, shrinking) previous-step frame on ``user_col``,
+    then a map-side-combinable ``min`` — no window function, no
+    per-user array, no single-task hot key.
+
+    Every step frame is consumed TWICE (by the next step's join and by
+    the final depth stitch); the two consumers project different
+    columns, so ReuseExchange cannot dedup them and Catalyst would
+    re-execute each step subtree (measured: 6 parquet scans for a
+    3-step funnel instead of 3).  ``checkpoint=True`` (default) cuts
+    each per-user step frame with a lazy ``localCheckpoint`` — the
+    established multi-consumer pattern here (see prepare_corpus /
+    dedup_clusters) — so each step scans its events exactly once.
+    Pass ``checkpoint=False`` for plan inspection of the raw lineage.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("event_funnel: need at least 2 steps")
+    if int(window_seconds) <= 0:
+        raise ValueError("event_funnel: window_seconds must be positive")
+
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_et"),
+    )
+    win = F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+
+    s1 = (
+        base.where(F.col("_et") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_t1"))
+    )
+    if checkpoint:
+        s1 = s1.localCheckpoint(eager=False)
+    prev = s1.select(
+        "_u",
+        "_t1",
+        F.col("_t1").alias("_tprev"),
+        (F.col("_t1") + win).alias("_deadline"),
+    )
+    step_frames: list[DataFrame] = []
+    for i, st in enumerate(steps[1:], start=2):
+        nxt = (
+            base.where(F.col("_et") == st)
+            .join(prev.select("_u", "_t1", "_tprev", "_deadline"), "_u")
+            .where(
+                (F.col("_ts") > F.col("_tprev"))
+                & (F.col("_ts") <= F.col("_deadline"))
+            )
+            .groupBy("_u")
+            .agg(
+                F.min("_ts").alias("_tk"),
+                F.min("_t1").alias("_t1"),
+                F.min("_deadline").alias("_deadline"),
+            )
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=False)
+        prev = nxt.select(
+            "_u", "_t1", F.col("_tk").alias("_tprev"), "_deadline"
+        )
+        step_frames.append(nxt.select("_u", F.lit(True).alias(f"_s{i}")))
+
+    out = s1.select("_u", "_t1")
+    for i, frame in enumerate(step_frames, start=2):
+        out = out.join(frame, "_u", "left")
+    completed = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        completed = completed + F.when(
+            F.col(f"_s{i}").isNotNull(), 1
+        ).otherwise(0)
+    return out.select(
+        F.col("_u").alias(user_col),
+        F.col("_t1").alias("entered_at"),
+        completed.cast("int").alias("steps_completed"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: ``(cohort, offset_days, n_users)``.
+
+    A user's cohort is their first active day; the user contributes
+    one row per distinct later active day at ``offset_days =
+    datediff(day, cohort)`` (offset 0 = the cohort day itself, so
+    ``n_users`` at offset 0 is the cohort size).
+
+    ONE exchange on the user key; the per-user distinct-day set is
+    bounded by the calendar span of the data, not by event volume.
+    """
+    per_user = (
+        df.select(F.col(user_col).alias("_u"), _day(ts_col).alias("_d"))
+        .groupBy("_u")
+        .agg(
+            F.min("_d").alias("cohort"),
+            F.collect_set("_d").alias("_days"),
+        )
+    )
+    return (
+        per_user.select("cohort", F.explode("_days").alias("_d"))
+        .select(
+            "cohort", F.datediff("_d", "cohort").alias("offset_days")
+        )
+        .groupBy("cohort", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -854,3 +854,10 @@ from grass_spark.queries_ext9 import EXT9_ORACLES, EXT9_QUERIES  # noqa: E402
 
 QUERIES.update(EXT9_QUERIES)
 ORACLES.update(EXT9_ORACLES)
+
+# Tenth wave (event funnels, retention cohorts, JSON-props rollups) —
+# grass_spark.queries_ext10
+from grass_spark.queries_ext10 import EXT10_ORACLES, EXT10_QUERIES  # noqa: E402
+
+QUERIES.update(EXT10_QUERIES)
+ORACLES.update(EXT10_ORACLES)

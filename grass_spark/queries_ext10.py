@@ -1,0 +1,141 @@
+"""Tenth wave of driver-contract queries: event-stream analytics —
+windowed funnels, retention cohorts, typed JSON-props rollups
+(operators/funnel.py) over the ``events`` table.
+
+Merged into the main registries by :mod:`grass_spark.queries`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grass_spark.operators.funnel import (
+    event_funnel,
+    extract_props,
+    retention_cohorts,
+)
+from grass_spark.queries_ext import _t
+
+EXT10_QUERIES: dict = {}
+EXT10_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------
+# windowed funnel — view -> click -> purchase within 7 days of entry
+# ---------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW = 7 * 86400
+
+
+def q_event_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = event_funnel(ev, _FUNNEL_STEPS, _FUNNEL_WINDOW)
+    return out.orderBy("user_id")
+
+
+ORACLE_EVENT_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1
+  FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WINDOW} SECOND
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WINDOW} SECOND
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       s1.t1 AS entered_at,
+       CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+            AS INT) AS steps_completed
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY s1.user_id
+"""
+
+EXT10_QUERIES["event_funnel"] = q_event_funnel
+EXT10_ORACLES["event_funnel"] = ORACLE_EVENT_FUNNEL
+
+
+# ---------------------------------------------------------------------
+# retention cohorts — first-active-day cohort x day-offset user counts
+# ---------------------------------------------------------------------
+
+def q_retention_cohorts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = retention_cohorts(ev)
+    return out.orderBy("cohort", "offset_days")
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+coh AS (
+  SELECT user_id, min(d) AS cohort FROM act GROUP BY user_id
+)
+SELECT coh.cohort,
+       CAST(date_diff('day', coh.cohort, act.d) AS INT) AS offset_days,
+       count(*) AS n_users
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+EXT10_QUERIES["retention_cohorts"] = q_retention_cohorts
+EXT10_ORACLES["retention_cohorts"] = ORACLE_RETENTION_COHORTS
+
+
+# ---------------------------------------------------------------------
+# JSON-props rollup — typed $.k extraction, daily per-type aggregates
+# ---------------------------------------------------------------------
+
+def q_event_props(spark, sf_dir):
+    ev = extract_props(
+        _t(spark, sf_dir, "events"), {"k": ("$.k", "bigint")}
+    )
+    day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    return (
+        ev.groupBy("event_type", day)
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_EVENT_PROPS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, day,
+       round(avg(k), 6) AS avg_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       count(k) AS n
+FROM e
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+EXT10_QUERIES["event_props"] = q_event_props
+EXT10_ORACLES["event_props"] = ORACLE_EVENT_PROPS
