@@ -1261,6 +1261,77 @@ def _classifier_soak(args) -> None:
     }))
 
 
+def _funnel_soak(args) -> None:
+    """Event-analytics soak: windowed funnel + retention cohorts over N
+    synthetic events with an adversarial BOT user holding ~10% of all
+    events.  The join-chain funnel must absorb the bot map-side (its
+    per-step min combines before the shuffle); a collect_list-per-user
+    plan would materialize 0.1N rows in one task.  Wall + events/s
+    recorded for BASELINE.md; run at lo/hi cores for efficiency."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.funnel import event_funnel, retention_cohorts
+    from grass_spark.session import get_spark
+
+    n = args.funnel_events
+    n_users = max(n // 2000, 10)
+    spark = get_spark(
+        "soak_funnel", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    h = F.abs(F.xxhash64(F.lit(11), "event_id"))
+    types = F.array(
+        F.lit("view"), F.lit("view"), F.lit("view"), F.lit("view"),
+        F.lit("click"), F.lit("click"), F.lit("signup"),
+        F.lit("purchase"), F.lit("error"), F.lit("error"),
+    )
+    ev = (
+        spark.range(n).withColumnRenamed("id", "event_id")
+        .repartition(args.cores * 4)
+        .select(
+            "event_id",
+            # bot user 0 holds ~10% of events; the rest spread evenly
+            F.when(F.col("event_id") % 10 == 0, F.lit(0).cast("bigint"))
+            .otherwise(1 + F.abs(F.xxhash64(F.lit(3), "event_id"))
+                       % F.lit(n_users)).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (h % F.lit(90 * 86400))
+            ).alias("ts"),
+            F.element_at(types, (h % 10 + 1).cast("int"))
+            .alias("event_type"),
+        )
+        .localCheckpoint()
+    )
+    out: dict = {"events": n, "users": n_users, "cores": args.cores}
+    if args.funnel_op in ("both", "funnel"):
+        t0 = time.perf_counter()
+        fun = event_funnel(ev, ("view", "click", "purchase"), 7 * 86400)
+        fa = fun.agg(
+            F.count(F.lit(1)).alias("entrants"),
+            F.sum("steps_completed").alias("depth_sum"),
+        ).first()
+        funnel_wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            entrants=int(fa["entrants"]), depth_sum=int(fa["depth_sum"]),
+            funnel_sec=funnel_wall,
+            funnel_events_per_sec=round(n / funnel_wall),
+        )
+    if args.funnel_op in ("both", "retention"):
+        t0 = time.perf_counter()
+        ra = retention_cohorts(ev).agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.sum("n_users").alias("user_days"),
+        ).first()
+        ret_wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            retention_cells=int(ra["cells"]),
+            user_days=int(ra["user_days"]), retention_sec=ret_wall,
+            retention_events_per_sec=round(n / ret_wall),
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -1366,8 +1437,21 @@ def main() -> None:
                     help="text-projection soak: line_filter + "
                          "subword_encode passes over N line-wrapped "
                          "docs, lo/hi")
+    ap.add_argument("--funnel-events", type=int, default=0,
+                    help="event-analytics soak: windowed funnel + "
+                         "retention over N events with a 10%%-hot bot "
+                         "user, lo/hi")
+    ap.add_argument("--funnel-op", choices=("both", "funnel", "retention"),
+                    default="both",
+                    help="which event-analytics op the soak times "
+                         "(funnel is ~5x faster per event than "
+                         "retention — size N per op for minutes-long "
+                         "walls)")
     args = ap.parse_args()
 
+    if args.funnel_events:
+        _funnel_soak(args)
+        return
     if args.classifier_docs:
         _classifier_soak(args)
         return
