@@ -14,6 +14,7 @@ from grass_spark.operators.funnel import (
     extract_props,
     retention_cohorts,
 )
+from grass_spark.operators.transitions import event_transitions, rate_anomalies
 from grass_spark.queries_ext import _t
 
 EXT10_QUERIES: dict = {}
@@ -139,3 +140,86 @@ ORDER BY 1, 2
 
 EXT10_QUERIES["event_props"] = q_event_props
 EXT10_ORACLES["event_props"] = ORACLE_EVENT_PROPS
+
+
+# ---------------------------------------------------------------------
+# Markov transition matrix — consecutive event-type pairs per user
+# ---------------------------------------------------------------------
+
+def q_event_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev).orderBy("from_type", "to_type")
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+),
+m AS (
+  SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+             6) AS p
+FROM m
+ORDER BY 1, 2
+"""
+
+EXT10_QUERIES["event_transitions"] = q_event_transitions
+EXT10_ORACLES["event_transitions"] = ORACLE_EVENT_TRANSITIONS
+
+
+# ---------------------------------------------------------------------
+# rate anomalies — per-(user, day) z-score vs the trailing 7-day window
+# ---------------------------------------------------------------------
+
+def q_rate_anomalies(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return rate_anomalies(ev).orderBy("user_id", "day")
+
+
+# z composes from EXACT integer power sums in both engines (see
+# operators/transitions.py) — built-in stddev differs in the last ulp.
+ORACLE_RATE_ANOMALIES = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT user_id, day, n_events,
+         sum(n_events)            OVER w AS s1,
+         sum(n_events * n_events) OVER w AS s2,
+         count(n_events)          OVER w AS m
+  FROM daily
+  WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY date_diff('day', DATE '1970-01-01', day)
+    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT user_id, day, n_events,
+       CAST(coalesce(m, 0) AS INT) AS n_prev,
+       CASE WHEN m >= 3
+             AND (CAST(s2 AS DOUBLE) / m
+                  - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m)) > 0
+            THEN round(
+              (n_events - CAST(s1 AS DOUBLE) / m)
+              / sqrt(CAST(s2 AS DOUBLE) / m
+                     - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m)),
+              6)
+       END AS z
+FROM win
+ORDER BY user_id, day
+"""
+
+EXT10_QUERIES["rate_anomalies"] = q_rate_anomalies
+EXT10_ORACLES["rate_anomalies"] = ORACLE_RATE_ANOMALIES

@@ -1,0 +1,156 @@
+"""Transition-matrix / rate-anomaly semantics, bucket-decomposition
+exactness, and the skew-safe plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from grass_spark.operators.transitions import event_transitions, rate_anomalies
+
+SCHEMA = "event_id bigint, user_id bigint, ts timestamp, event_type string"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _ts(day, h=0, m=0, s=0):
+    return dt.datetime(2024, 1, day, h, m, s)
+
+
+def _naive_transitions(rows):
+    """Ground truth: global per-user (ts, id) order, consecutive pairs."""
+    per_user: dict = {}
+    for eid, u, ts, et in rows:
+        per_user.setdefault(u, []).append((ts, eid, et))
+    pairs: dict = {}
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    totals: dict = {}
+    for (a, _), n in pairs.items():
+        totals[a] = totals.get(a, 0) + n
+    return {
+        (a, b): (n, round(n / totals[a], 6)) for (a, b), n in pairs.items()
+    }
+
+
+def test_transitions_semantics(spark):
+    rows = [
+        # u1 crosses a day boundary: view(d1) -> click(d1) -> view(d2)
+        (1, 1, _ts(1, 10), "view"),
+        (2, 1, _ts(1, 11), "click"),
+        (3, 1, _ts(2, 9), "view"),
+        # u2: same-ts tie broken by event_id (4 before 5)
+        (4, 2, _ts(1, 12), "click"),
+        (5, 2, _ts(1, 12), "view"),
+        # u3: single event — contributes no pair
+        (6, 3, _ts(1), "purchase"),
+    ]
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in event_transitions(_ev(spark, rows)).collect()
+    }
+    assert got == _naive_transitions(rows)
+
+
+@pytest.mark.parametrize("bucket", ["day", "hour", "minute"])
+def test_transitions_bucket_decomposition_exact(spark, bucket):
+    """Any bucket granularity reproduces the global-order ground truth,
+    including single-event buckets and multi-bucket gaps."""
+    rng = random.Random(7)
+    types = ["view", "click", "purchase", "refund"]
+    rows = []
+    eid = 0
+    for u in range(1, 13):
+        for _ in range(rng.randint(1, 40)):
+            eid += 1
+            ts = dt.datetime(2024, 1, rng.randint(1, 5), rng.randint(0, 23),
+                             rng.choice([0, 15, 30, 59]))
+            rows.append((eid, u, ts, rng.choice(types)))
+    out = event_transitions(_ev(spark, rows), bucket=bucket)
+    got = {(r.from_type, r.to_type): (r.n, r.p) for r in out.collect()}
+    assert got == _naive_transitions(rows)
+
+
+def test_transitions_plan_is_skew_safe(spark):
+    """The boundary-stitch aggregate must be map-side combinable
+    (partial min/max on (user, bucket)) and no window may partition by
+    the bare user key over the raw event frame — the only bare-user
+    window runs over the per-bucket frame."""
+    rows = [(i, i % 3, _ts(1 + i % 5, i % 24), "view") for i in range(60)]
+    plan = event_transitions(_ev(spark, rows))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial_min" in plan and "partial_max" in plan
+    # exactly two window operators: within-(u,b) lead + per-bucket lag;
+    # the tiny |types|^2 normalising window runs post-aggregation.
+    assert plan.count("Window") <= 3
+
+
+def test_rate_anomalies_matches_numpy(spark):
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for d in range(1, 21):
+            if rng.random() < 0.2:
+                continue  # calendar gap
+            for _ in range(rng.randint(1, 9)):
+                eid += 1
+                rows.append((eid, u, _ts(d, rng.randint(0, 23)), "view"))
+    out = rate_anomalies(_ev(spark, rows), trailing_days=7, min_days=3)
+    got = {(r.user_id, r.day): (r.n_events, r.n_prev, r.z)
+           for r in out.collect()}
+
+    daily: dict = {}
+    for _, u, ts, _t in rows:
+        daily[(u, ts.date())] = daily.get((u, ts.date()), 0) + 1
+    for (u, day), c in daily.items():
+        prev = [daily[(u2, d2)] for (u2, d2) in daily
+                if u2 == u and 1 <= (day - d2).days <= 7]
+        n, n_prev, z = got[(u, day)]
+        assert n == c and n_prev == len(prev)
+        if len(prev) >= 3:
+            mean = sum(prev) / len(prev)
+            var = sum(x * x for x in prev) / len(prev) - mean * mean
+            if var > 0:
+                assert z == pytest.approx(
+                    round((c - mean) / math.sqrt(var), 6), abs=1e-9)
+            else:
+                assert z is None
+        else:
+            assert z is None
+
+
+def test_rate_anomalies_range_frame_honours_gaps(spark):
+    # days 1..3 active, then a 10-day gap: day 14's trailing-7 window is
+    # EMPTY (a rows-based frame would wrongly see days 1-3).
+    rows = [(i, 1, _ts(d), "view")
+            for i, d in enumerate([1, 1, 1, 2, 2, 3, 14])]
+    out = {r.day: (r.n_prev, r.z)
+           for r in rate_anomalies(_ev(spark, rows)).collect()}
+    assert out[dt.date(2024, 1, 14)] == (0, None)
+    assert out[dt.date(2024, 1, 3)][0] == 2  # days 1-2 in window, < min_days
+    assert out[dt.date(2024, 1, 3)][1] is None
+
+
+def test_rate_anomalies_zero_variance_is_null(spark):
+    rows = [(i, 1, _ts(1 + i), "view") for i in range(5)]  # 1 event/day
+    out = rate_anomalies(_ev(spark, rows)).collect()
+    assert all(r.z is None for r in out)
+
+
+def test_validation(spark):
+    df = _ev(spark, [(1, 1, _ts(1), "view")])
+    with pytest.raises(ValueError):
+        event_transitions(df, bucket="week")
+    with pytest.raises(ValueError):
+        rate_anomalies(df, trailing_days=0)
+    with pytest.raises(ValueError):
+        rate_anomalies(df, min_days=0)
