@@ -1,0 +1,168 @@
+"""As-of (point-in-time) join: match each left row to the nearest
+right row at-or-before (backward) / at-or-after (forward) its
+timestamp, per key.
+
+Reference analog: the reference's sampling machinery maps each granule
+to the maps whose extent covers it with a topology priority
+(``t.sample`` / sample_by_dataset, ``python/grass/temporal/
+temporal_granularity.py`` + sampling in ``temporal_algebra.py``); an
+as-of join is the instant-data version of the same "which observation
+governs this moment" question, and the standard operator every
+timeseries store (kdb, QuestDB, Pandas ``merge_asof``) ships.
+
+Spark has no built-in as-of join; the naive encodings are either a
+range join (quadratic blow-up under AQE-less planning) or a
+``last_value`` window over the bare key — which single-tasks a hot
+key.  This implementation uses the same exact bucket decomposition as
+:mod:`grass_spark.operators.transitions`:
+
+* union-tag left and right rows, bucket by ``date_trunc(bucket, ts)``;
+* WITHIN a ``(key, bucket)`` window, a running ``last(payload,
+  ignorenulls)`` resolves matches whose governing right row is in the
+  same bucket — sort partitions are bounded by per-key-per-bucket
+  volume;
+* ACROSS buckets, the governing row is the latest right row of an
+  EARLIER bucket: per ``(key, bucket)`` the final right payload is a
+  map-side-combinable ``max(struct(ts, tie, payload))`` aggregate, and
+  a calendar-bounded per-key window carries it forward (one row per
+  active bucket per key, regardless of row volume).
+
+The decomposition is exact for any bucket granularity because bucket
+boundaries respect timestamp order; a hotter key just needs a finer
+``bucket``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+_BUCKETS = ("day", "hour", "minute")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | tuple[str, ...] | None = None,
+    suffix: str = "_r",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    tie_col: str | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the matching right row's
+    ``right_ts`` (as ``{right_ts}{suffix}``) and ``right_cols`` (each
+    as ``{col}{suffix}``), NULL where no right row qualifies.
+
+    ``direction="backward"`` matches the greatest ``right_ts <=
+    left_ts``; ``"forward"`` the smallest ``right_ts >= left_ts``
+    (both boundary-inclusive, DuckDB/Pandas ``merge_asof`` semantics).
+    ``tolerance_seconds`` voids matches farther than the tolerance.
+
+    Ties — several right rows at the winning timestamp — resolve to
+    the greatest (backward) / smallest (forward) ``tie_col``; without a
+    ``tie_col`` the right side must be unique per ``(on, right_ts)``
+    or the matched payload among tied rows is undefined.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("asof_join: direction must be backward|forward")
+    if bucket not in _BUCKETS:
+        raise ValueError(f"asof_join: bucket must be one of {_BUCKETS}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    back = direction == "backward"
+
+    tie = F.col(tie_col) if tie_col is not None else F.lit(0)
+    payload = F.struct(
+        F.col(right_ts).alias("_mts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        # right sorts BEFORE left at equal ts going backward (<= match),
+        # AFTER going forward — so the frame boundary includes it.
+        F.lit(0 if back else 1).alias("_rsort"),
+        tie.alias("_tie"),
+        payload.alias("_p"),
+        F.lit(None).cast(
+            T.StructType(
+                [T.StructField(f.name, f.dataType) for f in left.schema]
+            )
+        ).alias("_lrow"),
+    )
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1 if back else 0).alias("_rsort"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        lrow.alias("_lrow"),
+    )
+    tagged = l.unionByName(r).withColumn("_b", F.date_trunc(bucket, "_t"))
+
+    # (a) governing right row within the same (key, bucket).
+    w_in = Window.partitionBy("_k", "_b").orderBy("_t", "_rsort", "_tie")
+    if back:
+        within = F.last("_p", ignorenulls=True).over(
+            w_in.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        within = F.first("_p", ignorenulls=True).over(
+            w_in.rowsBetween(0, Window.unboundedFollowing)
+        )
+    matched_in = tagged.withColumn("_m_in", within)
+
+    # (b) carry across buckets: per (key, bucket) the extreme right
+    # payload (map-side combinable), then a calendar-bounded window.
+    ext = F.struct(F.col("_t"), F.col("_tie"), F.col("_p"))
+    per_bucket = (
+        tagged.groupBy("_k", "_b")
+        .agg(
+            (F.max(F.when(F.col("_rsort") == (0 if back else 1), ext))
+             if back else
+             F.min(F.when(F.col("_rsort") == (0 if back else 1), ext))
+             ).alias("_ext")
+        )
+    )
+    w_seq = Window.partitionBy("_k").orderBy("_b")
+    if back:
+        carry = F.last(F.col("_ext._p"), ignorenulls=True).over(
+            w_seq.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        carry = F.first(F.col("_ext._p"), ignorenulls=True).over(
+            w_seq.rowsBetween(1, Window.unboundedFollowing)
+        )
+    carries = per_bucket.select(
+        "_k", "_b", carry.alias("_m_carry")
+    )
+
+    joined = (
+        matched_in.where(F.col("_lrow").isNotNull())
+        .join(carries, ["_k", "_b"], "left")
+        .withColumn("_m", F.coalesce("_m_in", "_m_carry"))
+    )
+    if tolerance_seconds is not None:
+        # interval arithmetic compares exact integer micros (works for
+        # TIMESTAMP and TIMESTAMP_NTZ; a cast-to-double-seconds lag can
+        # flip at the boundary in the last ulp)
+        tol = F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND")
+        ok = (
+            F.col("_m._mts") >= F.col("_t") - tol
+            if back
+            else F.col("_m._mts") <= F.col("_t") + tol
+        )
+        joined = joined.withColumn("_m", F.when(ok, F.col("_m")))
+
+    out_cols = [F.col(f"_lrow.`{c}`").alias(c) for c in left.columns]
+    out_cols.append(F.col("_m._mts").alias(f"{right_ts}{suffix}"))
+    out_cols.extend(
+        F.col(f"_m.`{c}`").alias(f"{c}{suffix}") for c in right_cols
+    )
+    return joined.select(*out_cols)

@@ -14,6 +14,7 @@ from grass_spark.operators.funnel import (
     extract_props,
     retention_cohorts,
 )
+from grass_spark.operators.asof import asof_join
 from grass_spark.operators.transitions import event_transitions, rate_anomalies
 from grass_spark.queries_ext import _t
 
@@ -223,3 +224,59 @@ ORDER BY user_id, day
 
 EXT10_QUERIES["rate_anomalies"] = q_rate_anomalies
 EXT10_ORACLES["rate_anomalies"] = ORACLE_RATE_ANOMALIES
+
+
+# ---------------------------------------------------------------------
+# as-of attribution — each purchase's most recent preceding view within
+# 3 days, cross-checked against DuckDB's NATIVE ASOF JOIN
+# ---------------------------------------------------------------------
+
+_ATTR_TOL = 3 * 86400
+
+
+def q_asof_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, on="user_id",
+        tie_col="view_id", tolerance_seconds=_ATTR_TOL,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "ts_r", "view_id_r"
+    ).orderBy("event_id")
+
+
+# The oracle pre-dedups the right side to one row per (user, ts) with
+# max(event_id) — DuckDB's ASOF JOIN is nondeterministic among tied
+# timestamps; the dedup makes it equal to asof_join's greatest-tie rule.
+ORACLE_ASOF_ATTRIBUTION = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         v.ts AS mts, v.view_id AS mview
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN mts >= ts - INTERVAL {_ATTR_TOL} SECOND THEN mts END
+         AS ts_r,
+       CASE WHEN mts >= ts - INTERVAL {_ATTR_TOL} SECOND THEN mview END
+         AS view_id_r
+FROM m
+ORDER BY event_id
+"""
+
+EXT10_QUERIES["asof_attribution"] = q_asof_attribution
+EXT10_ORACLES["asof_attribution"] = ORACLE_ASOF_ATTRIBUTION

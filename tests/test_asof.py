@@ -1,0 +1,129 @@
+"""as-of join semantics (both directions, tolerance, ties) and the
+bucket-decomposition exactness / skew-safe plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from grass_spark.operators.asof import asof_join
+
+L_SCHEMA = "lid bigint, user_id bigint, ts timestamp"
+R_SCHEMA = "rid bigint, user_id bigint, ts timestamp, v double"
+
+
+def _ts(day, h=0, m=0, s=0):
+    return dt.datetime(2024, 1, day, h, m, s)
+
+
+def _naive(lrows, rrows, direction="backward", tol=None):
+    """Ground truth per left row: (matched_ts, matched_rid, matched_v)."""
+    out = {}
+    for lid, u, lts in lrows:
+        cands = [(rts, rid, v) for rid, ru, rts, v in rrows if ru == u]
+        if direction == "backward":
+            cands = [c for c in cands if c[0] <= lts]
+            best = max(cands) if cands else None
+            if best and tol is not None and (lts - best[0]).total_seconds() > tol:
+                best = None
+        else:
+            cands = [c for c in cands if c[0] >= lts]
+            best = min(cands) if cands else None
+            if best and tol is not None and (best[0] - lts).total_seconds() > tol:
+                best = None
+        out[lid] = best and (best[0], best[1], best[2])
+    return out
+
+
+def _got(df):
+    return {
+        r.lid: (None if r.ts_r is None else (r.ts_r, r.rid_r, r.v_r))
+        for r in df.collect()
+    }
+
+
+def test_backward_semantics(spark):
+    lrows = [(1, 1, _ts(2)), (2, 1, _ts(1)), (3, 2, _ts(3)), (4, 3, _ts(3))]
+    rrows = [
+        (10, 1, _ts(1), 1.0),   # exactly at left 2's ts — inclusive
+        (11, 1, _ts(1, 12), 2.0),
+        (12, 2, _ts(4), 3.0),   # after left 3 — no backward match
+    ]
+    left = spark.createDataFrame(lrows, L_SCHEMA)
+    right = spark.createDataFrame(rrows, R_SCHEMA)
+    out = asof_join(left, right, on="user_id", tie_col="rid")
+    assert _got(out) == _naive(lrows, rrows)
+
+
+def test_forward_semantics_and_tolerance(spark):
+    lrows = [(1, 1, _ts(1)), (2, 1, _ts(5)), (3, 2, _ts(1))]
+    rrows = [(10, 1, _ts(1), 1.0), (11, 1, _ts(9), 2.0)]
+    left = spark.createDataFrame(lrows, L_SCHEMA)
+    right = spark.createDataFrame(rrows, R_SCHEMA)
+    for tol in (None, 86400):
+        out = asof_join(
+            left, right, on="user_id", direction="forward",
+            tolerance_seconds=tol, tie_col="rid",
+        )
+        assert _got(out) == _naive(lrows, rrows, "forward", tol)
+
+
+def test_tie_break(spark):
+    # two right rows at the winning ts (== the left ts, inclusive both
+    # ways): backward takes greatest rid, forward the smallest.
+    lrows = [(1, 1, _ts(1))]
+    rrows = [(10, 1, _ts(1), 1.0), (11, 1, _ts(1), 2.0)]
+    left = spark.createDataFrame(lrows, L_SCHEMA)
+    right = spark.createDataFrame(rrows, R_SCHEMA)
+    back = asof_join(left, right, on="user_id", tie_col="rid").collect()[0]
+    assert (back.rid_r, back.v_r) == (11, 2.0)
+    fwd = asof_join(
+        left, right, on="user_id", direction="forward", tie_col="rid"
+    ).collect()[0]
+    assert (fwd.rid_r, fwd.v_r) == (10, 1.0)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("bucket", ["day", "hour"])
+def test_bucket_decomposition_exact(spark, direction, bucket):
+    """Random data incl. cross-bucket matches, empty buckets on either
+    side, and left-only buckets that need a multi-bucket carry."""
+    rng = random.Random(13)
+    lrows, rrows = [], []
+    for i in range(250):
+        lrows.append((i, rng.randint(1, 8),
+                      dt.datetime(2024, 1, rng.randint(1, 6),
+                                  rng.randint(0, 23), rng.randint(0, 59))))
+    for i in range(120):
+        rrows.append((i, rng.randint(1, 10),
+                      dt.datetime(2024, 1, rng.randint(1, 6),
+                                  rng.randint(0, 23), rng.randint(0, 59)),
+                      float(i)))
+    left = spark.createDataFrame(lrows, L_SCHEMA)
+    right = spark.createDataFrame(rrows, R_SCHEMA)
+    out = asof_join(left, right, on="user_id", direction=direction,
+                    tie_col="rid", bucket=bucket)
+    assert _got(out) == _naive(lrows, rrows, direction)
+
+
+def test_plan_is_skew_safe(spark):
+    """Per-bucket extreme election must be a partial/final aggregate
+    pair; no window partitions by the bare key over the tagged
+    (data-scale) frame."""
+    left = spark.createDataFrame([(1, 1, _ts(1))], L_SCHEMA)
+    right = spark.createDataFrame([(1, 1, _ts(1), 1.0)], R_SCHEMA)
+    plan = asof_join(left, right, on="user_id", tie_col="rid") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan or "partial_min" in plan
+    assert plan.count("Window") == 2  # within-(k,b) + per-bucket carry
+
+
+def test_validation(spark):
+    left = spark.createDataFrame([(1, 1, _ts(1))], L_SCHEMA)
+    right = spark.createDataFrame([(1, 1, _ts(1), 1.0)], R_SCHEMA)
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="user_id", direction="nearest")
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="user_id", bucket="week")
