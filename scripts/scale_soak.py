@@ -1332,6 +1332,100 @@ def _funnel_soak(args) -> None:
     spark.stop()
 
 
+def _seq_soak(args) -> None:
+    """Sequence-operator soak: transition matrix / rate anomalies /
+    as-of attribution over N synthetic events with the same adversarial
+    10%-hot bot user as the funnel soak.  The bucket decomposition must
+    bound every sort partition at per-user-per-DAY volume (bot day ~
+    N/10/90 rows) — a bare per-user window would single-task 0.1N rows.
+    Wall + events/s recorded for BASELINE.md; run at lo/hi cores."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.asof import asof_join
+    from grass_spark.operators.transitions import (
+        event_transitions,
+        rate_anomalies,
+    )
+    from grass_spark.session import get_spark
+
+    n = args.seq_events
+    n_users = max(n // 2000, 10)
+    spark = get_spark(
+        "soak_seq", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    h = F.abs(F.xxhash64(F.lit(11), "event_id"))
+    types = F.array(
+        F.lit("view"), F.lit("view"), F.lit("view"), F.lit("view"),
+        F.lit("click"), F.lit("click"), F.lit("signup"),
+        F.lit("purchase"), F.lit("error"), F.lit("error"),
+    )
+    ev = (
+        spark.range(n).withColumnRenamed("id", "event_id")
+        .repartition(args.cores * 4)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 10 == 0, F.lit(0).cast("bigint"))
+            .otherwise(1 + F.abs(F.xxhash64(F.lit(3), "event_id"))
+                       % F.lit(n_users)).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (h % F.lit(90 * 86400))
+            ).alias("ts"),
+            F.element_at(types, (h % 10 + 1).cast("int"))
+            .alias("event_type"),
+        )
+        .localCheckpoint()
+    )
+    out: dict = {"events": n, "users": n_users, "cores": args.cores}
+    if args.seq_op in ("all", "transitions"):
+        t0 = time.perf_counter()
+        tr = event_transitions(ev).agg(
+            F.count(F.lit(1)).alias("cells"), F.sum("n").alias("pairs")
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            transition_cells=int(tr["cells"]), pairs=int(tr["pairs"]),
+            transitions_sec=wall,
+            transitions_events_per_sec=round(n / wall),
+        )
+    if args.seq_op in ("all", "anomalies"):
+        t0 = time.perf_counter()
+        ra = rate_anomalies(ev).agg(
+            F.count(F.lit(1)).alias("user_days"),
+            F.count("z").alias("scored"),
+            F.sum(F.when(F.abs("z") > 3, 1).otherwise(0)).alias("alerts"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            user_days=int(ra["user_days"]), scored=int(ra["scored"]),
+            alerts=int(ra["alerts"]), anomalies_sec=wall,
+            anomalies_events_per_sec=round(n / wall),
+        )
+    if args.seq_op in ("all", "asof"):
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        views = ev.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", "ts"
+        )
+        t0 = time.perf_counter()
+        aj = asof_join(
+            purchases, views, on="user_id",
+            tie_col="view_id", tolerance_seconds=3 * 86400,
+        ).agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.count("view_id_r").alias("attributed"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            purchases=int(aj["purchases"]),
+            attributed=int(aj["attributed"]), asof_sec=wall,
+            asof_events_per_sec=round(n / wall),
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -1447,8 +1541,19 @@ def main() -> None:
                          "(funnel is ~5x faster per event than "
                          "retention — size N per op for minutes-long "
                          "walls)")
+    ap.add_argument("--seq-events", type=int, default=0,
+                    help="sequence-operator soak: transition matrix / "
+                         "rate anomalies / as-of attribution over N "
+                         "events with a 10%%-hot bot user, lo/hi")
+    ap.add_argument("--seq-op",
+                    choices=("all", "transitions", "anomalies", "asof"),
+                    default="all",
+                    help="which sequence op the --seq-events soak times")
     args = ap.parse_args()
 
+    if args.seq_events:
+        _seq_soak(args)
+        return
     if args.funnel_events:
         _funnel_soak(args)
         return
