@@ -164,6 +164,13 @@ TIER2 = [
     "blocklist_flags",
     "hard_negatives",
     "shard_manifest",
+    # round 5 close: event-stream analytics
+    "event_funnel",
+    "retention_cohorts",
+    "event_props",
+    "event_transitions",
+    "rate_anomalies",
+    "asof_attribution",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,
