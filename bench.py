@@ -171,6 +171,8 @@ TIER2 = [
     "event_transitions",
     "rate_anomalies",
     "asof_attribution",
+    "event_paths",
+    "sessionize_events",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -117,6 +117,187 @@ def event_transitions(
     )
 
 
+def event_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """Consecutive event-type n-gram ("path") counts per user.
+
+    Generalizes :func:`event_transitions` (n=2) to arbitrary path
+    length: every window of ``n`` consecutive events (global per-user
+    ``(ts, id)`` order) contributes one ``(g1, .., gn)`` observation.
+    Returns ``(g1..gn, n_paths)``.
+
+    Scale shape: n-grams fully inside a time bucket come from a lead
+    chain over the within-``(user, bucket)`` window (sort partitions
+    bounded by per-user-per-bucket volume).  N-grams SPANNING a bucket
+    boundary use at most ``n-1`` events from any one bucket, and those
+    events are necessarily among the bucket's first/last ``n-1`` rows —
+    so they are recovered exactly from an "edge rows" frame of at most
+    ``2(n-1)`` rows per active bucket (calendar-bounded), where a lead
+    chain stitches across buckets and per-row ``(bucket, rank, count)``
+    metadata validates that each link is truly consecutive in the full
+    frame (same bucket and rank+1, or last-of-bucket to
+    first-of-next-active-bucket).  Grams entirely inside one bucket are
+    excluded from the edge pass (``b_first == b_last``), so nothing is
+    double-counted.
+    """
+    if n < 2:
+        raise ValueError("event_ngrams: n must be >= 2")
+    if bucket not in _BUCKETS:
+        raise ValueError(f"event_ngrams: bucket must be one of {_BUCKETS}")
+
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_et"),
+    ).withColumn("_b", F.date_trunc(bucket, F.col("_ts")))
+
+    gcols = [f"g{i + 1}" for i in range(n)]
+
+    # (a) n-grams fully inside a bucket: lead chain over (user, bucket).
+    w_in = Window.partitionBy("_u", "_b").orderBy("_ts", "_id")
+    within = base.select(
+        F.col("_et").alias(gcols[0]),
+        *[F.lead("_et", i).over(w_in).alias(gcols[i]) for i in range(1, n)],
+    ).where(F.col(gcols[-1]).isNotNull())
+
+    # (b) spanning n-grams from the edge frame (first/last n-1 rows per
+    # bucket; count has no orderBy so the frame is the whole partition).
+    w_cnt = Window.partitionBy("_u", "_b")
+    edge = (
+        base.withColumn("_rn", F.row_number().over(w_in))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_cnt))
+        .where(
+            (F.col("_rn") <= n - 1) | (F.col("_rn") > F.col("_cnt") - (n - 1))
+        )
+        .select(
+            "_u", "_ts", "_id",
+            F.struct("_b", "_rn", "_cnt", "_et").alias("_s0"),
+        )
+    )
+    w_seq = Window.partitionBy("_u").orderBy("_ts", "_id")
+    for i in range(1, n):
+        edge = edge.withColumn(f"_s{i}", F.lead("_s0", i).over(w_seq))
+    link_ok = F.lit(True)
+    for i in range(1, n):
+        a, b = F.col(f"_s{i - 1}"), F.col(f"_s{i}")
+        link_ok = link_ok & (
+            ((b["_b"] == a["_b"]) & (b["_rn"] == a["_rn"] + 1))
+            | ((b["_b"] != a["_b"]) & (a["_rn"] == a["_cnt"])
+               & (b["_rn"] == 1))
+        )
+    spans = F.col(f"_s{n - 1}")["_b"] != F.col("_s0")["_b"]
+    across = (
+        edge.where(F.col(f"_s{n - 1}").isNotNull() & link_ok & spans)
+        .select(*[
+            F.col(f"_s{i}")["_et"].alias(gcols[i]) for i in range(n)
+        ])
+    )
+
+    return (
+        within.unionByName(across)
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+def sessionize_events(
+    df: DataFrame,
+    timeout_s: int,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket: str = "day",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Inactivity-gap sessionization for UNBOUNDED per-user event
+    streams (0-based ``session_idx`` + ``session_id`` per user).
+
+    :func:`grass_spark.operators.sessionize.sessionize` windows the
+    bare key — fine for conversations (naturally bounded), a hot-key
+    funnel for users (a bot's entire history lands in one sort task).
+    This variant applies the bucket decomposition: the boundary flag
+    (gap strictly greater than ``timeout_s``) resolves within the
+    ``(user, bucket)`` window for non-first rows; each bucket's FIRST
+    row compares against the previous active bucket's ``max(ts)``
+    (calendar-bounded carry window); and the running boundary count =
+    carried per-bucket offset + the bucket-first flag + the
+    within-bucket cumulative sum.  Exact for any bucket granularity.
+
+    The windowed frame feeds BOTH the output join and the per-bucket
+    totals (the flag sum needs intra-bucket order, so it cannot be a
+    combinable aggregate on the raw frame); ``checkpoint=True``
+    (default) cuts the multi-consumer re-execution with a lazy
+    ``localCheckpoint`` — the funnel/prepare_corpus pattern; pass
+    ``False`` for plan inspection of the raw lineage.
+    """
+    if timeout_s <= 0:
+        raise ValueError("sessionize_events: timeout_s must be positive")
+    if bucket not in _BUCKETS:
+        raise ValueError(f"sessionize_events: bucket must be one of {_BUCKETS}")
+
+    tol = F.expr(f"INTERVAL {int(timeout_s)} SECOND")
+    base = df.withColumn("_b", F.date_trunc(bucket, F.col(ts_col)))
+
+    w_in = Window.partitionBy(user_col, "_b").orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w_in)
+    # interval comparison = exact integer micros (no double-seconds lag)
+    gap_flag = F.when(
+        prev.isNotNull() & (F.col(ts_col) > prev + tol), 1
+    ).otherwise(0)
+    cum_in = F.sum(gap_flag).over(
+        w_in.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = base.withColumn("_cum_in", cum_in)
+    if checkpoint:
+        flagged = flagged.localCheckpoint(eager=False)
+
+    w_seq = Window.partitionBy(user_col).orderBy("_b")
+    bucket_first_flag = F.when(
+        F.lag("_last_ts").over(w_seq).isNull()
+        | (F.col("_first_ts") > F.lag("_last_ts").over(w_seq) + tol),
+        1,
+    ).otherwise(0)
+    bucket_totals = (
+        flagged.groupBy(user_col, "_b")
+        .agg(
+            F.max("_cum_in").alias("_n_flags"),
+            F.min(ts_col).alias("_first_ts"),
+            F.max(ts_col).alias("_last_ts"),
+        )
+        .withColumn("_f", bucket_first_flag)
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum(F.col("_n_flags") + F.col("_f")).over(
+                    w_seq.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(user_col, "_b", "_f", "_off")
+    )
+
+    out = flagged.join(bucket_totals, [user_col, "_b"]).withColumn(
+        "session_idx",
+        (F.col("_off") + F.col("_f") + F.col("_cum_in") - 1).cast("long"),
+    )
+    sid = F.concat_ws(
+        "#", F.col(user_col).cast("string"),
+        F.col("session_idx").cast("string"),
+    )
+    return out.withColumn("session_id", sid).drop("_b", "_cum_in", "_f", "_off")
+
+
 def rate_anomalies(
     df: DataFrame,
     *,

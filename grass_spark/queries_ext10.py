@@ -15,7 +15,12 @@ from grass_spark.operators.funnel import (
     retention_cohorts,
 )
 from grass_spark.operators.asof import asof_join
-from grass_spark.operators.transitions import event_transitions, rate_anomalies
+from grass_spark.operators.transitions import (
+    event_ngrams,
+    event_transitions,
+    rate_anomalies,
+    sessionize_events,
+)
 from grass_spark.queries_ext import _t
 
 EXT10_QUERIES: dict = {}
@@ -280,3 +285,74 @@ ORDER BY event_id
 
 EXT10_QUERIES["asof_attribution"] = q_asof_attribution
 EXT10_ORACLES["asof_attribution"] = ORACLE_ASOF_ATTRIBUTION
+
+
+# ---------------------------------------------------------------------
+# event paths — consecutive event-type trigram counts per user
+# ---------------------------------------------------------------------
+
+def q_event_paths(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return event_ngrams(ev, 3).orderBy("g1", "g2", "g3")
+
+
+ORACLE_EVENT_PATHS = """
+WITH seq AS (
+  SELECT event_type AS g1,
+         lead(event_type, 1) OVER w AS g2,
+         lead(event_type, 2) OVER w AS g3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT g1, g2, g3, count(*) AS n_paths
+FROM seq WHERE g3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+EXT10_QUERIES["event_paths"] = q_event_paths
+EXT10_ORACLES["event_paths"] = ORACLE_EVENT_PATHS
+
+
+# ---------------------------------------------------------------------
+# user-stream sessionization — 6h inactivity gap, bucket-decomposed
+# ---------------------------------------------------------------------
+
+_SESSION_GAP = 6 * 3600
+
+
+def q_sessionize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_events(ev, _SESSION_GAP)
+    return out.select(
+        "event_id", "user_id", "ts", "session_idx", "session_id"
+    ).orderBy("event_id")
+
+
+ORACLE_SESSIONIZE_EVENTS = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR ts > prev + INTERVAL {_SESSION_GAP} SECOND
+                 THEN 1 ELSE 0 END AS flag
+  FROM s
+),
+x AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(flag) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) - 1 AS BIGINT) AS session_idx
+  FROM f
+)
+SELECT event_id, user_id, ts, session_idx,
+       CAST(user_id AS VARCHAR) || '#' || CAST(session_idx AS VARCHAR)
+         AS session_id
+FROM x ORDER BY event_id
+"""
+
+EXT10_QUERIES["sessionize_events"] = q_sessionize_events
+EXT10_ORACLES["sessionize_events"] = ORACLE_SESSIONIZE_EVENTS

@@ -1350,9 +1350,14 @@ def _seq_soak(args) -> None:
 
     n = args.seq_events
     n_users = max(n // 2000, 10)
+    # Window-sort partitions must stay cache-resident: at 32 partitions
+    # (750k rows each for 24M events) the 8-core leg measured 51.6 s vs
+    # 24.8 s at 128 (190k rows) — concurrent out-of-cache sorts are
+    # memory-bandwidth-bound and do not scale with cores.  Production
+    # AQE sizes this automatically; the harness sizes by volume.
     spark = get_spark(
         "soak_seq", cores=args.cores,
-        shuffle_partitions=max(args.cores * 4, 32),
+        shuffle_partitions=max(args.cores * 4, min(1024, n // 200_000)),
     )
     h = F.abs(F.xxhash64(F.lit(11), "event_id"))
     types = F.array(

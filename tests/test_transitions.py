@@ -10,7 +10,13 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from grass_spark.operators.transitions import event_transitions, rate_anomalies
+from grass_spark.operators.sessionize import sessionize
+from grass_spark.operators.transitions import (
+    event_ngrams,
+    event_transitions,
+    rate_anomalies,
+    sessionize_events,
+)
 
 SCHEMA = "event_id bigint, user_id bigint, ts timestamp, event_type string"
 
@@ -93,6 +99,62 @@ def test_transitions_plan_is_skew_safe(spark):
     assert plan.count("Window") <= 3
 
 
+def _naive_ngrams(rows, n):
+    per_user: dict = {}
+    for eid, u, ts, et in rows:
+        per_user.setdefault(u, []).append((ts, eid, et))
+    grams: dict = {}
+    for seq in per_user.values():
+        seq.sort()
+        ets = [e for _, _, e in seq]
+        for i in range(len(ets) - n + 1):
+            g = tuple(ets[i:i + n])
+            grams[g] = grams.get(g, 0) + 1
+    return grams
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+@pytest.mark.parametrize("bucket", ["day", "hour"])
+def test_ngrams_decomposition_exact(spark, n, bucket):
+    """Random data with single-event buckets (grams spanning >2
+    boundaries), bot-dense buckets, and gaps — must equal the
+    global-order ground truth for every n and granularity."""
+    rng = random.Random(n * 17 + len(bucket))
+    types = ["view", "click", "purchase", "refund"]
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for _ in range(rng.randint(1, 50)):
+            eid += 1
+            ts = dt.datetime(2024, 1, rng.randint(1, 5), rng.randint(0, 23),
+                             rng.choice([0, 30]))
+            rows.append((eid, u, ts, rng.choice(types)))
+    out = event_ngrams(_ev(spark, rows), n, bucket=bucket)
+    gcols = [f"g{i + 1}" for i in range(n)]
+    got = {tuple(r[g] for g in gcols): r.n_paths for r in out.collect()}
+    assert got == _naive_ngrams(rows, n)
+
+
+def test_ngrams_n2_equals_transitions(spark):
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 6),
+             dt.datetime(2024, 1, rng.randint(1, 4), rng.randint(0, 23)),
+             rng.choice(["a", "b", "c"])) for i in range(300)]
+    tr = {(r.from_type, r.to_type): r.n
+          for r in event_transitions(_ev(spark, rows)).collect()}
+    ng = {(r.g1, r.g2): r.n_paths
+          for r in event_ngrams(_ev(spark, rows), 2).collect()}
+    assert tr == ng
+
+
+def test_ngrams_validation(spark):
+    df = _ev(spark, [(1, 1, _ts(1), "view")])
+    with pytest.raises(ValueError):
+        event_ngrams(df, 1)
+    with pytest.raises(ValueError):
+        event_ngrams(df, 3, bucket="week")
+
+
 def test_rate_anomalies_matches_numpy(spark):
     rng = random.Random(11)
     rows = []
@@ -146,6 +208,54 @@ def test_rate_anomalies_zero_variance_is_null(spark):
     assert all(r.z is None for r in out)
 
 
+@pytest.mark.parametrize("bucket", ["day", "hour"])
+def test_sessionize_events_matches_bare_window(spark, bucket):
+    """The decomposition must reproduce the bare-key-window sessionize
+    exactly — including multi-day sessions (gap < timeout across a
+    bucket boundary), all-gap buckets, and same-ts ties."""
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        for _ in range(rng.randint(1, 60)):
+            eid += 1
+            rows.append((eid, u,
+                         dt.datetime(2024, 1, rng.randint(1, 6),
+                                     rng.randint(0, 23), rng.randint(0, 59)),
+                         "view"))
+    # duplicate-ts tie for determinism coverage
+    rows.append((eid + 1, 1, rows[0][2], "view"))
+    df = _ev(spark, rows)
+    got = {r.event_id: (r.session_idx, r.session_id)
+           for r in sessionize_events(df, 6 * 3600, bucket=bucket).collect()}
+    ref = {r.event_id: (r.session_idx, r.session_id)
+           for r in sessionize(df, 6 * 3600, keys=["user_id"],
+                               order_cols=["event_id"]).collect()}
+    assert got == ref
+
+
+def test_sessionize_events_gap_boundary(spark):
+    # gap EXACTLY == timeout stays in the same session (strict >)
+    rows = [
+        (1, 1, _ts(1, 0), "view"),
+        (2, 1, _ts(1, 1), "view"),       # +1h == timeout -> same session
+        (3, 1, _ts(1, 2, 0, 1), "view"),  # +1h1s -> new session
+    ]
+    out = {r.event_id: r.session_idx
+           for r in sessionize_events(_ev(spark, rows), 3600).collect()}
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_sessionize_events_plan_no_bare_user_window(spark):
+    """Data-scale windows partition by (user, bucket); the bare-user
+    window runs only over the per-bucket frame.  The flagged frame is
+    single-executed (lazy checkpoint cuts the double consumption)."""
+    rows = [(i, i % 3, _ts(1 + i % 5, i % 24), "view") for i in range(60)]
+    plan = sessionize_events(_ev(spark, rows), 3600, checkpoint=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan or "partial_max" in plan
+
+
 def test_validation(spark):
     df = _ev(spark, [(1, 1, _ts(1), "view")])
     with pytest.raises(ValueError):
@@ -154,3 +264,7 @@ def test_validation(spark):
         rate_anomalies(df, trailing_days=0)
     with pytest.raises(ValueError):
         rate_anomalies(df, min_days=0)
+    with pytest.raises(ValueError):
+        sessionize_events(df, 0)
+    with pytest.raises(ValueError):
+        sessionize_events(df, 3600, bucket="week")
