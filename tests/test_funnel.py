@@ -18,6 +18,42 @@ def _ts(day, h=0, m=0, s=0):
     return dt.datetime(2024, 1, day, h, m, s)
 
 
+def test_extract_props_stream_matches_batch(spark, tmp_path):
+    """extract_props is a stateless projection — composes onto
+    readStream unchanged and emits batch-identical rows."""
+    rows = [
+        (1, _ts(1), '{"k": 7, "s": "x"}'),
+        (2, _ts(2), '{"k": "12"}'),      # string number still casts
+        (3, _ts(3), 'not json at all'),  # -> NULL, never fails the scan
+        (4, _ts(4), '{"other": 1}'),     # absent path -> NULL
+    ]
+    schema = "event_id bigint, ts timestamp, props string"
+    df = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    df.repartition(2).write.parquet(in_dir)
+
+    fields = {"k": ("$.k", "bigint")}
+    batch = {
+        r.event_id: r.k
+        for r in extract_props(spark.read.parquet(in_dir), fields).collect()
+    }
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        extract_props(stream, fields)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # availableNow drains deterministically
+    got = {r.event_id: r.k for r in spark.read.parquet(out).collect()}
+    assert got == batch == {1: 7, 2: 12, 3: None, 4: None}
+
+
 def _events(spark, rows):
     return spark.createDataFrame(
         rows, "user_id bigint, ts timestamp, event_type string"
