@@ -173,6 +173,8 @@ TIER2 = [
     "asof_attribution",
     "event_paths",
     "sessionize_events",
+    "ab_test",
+    "m4_downsample",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -44,7 +44,7 @@ def asof_join(
     left: DataFrame,
     right: DataFrame,
     *,
-    on: str,
+    on: str | list[str] | tuple[str, ...],
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: list[str] | tuple[str, ...] | None = None,
@@ -72,8 +72,11 @@ def asof_join(
         raise ValueError("asof_join: direction must be backward|forward")
     if bucket not in _BUCKETS:
         raise ValueError(f"asof_join: bucket must be one of {_BUCKETS}")
+    keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
-        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+        right_cols = [
+            c for c in right.columns if c not in (*keys, right_ts)
+        ]
     back = direction == "backward"
 
     tie = F.col(tie_col) if tie_col is not None else F.lit(0)
@@ -81,8 +84,11 @@ def asof_join(
         F.col(right_ts).alias("_mts"),
         *[F.col(c).alias(c) for c in right_cols],
     )
+    # multi-column keys pack into one struct (join/partition/group on
+    # "_k" behaves like the multi-column equi-key: null members drop)
+    key_struct = F.struct(*[F.col(k) for k in keys])
     r = right.select(
-        F.col(on).alias("_k"),
+        key_struct.alias("_k"),
         F.col(right_ts).alias("_t"),
         # right sorts BEFORE left at equal ts going backward (<= match),
         # AFTER going forward — so the frame boundary includes it.
@@ -97,7 +103,7 @@ def asof_join(
     )
     lrow = F.struct(*[F.col(c) for c in left.columns])
     l = left.select(
-        F.col(on).alias("_k"),
+        key_struct.alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1 if back else 0).alias("_rsort"),
         F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),

@@ -14,7 +14,9 @@ from grass_spark.operators.funnel import (
     extract_props,
     retention_cohorts,
 )
+from grass_spark.operators.abtest import ab_test
 from grass_spark.operators.asof import asof_join
+from grass_spark.operators.m4 import m4_downsample
 from grass_spark.operators.transitions import (
     event_ngrams,
     event_transitions,
@@ -356,3 +358,136 @@ FROM x ORDER BY event_id
 
 EXT10_QUERIES["sessionize_events"] = q_sessionize_events
 EXT10_ORACLES["sessionize_events"] = ORACLE_SESSIONIZE_EVENTS
+
+
+# ---------------------------------------------------------------------
+# A/B test — sticky hash assignment, purchase conversion, pooled z
+# ---------------------------------------------------------------------
+
+def q_ab_test(spark, sf_dir):
+    return ab_test(_t(spark, sf_dir, "events"))
+
+
+# The z composes from exact integer counts in a fixed float order; the
+# portable uniform is the shared first-8-md5-hex-digits recipe.  CAST
+# every literal to DOUBLE — DuckDB's 1.0 is DECIMAL and diverges.
+ORACLE_AB_TEST = """
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT conv,
+         CASE WHEN CAST('0x' || substr(
+                      md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+                    AS UBIGINT) / CAST(4294967296 AS DOUBLE) < 0.5
+              THEN 'B' ELSE 'A' END AS variant
+  FROM pu
+),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT)
+      AS conv_a,
+    CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT)
+      AS conv_b
+  FROM v
+),
+b AS (
+  SELECT *,
+         CAST(conv_a AS DOUBLE) / n_a AS p_a,
+         CAST(conv_b AS DOUBLE) / n_b AS p_b,
+         CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pool
+  FROM a
+),
+c AS (
+  SELECT *,
+         pool * (CAST(1 AS DOUBLE) - pool)
+              * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b) AS se2
+  FROM b
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       CASE WHEN n_a > 0 THEN round(p_a, 6) END AS rate_a,
+       CASE WHEN n_b > 0 THEN round(p_b, 6) END AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN round(p_b - p_a, 6) END AS lift,
+       CASE WHEN n_a > 0 AND n_b > 0 AND se2 > 0
+            THEN round((p_b - p_a) / sqrt(se2), 6) END AS z
+FROM c
+"""
+
+EXT10_QUERIES["ab_test"] = q_ab_test
+EXT10_ORACLES["ab_test"] = ORACLE_AB_TEST
+
+
+# ---------------------------------------------------------------------
+# M4 downsampling — 100 pixel-buckets per series (Jugel et al. 2014)
+# ---------------------------------------------------------------------
+
+_M4_BUCKETS = 100
+
+
+def q_m4_downsample(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return m4_downsample(ev, _M4_BUCKETS).orderBy("series", "bucket")
+
+
+# Elections mirror the struct orderings via deterministic row_number
+# windows; bucket ids use exact integer floor division (// == div).
+ORACLE_M4 = f"""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+e AS (
+  SELECT event_type AS series,
+         CAST(((epoch_us(ts) - b.lo) * {_M4_BUCKETS})
+              // (b.hi - b.lo + 1) AS INT) AS bucket,
+         ts, value, event_id, epoch_us(ts) AS t
+  FROM events, b
+),
+fi AS (
+  SELECT series, bucket, ts, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY series, bucket ORDER BY t, event_id, value) AS rn
+    FROM e) WHERE rn = 1
+),
+la AS (
+  SELECT series, bucket, ts, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY series, bucket
+      ORDER BY t DESC, event_id DESC, value DESC) AS rn
+    FROM e) WHERE rn = 1
+),
+mn AS (
+  SELECT series, bucket, ts, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY series, bucket ORDER BY value, t, event_id) AS rn
+    FROM e) WHERE rn = 1
+),
+mx AS (
+  SELECT series, bucket, ts, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY series, bucket
+      ORDER BY value DESC, t DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1
+),
+cn AS (
+  SELECT series, bucket, count(*) AS n FROM e GROUP BY 1, 2
+)
+SELECT cn.series, cn.bucket,
+       fi.ts AS t_first, round(fi.value, 6) AS v_first,
+       la.ts AS t_last,  round(la.value, 6) AS v_last,
+       mn.ts AS t_min,   round(mn.value, 6) AS v_min,
+       mx.ts AS t_max,   round(mx.value, 6) AS v_max,
+       cn.n
+FROM cn
+JOIN fi USING (series, bucket)
+JOIN la USING (series, bucket)
+JOIN mn USING (series, bucket)
+JOIN mx USING (series, bucket)
+ORDER BY 1, 2
+"""
+
+EXT10_QUERIES["m4_downsample"] = q_m4_downsample
+EXT10_ORACLES["m4_downsample"] = ORACLE_M4

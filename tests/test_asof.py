@@ -120,6 +120,22 @@ def test_plan_is_skew_safe(spark):
     assert plan.count("Window") == 2  # within-(k,b) + per-bucket carry
 
 
+def test_multi_key(spark):
+    # composite key (user_id, region): matches only within the pair
+    left = spark.createDataFrame(
+        [(1, 1, "us", _ts(2)), (2, 1, "eu", _ts(2))],
+        "lid bigint, user_id bigint, region string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, "us", _ts(1), 1.0), (11, 1, "eu", _ts(1, 12), 2.0)],
+        "rid bigint, user_id bigint, region string, ts timestamp, v double",
+    )
+    out = {r.lid: (r.rid_r, r.v_r) for r in asof_join(
+        left, right, on=["user_id", "region"], tie_col="rid"
+    ).collect()}
+    assert out == {1: (10, 1.0), 2: (11, 2.0)}
+
+
 def test_validation(spark):
     left = spark.createDataFrame([(1, 1, _ts(1))], L_SCHEMA)
     right = spark.createDataFrame([(1, 1, _ts(1), 1.0)], R_SCHEMA)
