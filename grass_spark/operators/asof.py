@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 _BUCKETS = ("day", "hour", "minute")
+_BUCKET_SECONDS = {"day": 86400, "hour": 3600, "minute": 60}
 
 
 def asof_join(
@@ -53,6 +54,7 @@ def asof_join(
     tolerance_seconds: int | None = None,
     tie_col: str | None = None,
     bucket: str = "day",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the matching right row's
     ``right_ts`` (as ``{right_ts}{suffix}``) and ``right_cols`` (each
@@ -67,6 +69,10 @@ def asof_join(
     the greatest (backward) / smallest (forward) ``tie_col``; without a
     ``tie_col`` the right side must be unique per ``(on, right_ts)``
     or the matched payload among tied rows is undefined.
+
+    ``checkpoint`` (default) cuts the windowed frame's two-consumer
+    re-execution with a lazy ``localCheckpoint``; pass ``False`` for
+    plan inspection of the raw lineage.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("asof_join: direction must be backward|forward")
@@ -110,47 +116,54 @@ def asof_join(
         F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
         lrow.alias("_lrow"),
     )
-    tagged = l.unionByName(r).withColumn("_b", F.date_trunc(bucket, "_t"))
+    # integer bucket id (micros div width): the decomposition is exact
+    # for any monotone bucketing, and an 8-byte int sorts/shuffles
+    # cheaper than a truncated TIMESTAMP (bandwidth-bound sort; PLANS.md)
+    width = _BUCKET_SECONDS[bucket] * 1_000_000
+    tagged = l.unionByName(r).withColumn(
+        "_b", F.expr(f"unix_micros(CAST(_t AS TIMESTAMP)) div {width}")
+    )
 
-    # (a) governing right row within the same (key, bucket).
+    # (a) governing right row within the same (key, bucket), plus a
+    # bucket-edge flag — SAME window spec, so one WindowExec and ONE
+    # full-frame sort total.  The bucket's extreme right payload IS the
+    # running value at its last (backward) / first (forward) row, so no
+    # per-bucket struct election is needed (min/max over STRUCT falls
+    # back to SortAggregate = a second hidden full sort; PLANS.md).
     w_in = Window.partitionBy("_k", "_b").orderBy("_t", "_rsort", "_tie")
     if back:
         within = F.last("_p", ignorenulls=True).over(
             w_in.rowsBetween(Window.unboundedPreceding, 0)
         )
+        edge = F.lead("_t").over(w_in).isNull()  # last row of bucket
     else:
         within = F.first("_p", ignorenulls=True).over(
             w_in.rowsBetween(0, Window.unboundedFollowing)
         )
-    matched_in = tagged.withColumn("_m_in", within)
+        edge = F.lag("_t").over(w_in).isNull()  # first row of bucket
+    win = tagged.withColumn("_m_in", within).withColumn("_edge", edge)
+    if checkpoint:
+        win = win.localCheckpoint(eager=False)
 
-    # (b) carry across buckets: per (key, bucket) the extreme right
-    # payload (map-side combinable), then a calendar-bounded window.
-    ext = F.struct(F.col("_t"), F.col("_tie"), F.col("_p"))
-    per_bucket = (
-        tagged.groupBy("_k", "_b")
-        .agg(
-            (F.max(F.when(F.col("_rsort") == (0 if back else 1), ext))
-             if back else
-             F.min(F.when(F.col("_rsort") == (0 if back else 1), ext))
-             ).alias("_ext")
-        )
-    )
+    # (b) carry across buckets over the one-row-per-active-bucket frame
+    # (calendar-bounded per key regardless of volume).
     w_seq = Window.partitionBy("_k").orderBy("_b")
     if back:
-        carry = F.last(F.col("_ext._p"), ignorenulls=True).over(
+        carry = F.last("_ext", ignorenulls=True).over(
             w_seq.rowsBetween(Window.unboundedPreceding, -1)
         )
     else:
-        carry = F.first(F.col("_ext._p"), ignorenulls=True).over(
+        carry = F.first("_ext", ignorenulls=True).over(
             w_seq.rowsBetween(1, Window.unboundedFollowing)
         )
-    carries = per_bucket.select(
-        "_k", "_b", carry.alias("_m_carry")
+    carries = (
+        win.where(F.col("_edge"))
+        .select("_k", "_b", F.col("_m_in").alias("_ext"))
+        .select("_k", "_b", carry.alias("_m_carry"))
     )
 
     joined = (
-        matched_in.where(F.col("_lrow").isNotNull())
+        win.where(F.col("_lrow").isNotNull())
         .join(carries, ["_k", "_b"], "left")
         .withColumn("_m", F.coalesce("_m_in", "_m_carry"))
     )

@@ -40,9 +40,45 @@ Scale notes (the whole point of the shapes here):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _BUCKETS = ("day", "hour", "minute")
+_BUCKET_SECONDS = {"day": 86400, "hour": 3600, "minute": 60}
+
+#: transition matrices / paths only make sense over small type
+#: vocabularies; the dictionary-encode pass collects the distinct
+#: types and guards against misuse on a high-cardinality column
+_MAX_TYPES = 65_535
+
+
+def _bucket_idx(ts_col: str, bucket: str) -> Column:
+    """Integer bucket id (micros div bucket-width).  The decomposition
+    is exact for ANY monotone bucketing, so the exact boundary placement
+    is irrelevant — an 8-byte int sorts/shuffles cheaper than the
+    truncated TIMESTAMP it replaces (the window sort is
+    memory-bandwidth-bound; see PLANS.md)."""
+    width = _BUCKET_SECONDS[bucket] * 1_000_000
+    return F.expr(
+        f"unix_micros(CAST(`{ts_col}` AS TIMESTAMP)) div {width}"
+    )
+
+
+def _type_codes(df: DataFrame, type_col: str) -> list:
+    """Distinct type vocabulary, sorted for determinism.  One extra
+    column-pruned scan (dictionary-encoded parquet column: cheap) that
+    buys a ~2x smaller window-sort payload — measured 32.1 -> 13.6 s on
+    the 24M-event leg (PLANS.md)."""
+    vals = [
+        r[0]
+        for r in df.select(type_col).distinct().limit(_MAX_TYPES + 1)
+        .collect()
+    ]
+    if len(vals) > _MAX_TYPES:
+        raise ValueError(
+            f"event type vocabulary exceeds {_MAX_TYPES}; "
+            "pass encode_types=False"
+        )
+    return sorted(vals, key=lambda v: (v is None, v))
 
 
 def event_transitions(
@@ -53,6 +89,8 @@ def event_transitions(
     type_col: str = "event_type",
     id_col: str = "event_id",
     bucket: str = "day",
+    encode_types: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Markov transition matrix over consecutive events per user.
 
@@ -65,40 +103,77 @@ def event_transitions(
     ``bucket`` bounds the window-sort partition at per-user-per-bucket
     volume (see module docstring for the exact boundary-stitch
     decomposition); results are identical for any granularity.
+    ``encode_types`` (default) dictionary-encodes the type strings to
+    small ints before the window sort — the sort is bandwidth-bound
+    and the measured win is ~2.4x (PLANS.md); disabled automatically
+    when the vocabulary contains NULL.
+
+    ONE full-frame sort total: the same window pass emits the lead
+    pairs AND flags each bucket's first/last row (lag/lead nulls in
+    the same window spec — one WindowExec), so the boundary-stitch
+    election aggregates over <= 2 rows per bucket instead of the raw
+    frame (min/max over STRUCT falls back to SortAggregate — on the
+    raw frame that was a SECOND hidden full sort; PLANS.md).
+    ``checkpoint`` (default) cuts the two-consumer re-execution with a
+    lazy localCheckpoint; pass ``False`` for plan inspection.
     """
     if bucket not in _BUCKETS:
         raise ValueError(f"event_transitions: bucket must be one of {_BUCKETS}")
+
+    types: list = []
+    if encode_types:
+        types = _type_codes(df, type_col)
+        encode_types = None not in types
+
+    et: Column = F.col(type_col)
+    if encode_types:
+        enc = F.create_map(
+            *[x for t, i in ((t, i) for i, t in enumerate(types))
+              for x in (F.lit(t), F.lit(i))]
+        )
+        et = enc[F.col(type_col)].cast("int")
 
     base = df.select(
         F.col(user_col).alias("_u"),
         F.col(ts_col).alias("_ts"),
         F.col(id_col).alias("_id"),
-        F.col(type_col).alias("_et"),
-    ).withColumn("_b", F.date_trunc(bucket, F.col("_ts")))
+        et.alias("_et"),
+    ).withColumn("_b", _bucket_idx("_ts", bucket))
 
-    # (a) pairs within a bucket: sort partition is (user, bucket).
+    # ONE window pass: lead pairs + first/last-of-bucket flags (same
+    # partition/order spec -> a single WindowExec, a single full sort).
     w_in = Window.partitionBy("_u", "_b").orderBy("_ts", "_id")
-    within = (
-        base.withColumn("_nxt", F.lead("_et").over(w_in))
-        .where(F.col("_nxt").isNotNull())
-        .select(F.col("_et").alias("from_type"), F.col("_nxt").alias("to_type"))
+    win = base.select(
+        "_u", "_b", "_et",
+        F.lead("_et").over(w_in).alias("_nxt"),
+        F.lag("_et").over(w_in).isNull().alias("_is_first"),
+    )
+    if checkpoint:
+        win = win.localCheckpoint(eager=False)
+
+    # (a) pairs within a bucket
+    within = win.where(F.col("_nxt").isNotNull()).select(
+        F.col("_et").alias("from_type"), F.col("_nxt").alias("to_type")
     )
 
-    # (b) pairs across bucket boundaries: last-of-bucket -> first-of-next
-    # active bucket.  min/max(struct) is map-side combinable; the lag
-    # window sees one row per active bucket per user.
-    ends = (
-        base.select("_u", "_b", F.struct("_ts", "_id", "_et").alias("_e"))
-        .groupBy("_u", "_b")
-        .agg(F.min("_e").alias("_first"), F.max("_e").alias("_last"))
+    # (b) pairs across bucket boundaries: last-of-bucket -> first-of-
+    # next active bucket.  The edge frame is <= 2 rows per bucket, so
+    # the struct election (SortAggregate) runs over a calendar-bounded
+    # input, and the lag window sees one row per active bucket per user.
+    edges = win.where(F.col("_is_first") | F.col("_nxt").isNull())
+    ends = edges.groupBy("_u", "_b").agg(
+        F.min(F.when(F.col("_is_first"), F.col("_et"))).alias("_first_et"),
+        F.max(
+            F.when(F.col("_nxt").isNull(), F.col("_et"))
+        ).alias("_last_et"),
     )
     w_seq = Window.partitionBy("_u").orderBy("_b")
     across = (
-        ends.withColumn("_prev_last", F.lag("_last").over(w_seq))
+        ends.withColumn("_prev_last", F.lag("_last_et").over(w_seq))
         .where(F.col("_prev_last").isNotNull())
         .select(
-            F.col("_prev_last._et").alias("from_type"),
-            F.col("_first._et").alias("to_type"),
+            F.col("_prev_last").alias("from_type"),
+            F.col("_first_et").alias("to_type"),
         )
     )
 
@@ -109,9 +184,14 @@ def event_transitions(
     )
     # |types|^2 rows at most — the normalising window is trivially small.
     w_from = Window.partitionBy("from_type")
+    dec_f, dec_t = F.col("from_type"), F.col("to_type")
+    if encode_types:
+        arr = F.array(*[F.lit(t) for t in types])
+        dec_f = F.element_at(arr, F.col("from_type") + 1)
+        dec_t = F.element_at(arr, F.col("to_type") + 1)
     return matrix.select(
-        "from_type",
-        "to_type",
+        dec_f.alias("from_type"),
+        dec_t.alias("to_type"),
         "n",
         F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
     )
@@ -126,6 +206,8 @@ def event_ngrams(
     type_col: str = "event_type",
     id_col: str = "event_id",
     bucket: str = "day",
+    encode_types: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Consecutive event-type n-gram ("path") counts per user.
 
@@ -153,35 +235,55 @@ def event_ngrams(
     if bucket not in _BUCKETS:
         raise ValueError(f"event_ngrams: bucket must be one of {_BUCKETS}")
 
+    types: list = []
+    if encode_types:
+        types = _type_codes(df, type_col)
+        encode_types = None not in types
+    et: Column = F.col(type_col)
+    if encode_types:
+        enc = F.create_map(
+            *[x for t, i in ((t, i) for i, t in enumerate(types))
+              for x in (F.lit(t), F.lit(i))]
+        )
+        et = enc[F.col(type_col)].cast("int")
+
     base = df.select(
         F.col(user_col).alias("_u"),
         F.col(ts_col).alias("_ts"),
         F.col(id_col).alias("_id"),
-        F.col(type_col).alias("_et"),
-    ).withColumn("_b", F.date_trunc(bucket, F.col("_ts")))
+        et.alias("_et"),
+    ).withColumn("_b", _bucket_idx("_ts", bucket))
 
     gcols = [f"g{i + 1}" for i in range(n)]
 
-    # (a) n-grams fully inside a bucket: lead chain over (user, bucket).
+    # ONE window pass: the lead chain, row_number, and the full-frame
+    # count share the (user, bucket) partitioning — one exchange, one
+    # sort (the count's WindowExec has no ordering requirement and
+    # reuses the sorted child).  Both consumers read the checkpoint.
     w_in = Window.partitionBy("_u", "_b").orderBy("_ts", "_id")
-    within = base.select(
+    w_cnt = Window.partitionBy("_u", "_b")
+    win = base.select(
+        "_u", "_b", "_ts", "_id", "_et",
+        *[F.lead("_et", i).over(w_in).alias(f"_l{i}") for i in range(1, n)],
+        F.row_number().over(w_in).alias("_rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("_cnt"),
+    )
+    if checkpoint:
+        win = win.localCheckpoint(eager=False)
+
+    # (a) n-grams fully inside a bucket
+    within = win.where(F.col(f"_l{n - 1}").isNotNull()).select(
         F.col("_et").alias(gcols[0]),
-        *[F.lead("_et", i).over(w_in).alias(gcols[i]) for i in range(1, n)],
-    ).where(F.col(gcols[-1]).isNotNull())
+        *[F.col(f"_l{i}").alias(gcols[i]) for i in range(1, n)],
+    )
 
     # (b) spanning n-grams from the edge frame (first/last n-1 rows per
-    # bucket; count has no orderBy so the frame is the whole partition).
-    w_cnt = Window.partitionBy("_u", "_b")
-    edge = (
-        base.withColumn("_rn", F.row_number().over(w_in))
-        .withColumn("_cnt", F.count(F.lit(1)).over(w_cnt))
-        .where(
-            (F.col("_rn") <= n - 1) | (F.col("_rn") > F.col("_cnt") - (n - 1))
-        )
-        .select(
-            "_u", "_ts", "_id",
-            F.struct("_b", "_rn", "_cnt", "_et").alias("_s0"),
-        )
+    # bucket, <= 2(n-1) rows per active bucket — calendar-bounded)
+    edge = win.where(
+        (F.col("_rn") <= n - 1) | (F.col("_rn") > F.col("_cnt") - (n - 1))
+    ).select(
+        "_u", "_ts", "_id",
+        F.struct("_b", "_rn", "_cnt", "_et").alias("_s0"),
     )
     w_seq = Window.partitionBy("_u").orderBy("_ts", "_id")
     for i in range(1, n):
@@ -202,11 +304,18 @@ def event_ngrams(
         ])
     )
 
-    return (
+    out = (
         within.unionByName(across)
         .groupBy(*gcols)
         .agg(F.count(F.lit(1)).alias("n_paths"))
     )
+    if encode_types:
+        arr = F.array(*[F.lit(t) for t in types])
+        out = out.select(
+            *[F.element_at(arr, F.col(g) + 1).alias(g) for g in gcols],
+            "n_paths",
+        )
+    return out
 
 
 def sessionize_events(
@@ -246,7 +355,7 @@ def sessionize_events(
         raise ValueError(f"sessionize_events: bucket must be one of {_BUCKETS}")
 
     tol = F.expr(f"INTERVAL {int(timeout_s)} SECOND")
-    base = df.withColumn("_b", F.date_trunc(bucket, F.col(ts_col)))
+    base = df.withColumn("_b", _bucket_idx(ts_col, bucket))
 
     w_in = Window.partitionBy(user_col, "_b").orderBy(ts_col, id_col)
     prev = F.lag(ts_col).over(w_in)
