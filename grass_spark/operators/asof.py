@@ -185,3 +185,104 @@ def asof_join(
         F.col(f"_m.`{c}`").alias(f"{c}{suffix}") for c in right_cols
     )
     return joined.select(*out_cols)
+
+
+#: per-row grid chunk — bounds the sequence() array any single row
+#: materializes (a key spanning years at a fine step would otherwise
+#: build one multi-MB array in a single task)
+_GRID_BLOCK = 4096
+
+
+def resample_locf(
+    df: DataFrame,
+    *,
+    step_seconds: int,
+    on: str | list[str] | tuple[str, ...] = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str | None = None,
+    max_staleness_seconds: int | None = None,
+    bucket: str = "day",
+    grid_col: str = "gts",
+) -> DataFrame:
+    """Resample an irregular event series onto a regular time grid with
+    last-observation-carried-forward.
+
+    Reference analog: ``t.rast.aggregate``'s granule lattice +
+    sample_by_dataset's "which map governs this granule" resolution
+    (``python/grass/temporal/temporal_granularity.py``) applied to
+    instant observations — the LOCF resample every timeseries store
+    ships (kdb ``aj`` on a grid, QuestDB ``SAMPLE BY ... FILL(PREV)``).
+
+    Grid points are the multiples of ``step_seconds`` (epoch-aligned in
+    NAIVE timestamp space — tz-free for TIMESTAMP_NTZ inputs) covering
+    each key's ``[min(ts), max(ts)]`` span.  Each grid point carries the
+    governing observation's timestamp (``{ts_col}_r``) and value
+    (``{value_col}_r``); ``max_staleness_seconds`` voids observations
+    older than the bound (NULL, like a gap).  Ties at one timestamp
+    resolve to the greatest ``tie_col`` (see :func:`asof_join`).
+
+    Scale shape: the span census is one map-side-combinable groupBy;
+    the grid is output-proportional (span/step rows per key), generated
+    in <= ``_GRID_BLOCK``-element chunks so no single row materializes
+    an unbounded array; the LOCF itself is :func:`asof_join`'s bucket
+    decomposition (bounded sort partitions, calendar-bounded carry).
+    Timestamps must be >= epoch (integer ``div`` is used for the grid
+    index; both engines truncate toward zero on positives).
+    """
+    if step_seconds <= 0:
+        raise ValueError("resample_locf: step_seconds must be positive")
+    keys = [on] if isinstance(on, str) else list(on)
+    step_us = int(step_seconds) * 1_000_000
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST(`{ts_col}` AS TIMESTAMP_NTZ))"
+    )
+    spans = df.groupBy(*keys).agg(
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
+    )
+    klo = F.expr(f"(_lo + {step_us - 1}) div {step_us}")
+    khi = F.expr(f"_hi div {step_us}")
+    blocks = (
+        spans.select(*keys, klo.alias("_klo"), khi.alias("_khi"))
+        .where(F.col("_klo") <= F.col("_khi"))
+        .select(
+            *keys, "_klo", "_khi",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_klo div {_GRID_BLOCK}"),
+                    F.expr(f"_khi div {_GRID_BLOCK}"),
+                )
+            ).alias("_blk"),
+        )
+    )
+    grid = blocks.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_klo"), F.col("_blk") * _GRID_BLOCK),
+                F.least(
+                    F.col("_khi"), (F.col("_blk") + 1) * _GRID_BLOCK - 1
+                ),
+            )
+        ).alias("_gk"),
+    ).select(
+        *keys,
+        F.expr(
+            f"timestampadd(MICROSECOND, _gk * {step_us}, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias(grid_col),
+    )
+    return asof_join(
+        grid,
+        df.select(*keys, ts_col, value_col,
+                  *([tie_col] if tie_col else [])),
+        on=keys,
+        left_ts=grid_col,
+        right_ts=ts_col,
+        right_cols=[value_col],
+        tie_col=tie_col,
+        tolerance_seconds=max_staleness_seconds,
+        direction="backward",
+        bucket=bucket,
+    )

@@ -462,3 +462,104 @@ def rate_anomalies(
         F.coalesce(m, F.lit(0)).cast("int").alias("n_prev"),
         z.alias("z"),
     )
+
+
+def interevent_stats(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """Inter-event gap statistics per user: gap count, mean / population
+    stddev / min / max gap (seconds), and the coefficient of variation
+    (burstiness: cv >> 1 = bursty, ~1 = Poisson, << 1 = regular).
+
+    Reference analog: ``t.rast.list method=delta`` / deltagaps —
+    consecutive-extent distances over a time series (``python/grass/
+    temporal/list_stds.py``) — lifted to per-key event streams.
+
+    The multiset of consecutive gaps is invariant under tie-order
+    permutation (equal timestamps contribute the same zero gaps), so
+    results are deterministic even with duplicate timestamps.
+
+    Scale shape: the same exact bucket decomposition as
+    :func:`event_transitions` — within-bucket gaps come from one
+    bounded-partition window (sort keys are 8-byte micros), cross-bucket
+    gaps from per-bucket plain ``min``/``max`` timestamps (map-side
+    combinable) stitched by a calendar-bounded per-user window.  All
+    statistics compose from EXACT integer power sums (bigint sum,
+    DECIMAL(38) sum of squares — squared micro-gaps overflow bigint) so
+    the only floating-point ops are a fixed expression over exact
+    integers, bit-identical across engines (see rate_anomalies).
+    """
+    if bucket not in _BUCKETS:
+        raise ValueError(f"interevent_stats: bucket must be one of {_BUCKETS}")
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST(`{ts_col}` AS TIMESTAMP_NTZ))"
+    )
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        us.alias("_us"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("_b", F.expr(
+        f"_us div {_BUCKET_SECONDS[bucket] * 1_000_000}"
+    ))
+
+    # (a) within-bucket gaps: one bounded-partition window
+    w_in = Window.partitionBy("_u", "_b").orderBy("_us", "_id")
+    within = (
+        base.withColumn("_nxt", F.lead("_us").over(w_in))
+        .where(F.col("_nxt").isNotNull())
+        .select("_u", (F.col("_nxt") - F.col("_us")).alias("_g"))
+    )
+
+    # (b) cross-bucket gaps: per-bucket first/last micros are plain
+    # combinable min/max; the lag window sees one row per active bucket
+    ends = base.groupBy("_u", "_b").agg(
+        F.min("_us").alias("_first"), F.max("_us").alias("_last")
+    )
+    w_seq = Window.partitionBy("_u").orderBy("_b")
+    across = (
+        ends.withColumn("_nxt_first", F.lead("_first").over(w_seq))
+        .where(F.col("_nxt_first").isNotNull())
+        .select("_u", (F.col("_nxt_first") - F.col("_last")).alias("_g"))
+    )
+
+    gaps = within.unionByName(across)
+    dec = F.col("_g").cast("decimal(19,0)")
+    stats = gaps.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_g").alias("_s1"),
+        F.sum(dec * dec).alias("_s2"),
+        F.min("_g").alias("_gmin"),
+        F.max("_g").alias("_gmax"),
+    )
+    counts = base.groupBy("_u").agg(F.count(F.lit(1)).alias("n_events"))
+
+    # fixed double expression over exact integers: deterministic
+    mean = F.col("_s1").cast("double") / (F.col("_n") * F.lit(1000000.0))
+    var = (
+        F.col("_s2").cast("double") / (F.col("_n") * F.lit(1e12))
+        - mean * mean
+    )
+    std = F.sqrt(F.greatest(F.round(var, 6), F.lit(0.0)))
+    out = counts.join(stats, "_u", "left").select(
+        F.col("_u").alias(user_col),
+        "n_events",
+        F.coalesce("_n", F.lit(0)).alias("n_gaps"),
+        F.round(mean, 6).alias("mean_gap_s"),
+        # greatest(NULL, 0.0) ignores the NULL in both engines — gate
+        # explicitly so gap-less users read NULL, not 0.0
+        F.when(F.col("_s2").isNotNull(), F.round(std, 6))
+        .alias("std_gap_s"),
+        F.when(
+            F.round(mean, 6) > 0, F.round(std / F.round(mean, 6), 6)
+        ).alias("cv_gap"),
+        F.round(F.col("_gmin") / F.lit(1000000.0), 6).alias("min_gap_s"),
+        F.round(F.col("_gmax") / F.lit(1000000.0), 6).alias("max_gap_s"),
+    )
+    return out

@@ -491,3 +491,123 @@ ORDER BY 1, 2
 
 EXT10_QUERIES["m4_downsample"] = q_m4_downsample
 EXT10_ORACLES["m4_downsample"] = ORACLE_M4
+
+
+# ---------------------------------------------------------------------
+# LOCF grid resample — 6-hour grid, 12-hour staleness bound
+# ---------------------------------------------------------------------
+
+_RS_STEP = 6 * 3600
+_RS_STALE = 12 * 3600
+_RS_STEP_US = _RS_STEP * 1_000_000
+
+
+def q_resample_locf(spark, sf_dir):
+    from grass_spark.operators.asof import resample_locf
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_locf(
+        ev, step_seconds=_RS_STEP, on="user_id", ts_col="ts",
+        value_col="value", tie_col="event_id",
+        max_staleness_seconds=_RS_STALE,
+    )
+    return out.select(
+        "user_id", "gts",
+        F.col("ts_r").alias("obs_ts"),
+        F.round("value_r", 6).alias("value_locf"),
+    ).orderBy("user_id", "gts")
+
+
+ORACLE_RESAMPLE_LOCF = f"""
+WITH obs AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events GROUP BY user_id, ts
+),
+span AS (
+  SELECT user_id,
+         (epoch_us(min(ts)) + {_RS_STEP_US - 1}) // {_RS_STEP_US} AS klo,
+         epoch_us(max(ts)) // {_RS_STEP_US} AS khi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, make_timestamp(k * {_RS_STEP_US}) AS gts
+  FROM (
+    SELECT user_id, unnest(generate_series(klo, khi)) AS k
+    FROM span WHERE klo <= khi
+  )
+)
+SELECT g.user_id, g.gts,
+       CASE WHEN o.ts >= g.gts - INTERVAL {_RS_STALE} SECOND
+            THEN o.ts END AS obs_ts,
+       CASE WHEN o.ts >= g.gts - INTERVAL {_RS_STALE} SECOND
+            THEN round(o.value, 6) END AS value_locf
+FROM grid g
+ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.gts >= o.ts
+ORDER BY g.user_id, g.gts
+"""
+
+EXT10_QUERIES["resample_locf"] = q_resample_locf
+EXT10_ORACLES["resample_locf"] = ORACLE_RESAMPLE_LOCF
+
+
+# ---------------------------------------------------------------------
+# inter-event gap statistics (burstiness) per user
+# ---------------------------------------------------------------------
+
+
+def q_interevent_stats(spark, sf_dir):
+    from grass_spark.operators.transitions import interevent_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return interevent_stats(ev).orderBy("user_id")
+
+
+ORACLE_INTEREVENT = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+g0 AS (
+  SELECT user_id,
+         us - lag(us) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+         ) AS g
+  FROM e
+),
+g AS (SELECT user_id, g FROM g0 WHERE g IS NOT NULL),
+st AS (
+  SELECT user_id,
+         count(*) AS n,
+         CAST(sum(g) AS BIGINT) AS s1,
+         sum(CAST(g AS HUGEINT) * g) AS s2,
+         min(g) AS gmin,
+         max(g) AS gmax
+  FROM g GROUP BY user_id
+),
+c AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id),
+j AS (
+  SELECT c.user_id, c.n_events,
+         coalesce(st.n, 0) AS n_gaps,
+         CAST(st.s1 AS DOUBLE) / (st.n * 1000000.0) AS mean,
+         CAST(st.s2 AS DOUBLE) / (st.n * 1000000000000.0) AS ms2,
+         st.gmin, st.gmax
+  FROM c LEFT JOIN st USING (user_id)
+)
+SELECT user_id, n_events, n_gaps,
+       round(mean, 6) AS mean_gap_s,
+       CASE WHEN ms2 IS NOT NULL THEN
+         round(sqrt(greatest(round(ms2 - mean * mean, 6),
+                             CAST(0 AS DOUBLE))), 6)
+       END AS std_gap_s,
+       CASE WHEN round(mean, 6) > 0 THEN
+         round(sqrt(greatest(round(ms2 - mean * mean, 6),
+                             CAST(0 AS DOUBLE))) / round(mean, 6), 6)
+       END AS cv_gap,
+       round(gmin / 1000000.0, 6) AS min_gap_s,
+       round(gmax / 1000000.0, 6) AS max_gap_s
+FROM j
+ORDER BY user_id
+"""
+
+EXT10_QUERIES["interevent_stats"] = q_interevent_stats
+EXT10_ORACLES["interevent_stats"] = ORACLE_INTEREVENT

@@ -148,3 +148,143 @@ def test_validation(spark):
         asof_join(left, right, on="user_id", direction="nearest")
     with pytest.raises(ValueError):
         asof_join(left, right, on="user_id", bucket="week")
+
+
+# ---------------------------------------------------------------------
+# resample_locf
+# ---------------------------------------------------------------------
+
+from grass_spark.operators import asof as asof_mod
+from grass_spark.operators.asof import resample_locf
+
+E_SCHEMA = "event_id bigint, user_id bigint, ts timestamp, value double"
+
+
+def _locf_naive(rows, step_s, stale_s=None):
+    """Pure-python LOCF grid per user: {(u, gts): (obs_ts, value)}."""
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for eid, u, ts, v in rows:
+        by_u[u].append((ts, eid, v))
+    out = {}
+    epoch = dt.datetime(1970, 1, 1)
+    for u, obs in by_u.items():
+        obs.sort()
+        lo = min(o[0] for o in obs)
+        hi = max(o[0] for o in obs)
+        k = -(-int((lo - epoch).total_seconds() * 1e6) // (step_s * 10**6))
+        khi = int((hi - epoch).total_seconds() * 1e6) // (step_s * 10**6)
+        while k <= khi:
+            gts = epoch + dt.timedelta(seconds=k * step_s)
+            cands = [o for o in obs if o[0] <= gts]
+            best = max(cands) if cands else None
+            if best and stale_s is not None and \
+                    (gts - best[0]).total_seconds() > stale_s:
+                best = None
+            out[(u, gts)] = best and (best[0], best[2])
+            k += 1
+    return out
+
+
+def _resample_got(df):
+    return {
+        (r.user_id, r.gts): (
+            None if r.ts_r is None else (r.ts_r, r.value_r)
+        )
+        for r in df.collect()
+    }
+
+
+def test_resample_locf_hand_case(spark):
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 30), 1.0),
+        (2, 1, dt.datetime(2024, 1, 1, 2, 15), 2.0),
+        (3, 1, dt.datetime(2024, 1, 1, 9, 0), 3.0),
+    ]
+    df = spark.createDataFrame(rows, E_SCHEMA)
+    got = _resample_got(
+        resample_locf(df, step_seconds=3600, tie_col="event_id")
+    )
+    # grid 01:00..09:00; LOCF carries 1.0 until 02:15 etc.
+    assert got[(1, dt.datetime(2024, 1, 1, 1))] == \
+        (dt.datetime(2024, 1, 1, 0, 30), 1.0)
+    assert got[(1, dt.datetime(2024, 1, 1, 2))] == \
+        (dt.datetime(2024, 1, 1, 0, 30), 1.0)
+    assert got[(1, dt.datetime(2024, 1, 1, 3))] == \
+        (dt.datetime(2024, 1, 1, 2, 15), 2.0)
+    assert got[(1, dt.datetime(2024, 1, 1, 9))] == \
+        (dt.datetime(2024, 1, 1, 9), 3.0)
+    assert len(got) == 9
+
+
+def test_resample_locf_staleness_and_short_span(spark):
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0, 1), 1.0),
+        (2, 1, dt.datetime(2024, 1, 2, 23, 0), 2.0),
+        # user 2's span (20 min) contains no 1h grid point
+        (3, 2, dt.datetime(2024, 1, 1, 3, 10), 9.0),
+        (4, 2, dt.datetime(2024, 1, 1, 3, 30), 9.5),
+    ]
+    df = spark.createDataFrame(rows, E_SCHEMA)
+    got = _resample_got(
+        resample_locf(
+            df, step_seconds=3600, tie_col="event_id",
+            max_staleness_seconds=7200,
+        )
+    )
+    assert all(u == 1 for (u, _) in got)       # user 2 has no grid point
+    assert got[(1, dt.datetime(2024, 1, 1, 1))] == \
+        (dt.datetime(2024, 1, 1, 0, 0, 1), 1.0)
+    assert got[(1, dt.datetime(2024, 1, 1, 2))] == \
+        (dt.datetime(2024, 1, 1, 0, 0, 1), 1.0)
+    assert got[(1, dt.datetime(2024, 1, 1, 3))] is None   # stale
+    assert got[(1, dt.datetime(2024, 1, 2, 23))] == \
+        (dt.datetime(2024, 1, 2, 23), 2.0)
+
+
+def test_resample_locf_ties_and_random(spark):
+    rng = random.Random(7)
+    rows = []
+    for eid in range(300):
+        u = rng.randrange(5)
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(
+            seconds=rng.randrange(4 * 86400)
+        )
+        rows.append((eid, u, ts, float(rng.randrange(100))))
+    # planted tie: two rows at one ts — greatest event_id wins
+    rows.append((900, 0, dt.datetime(2024, 1, 2, 0, 0, 0), 1.0))
+    rows.append((901, 0, dt.datetime(2024, 1, 2, 0, 0, 0), 2.0))
+    df = spark.createDataFrame(rows, E_SCHEMA)
+    for stale in (None, 3600 * 3):
+        got = _resample_got(
+            resample_locf(
+                df, step_seconds=7200, tie_col="event_id",
+                max_staleness_seconds=stale, bucket="day",
+            )
+        )
+        assert got == _locf_naive(rows, 7200, stale)
+
+
+def test_resample_locf_grid_block_split(spark, monkeypatch):
+    """Chunked grid generation must be invisible: tiny block == default."""
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 30), 1.0),
+        (2, 1, dt.datetime(2024, 1, 3, 11, 45), 2.0),
+    ]
+    df = spark.createDataFrame(rows, E_SCHEMA)
+    base = _resample_got(
+        resample_locf(df, step_seconds=3600, tie_col="event_id")
+    )
+    monkeypatch.setattr(asof_mod, "_GRID_BLOCK", 3)
+    split = _resample_got(
+        resample_locf(df, step_seconds=3600, tie_col="event_id")
+    )
+    assert split == base
+    assert len(base) == 59  # 01:00 .. 2024-01-03 11:00 hourly inclusive
+
+
+def test_resample_locf_rejects_bad_step(spark):
+    df = spark.createDataFrame([], E_SCHEMA)
+    with pytest.raises(ValueError):
+        resample_locf(df, step_seconds=0)

@@ -272,3 +272,105 @@ def test_validation(spark):
         sessionize_events(df, 0)
     with pytest.raises(ValueError):
         sessionize_events(df, 3600, bucket="week")
+
+
+# ---------------------------------------------------------------------
+# interevent_stats
+# ---------------------------------------------------------------------
+
+from grass_spark.operators.transitions import interevent_stats
+
+
+def _naive_interevent(rows):
+    """{user: (n_events, sorted gap list in seconds)}."""
+    per_user: dict = {}
+    for eid, u, ts, _ in rows:
+        per_user.setdefault(u, []).append((ts, eid))
+    out = {}
+    for u, seq in per_user.items():
+        seq.sort()
+        gaps = [
+            (b[0] - a[0]).total_seconds()
+            for a, b in zip(seq, seq[1:])
+        ]
+        out[u] = (len(seq), sorted(gaps))
+    return out
+
+
+def test_interevent_hand_case(spark):
+    rows = [
+        (1, 1, _ts(1, 0, 0), "a"),
+        (2, 1, _ts(1, 0, 10), "a"),     # gap 600 s
+        (3, 1, _ts(1, 0, 40), "a"),     # gap 1800 s
+        (4, 2, _ts(1), "a"),            # single event: no gaps
+    ]
+    got = {r.user_id: r for r in interevent_stats(_ev(spark, rows)).collect()}
+    r1 = got[1]
+    assert (r1.n_events, r1.n_gaps) == (3, 2)
+    assert r1.mean_gap_s == 1200.0
+    assert r1.std_gap_s == 600.0          # population stddev of {600,1800}
+    assert r1.cv_gap == 0.5
+    assert (r1.min_gap_s, r1.max_gap_s) == (600.0, 1800.0)
+    r2 = got[2]
+    assert (r2.n_events, r2.n_gaps) == (1, 0)
+    assert r2.mean_gap_s is None and r2.std_gap_s is None
+    assert r2.cv_gap is None
+
+
+def test_interevent_ties_zero_gaps(spark):
+    rows = [
+        (1, 1, _ts(1, 0, 0), "a"),
+        (2, 1, _ts(1, 0, 0), "a"),      # tie: zero gap
+        (3, 1, _ts(1, 1, 0), "a"),
+    ]
+    r = interevent_stats(_ev(spark, rows)).collect()[0]
+    assert r.n_gaps == 2
+    assert r.min_gap_s == 0.0
+    assert r.max_gap_s == 3600.0
+    assert r.mean_gap_s == 1800.0
+
+
+@pytest.mark.parametrize("bucket", ["day", "hour", "minute"])
+def test_interevent_bucket_decomposition_exact(spark, bucket):
+    """Results identical for every bucket granularity, vs ground truth."""
+    rng = random.Random(13)
+    rows = [
+        (
+            eid,
+            rng.randrange(4),
+            _ts(1 + rng.randrange(6), rng.randrange(24), rng.randrange(60),
+                rng.randrange(60)),
+            "a",
+        )
+        for eid in range(400)
+    ]
+    want = _naive_interevent(rows)
+    got = {
+        r.user_id: r
+        for r in interevent_stats(_ev(spark, rows), bucket=bucket).collect()
+    }
+    assert set(got) == set(want)
+    for u, (n_events, gaps) in want.items():
+        r = got[u]
+        assert r.n_events == n_events
+        assert r.n_gaps == len(gaps)
+        if gaps:
+            mean = sum(gaps) / len(gaps)
+            var = sum(g * g for g in gaps) / len(gaps) - mean * mean
+            assert r.mean_gap_s == pytest.approx(mean, abs=1e-5)
+            assert r.std_gap_s == pytest.approx(
+                math.sqrt(max(var, 0.0)), abs=1e-5
+            )
+            assert r.min_gap_s == pytest.approx(gaps[0], abs=1e-6)
+            assert r.max_gap_s == pytest.approx(gaps[-1], abs=1e-6)
+
+
+def test_interevent_plan_is_skew_safe(spark):
+    """Per-bucket ends are plain combinable min/max (no struct, no
+    SortAggregate); the only bare-user window runs over the per-bucket
+    frame."""
+    rows = [(i, i % 3, _ts(1 + i % 5, i % 24), "a") for i in range(60)]
+    plan = interevent_stats(_ev(spark, rows))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "SortAggregate" not in plan
