@@ -175,6 +175,9 @@ TIER2 = [
     "sessionize_events",
     "ab_test",
     "m4_downsample",
+    # round 5 continuation: LOCF grid resample + inter-event gap stats
+    "resample_locf",
+    "interevent_stats",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -1299,6 +1299,7 @@ def _funnel_soak(args) -> None:
             ).alias("ts"),
             F.element_at(types, (h % 10 + 1).cast("int"))
             .alias("event_type"),
+            ((h % 10000) / F.lit(100.0)).alias("value"),
         )
         .localCheckpoint()
     )
@@ -1378,6 +1379,7 @@ def _seq_soak(args) -> None:
             ).alias("ts"),
             F.element_at(types, (h % 10 + 1).cast("int"))
             .alias("event_type"),
+            ((h % 10000) / F.lit(100.0)).alias("value"),
         )
         .localCheckpoint()
     )
@@ -1426,6 +1428,39 @@ def _seq_soak(args) -> None:
             purchases=int(aj["purchases"]),
             attributed=int(aj["attributed"]), asof_sec=wall,
             asof_events_per_sec=round(n / wall),
+        )
+    if args.seq_op in ("all", "interevent"):
+        from grass_spark.operators.transitions import interevent_stats
+
+        t0 = time.perf_counter()
+        ie = interevent_stats(ev).agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum("n_gaps").alias("gaps"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            ie_users=int(ie["users"]), ie_gaps=int(ie["gaps"]),
+            interevent_sec=wall,
+            interevent_events_per_sec=round(n / wall),
+        )
+    if args.seq_op in ("all", "resample"):
+        from grass_spark.operators.asof import resample_locf
+
+        # hourly grid over the 90-day span: ~2161 points/user, grid
+        # volume = users * span/step (output-proportional by design)
+        t0 = time.perf_counter()
+        rs = resample_locf(
+            ev, step_seconds=3600, tie_col="event_id",
+            max_staleness_seconds=6 * 3600,
+        ).agg(
+            F.count(F.lit(1)).alias("grid_rows"),
+            F.count("value_r").alias("filled"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            grid_rows=int(rs["grid_rows"]), filled=int(rs["filled"]),
+            resample_sec=wall,
+            resample_grid_rows_per_sec=round(int(rs["grid_rows"]) / wall),
         )
     print(json.dumps(out))
     spark.stop()
@@ -1551,7 +1586,8 @@ def main() -> None:
                          "rate anomalies / as-of attribution over N "
                          "events with a 10%%-hot bot user, lo/hi")
     ap.add_argument("--seq-op",
-                    choices=("all", "transitions", "anomalies", "asof"),
+                    choices=("all", "transitions", "anomalies", "asof",
+                             "interevent", "resample"),
                     default="all",
                     help="which sequence op the --seq-events soak times")
     args = ap.parse_args()
