@@ -23,7 +23,7 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("resample_locf", "interevent_stats",
+_PRIORITY = ("resample_locf", "interevent_stats", "multi_touch",
              "event_transitions", "rate_anomalies", "asof_attribution",
              "event_paths", "sessionize_events", "ab_test",
              "m4_downsample",

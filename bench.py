@@ -176,8 +176,10 @@ TIER2 = [
     "ab_test",
     "m4_downsample",
     # round 5 continuation: LOCF grid resample + inter-event gap stats
+    # + multi-touch attribution
     "resample_locf",
     "interevent_stats",
+    "multi_touch",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -192,3 +192,106 @@ def retention_cohorts(
         .groupBy("cohort", "offset_days")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def _naive_us(ts_col: str) -> Column:
+    """Exact integer micros in NAIVE timestamp space (tz-free for
+    TIMESTAMP_NTZ inputs; matches DuckDB ``epoch_us``)."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST(`{ts_col}` AS TIMESTAMP_NTZ))"
+    )
+
+
+def multi_touch_attribution(
+    df: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_seconds: int = 7 * 86400,
+    half_life_seconds: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-touch attribution: one row per (conversion, touch) pair
+    for every touch at-or-before the conversion within the lookback
+    window, with linear (``1/n``) and exponential time-decay weights
+    (half-life ``half_life_seconds``, each conversion's weights
+    normalized to sum to 1).
+
+    Complements :func:`grass_spark.operators.asof.asof_join`'s
+    last-touch attribution.  Conversions with no in-window touch emit
+    nothing (no touch, no credit).
+
+    Scale shape: never a per-user window or collect_list — conversions
+    explode into their <= ``lookback_days + 1`` candidate DAY buckets
+    (calendar-bounded fan-out) and equi-join touches on ``(user, day
+    bucket)``, so a hot user spreads across days and the join output is
+    exactly the (conversion, touch) pairs the operator must emit
+    (output-proportional).  Per-conversion totals are one combinable
+    groupBy on the conversion id.  Weights round to 6 dp BEFORE the
+    normalizing sum (JVM vs libm ``pow`` differs in the last ulp) and
+    the sum rounds again before the divide, so shares are bit-identical
+    across engines.
+    """
+    if lookback_seconds <= 0 or half_life_seconds <= 0:
+        raise ValueError(
+            "multi_touch_attribution: lookback/half-life must be positive"
+        )
+    day_us = 86400 * 1_000_000
+    look_us = int(lookback_seconds) * 1_000_000
+    half_us_f = float(half_life_seconds) * 1e6
+
+    conv = df.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("conv_ts"),
+        _naive_us(ts_col).alias("_cus"),
+    )
+    touch = df.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(type_col).alias("touch_type"),
+        _naive_us(ts_col).alias("_tus"),
+    ).withColumn("_b", F.expr(f"_tus div {day_us}"))
+
+    # each (conversion, touch) pair matches exactly ONE exploded bucket
+    # (the touch's own day), so the banded join never duplicates
+    conv_b = conv.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.expr(f"(_cus - {look_us}) div {day_us}"),
+                F.expr(f"_cus div {day_us}"),
+            )
+        ),
+    )
+    w = F.round(
+        F.pow(F.lit(0.5), (F.col("_cus") - F.col("_tus")) / F.lit(half_us_f)),
+        6,
+    )
+    cand = (
+        conv_b.join(touch, ["_u", "_b"])
+        .where(
+            (F.col("_tus") <= F.col("_cus"))
+            & (F.col("_cus") - F.col("_tus") <= look_us)
+        )
+        .select(
+            F.col("_u").alias(user_col),
+            "conv_id", "conv_ts", "touch_id", "touch_ts", "touch_type",
+            w.alias("_w"),
+        )
+    )
+    tot = cand.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("_w"), 6).alias("_s"),
+    )
+    return cand.join(tot, "conv_id").select(
+        user_col, "conv_id", "conv_ts", "touch_id", "touch_ts",
+        "touch_type", "n_touches",
+        F.round(F.lit(1.0) / F.col("n_touches"), 6).alias("w_linear"),
+        F.round(F.col("_w") / F.col("_s"), 6).alias("w_decay"),
+    )

@@ -611,3 +611,56 @@ ORDER BY user_id
 
 EXT10_QUERIES["interevent_stats"] = q_interevent_stats
 EXT10_ORACLES["interevent_stats"] = ORACLE_INTEREVENT
+
+
+# ---------------------------------------------------------------------
+# multi-touch attribution — 3-day lookback, 1-day half-life decay
+# ---------------------------------------------------------------------
+
+_MTA_LOOK = 3 * 86400
+_MTA_HALF = 86400
+
+
+def q_multi_touch(spark, sf_dir):
+    from grass_spark.operators.funnel import multi_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return multi_touch_attribution(
+        ev, conversion_type="purchase", touch_types=("view", "click"),
+        lookback_seconds=_MTA_LOOK, half_life_seconds=_MTA_HALF,
+    ).orderBy("conv_id", "touch_id")
+
+
+ORACLE_MULTI_TOUCH = f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS conv_ts, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+         event_type AS touch_type, epoch_us(ts) AS tus
+  FROM events WHERE event_type IN ('view', 'click')
+),
+cand AS (
+  SELECT c.user_id, c.conv_id, c.conv_ts, t.touch_id, t.touch_ts,
+         t.touch_type,
+         round(pow(0.5, (c.cus - t.tus) / {float(_MTA_HALF) * 1e6}), 6)
+           AS w
+  FROM conv c JOIN t USING (user_id)
+  WHERE t.tus <= c.cus AND c.cus - t.tus <= {_MTA_LOOK * 1_000_000}
+),
+tot AS (
+  SELECT conv_id, count(*) AS n_touches, round(sum(w), 6) AS s
+  FROM cand GROUP BY conv_id
+)
+SELECT cand.user_id, cand.conv_id, cand.conv_ts, cand.touch_id,
+       cand.touch_ts, cand.touch_type,
+       CAST(tot.n_touches AS BIGINT) AS n_touches,
+       round(CAST(1 AS DOUBLE) / tot.n_touches, 6) AS w_linear,
+       round(cand.w / tot.s, 6) AS w_decay
+FROM cand JOIN tot USING (conv_id)
+ORDER BY cand.conv_id, cand.touch_id
+"""
+
+EXT10_QUERIES["multi_touch"] = q_multi_touch
+EXT10_ORACLES["multi_touch"] = ORACLE_MULTI_TOUCH

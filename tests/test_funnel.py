@@ -186,3 +186,101 @@ def test_extract_props_is_scan_stage(spark):
     plan = extract_props(df, {"k": ("$.k", "bigint")})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------
+# multi_touch_attribution
+# ---------------------------------------------------------------------
+
+from grass_spark.operators.funnel import multi_touch_attribution
+
+EV_SCHEMA = "event_id bigint, user_id bigint, ts timestamp, event_type string"
+_TS0 = dt.datetime(2024, 1, 1)
+
+
+def _mta_naive(rows, look_s, half_s):
+    """{(conv_id, touch_id): (n, w_linear, w_decay)} ground truth."""
+    convs = [(e, u, ts) for e, u, ts, t in rows if t == "purchase"]
+    touches = [(e, u, ts, t) for e, u, ts, t in rows
+               if t in ("view", "click")]
+    out = {}
+    for cid, cu, cts in convs:
+        cands = [
+            (tid, tts, tt) for tid, tu, tts, tt in touches
+            if tu == cu and tts <= cts
+            and (cts - tts).total_seconds() <= look_s
+        ]
+        if not cands:
+            continue
+        ws = {
+            tid: round(0.5 ** ((cts - tts).total_seconds() / half_s), 6)
+            for tid, tts, _ in cands
+        }
+        s = round(sum(ws.values()), 6)
+        for tid, tts, tt in cands:
+            out[(cid, tid)] = (
+                len(cands),
+                round(1.0 / len(cands), 6),
+                round(ws[tid] / s, 6),
+            )
+    return out
+
+
+def test_multi_touch_semantics(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for eid in range(500):
+        u = rng.randrange(6)
+        ts = _TS0 + dt.timedelta(seconds=rng.randrange(10 * 86400))
+        t = rng.choice(["view", "view", "click", "purchase", "error"])
+        rows.append((eid, u, ts, t))
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    look, half = 2 * 86400, 6 * 3600
+    got = {
+        (r.conv_id, r.touch_id): (r.n_touches, r.w_linear, r.w_decay)
+        for r in multi_touch_attribution(
+            df, lookback_seconds=look, half_life_seconds=half
+        ).collect()
+    }
+    want = _mta_naive(rows, look, half)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+        assert got[k][2] == pytest.approx(want[k][2], abs=2e-6)
+
+
+def test_multi_touch_weights_normalize(spark):
+    rows = [
+        (1, 1, _TS0, "view"),
+        (2, 1, _TS0 + dt.timedelta(hours=1), "click"),
+        (3, 1, _TS0 + dt.timedelta(hours=2), "purchase"),
+        (4, 2, _TS0, "purchase"),          # conversion with no touch
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = multi_touch_attribution(df, half_life_seconds=3600).collect()
+    assert {r.conv_id for r in out} == {3}          # conv 4 drops
+    assert sum(r.w_linear for r in out) == pytest.approx(1.0, abs=1e-5)
+    assert sum(r.w_decay for r in out) == pytest.approx(1.0, abs=1e-5)
+    by_touch = {r.touch_id: r for r in out}
+    # the closer touch (click, 1h old) out-weights the view (2h old)
+    assert by_touch[2].w_decay > by_touch[1].w_decay
+    assert by_touch[2].w_decay == pytest.approx(2 / 3, abs=1e-5)
+
+
+def test_multi_touch_plan_no_window_no_cartesian(spark):
+    rows = [(1, 1, _TS0, "view"), (2, 1, _TS0, "purchase")]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    plan = multi_touch_attribution(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_multi_touch_validation(spark):
+    df = spark.createDataFrame([], EV_SCHEMA)
+    with pytest.raises(ValueError):
+        multi_touch_attribution(df, lookback_seconds=0)
