@@ -180,6 +180,7 @@ TIER2 = [
     "resample_locf",
     "interevent_stats",
     "multi_touch",
+    "session_funnel",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -63,12 +63,19 @@ def event_funnel(
     steps: list[str] | tuple[str, ...],
     window_seconds: int,
     *,
-    user_col: str = "user_id",
+    user_col: str | list[str] | tuple[str, ...] = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
     checkpoint: bool = True,
 ) -> DataFrame:
     """Windowed ordered funnel (ClickHouse ``windowFunnel`` semantics).
+
+    ``user_col`` may be a list of columns — the funnel is then scoped
+    to the composite key (e.g. ``["user_id", "session_idx"]`` after
+    :func:`grass_spark.operators.transitions.sessionize_events` gives a
+    per-session funnel); keys pack into one struct internally, exactly
+    the multi-key treatment in :func:`grass_spark.operators.asof
+    .asof_join`.
 
     A user *enters* the funnel at ``t1 = min(ts)`` of their
     ``steps[0]`` events.  Step *k* completes at the earliest type-*k*
@@ -102,8 +109,9 @@ def event_funnel(
     if int(window_seconds) <= 0:
         raise ValueError("event_funnel: window_seconds must be positive")
 
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
     base = df.select(
-        F.col(user_col).alias("_u"),
+        F.struct(*[F.col(k) for k in keys]).alias("_u"),
         F.col(ts_col).alias("_ts"),
         F.col(type_col).alias("_et"),
     )
@@ -154,7 +162,7 @@ def event_funnel(
             F.col(f"_s{i}").isNotNull(), 1
         ).otherwise(0)
     return out.select(
-        F.col("_u").alias(user_col),
+        *[F.col(f"_u.`{k}`").alias(k) for k in keys],
         F.col("_t1").alias("entered_at"),
         completed.cast("int").alias("steps_completed"),
     )

@@ -664,3 +664,63 @@ ORDER BY cand.conv_id, cand.touch_id
 
 EXT10_QUERIES["multi_touch"] = q_multi_touch
 EXT10_ORACLES["multi_touch"] = ORACLE_MULTI_TOUCH
+
+
+# ---------------------------------------------------------------------
+# session-scoped funnel — composite-key funnel over sessionized events
+# ---------------------------------------------------------------------
+
+_SFUN_GAP = 6 * 3600
+
+
+def q_session_funnel(spark, sf_dir):
+    from grass_spark.operators.transitions import sessionize_events
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize_events(ev, _SFUN_GAP)
+    return event_funnel(
+        sess, ("view", "click"), _SFUN_GAP,
+        user_col=["user_id", "session_idx"],
+    ).orderBy("user_id", "session_idx")
+
+
+ORACLE_SESSION_FUNNEL = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR ts > prev + INTERVAL {_SFUN_GAP} SECOND
+                 THEN 1 ELSE 0 END AS flag
+  FROM s
+),
+x AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(flag) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) - 1 AS BIGINT) AS session_idx
+  FROM f
+),
+s1 AS (
+  SELECT user_id, session_idx, min(ts) AS t1
+  FROM x WHERE event_type = 'view' GROUP BY 1, 2
+),
+s2 AS (
+  SELECT e.user_id, e.session_idx, min(e.ts) AS t2
+  FROM x e JOIN s1 USING (user_id, session_idx)
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {_SFUN_GAP} SECOND
+  GROUP BY 1, 2
+)
+SELECT s1.user_id, s1.session_idx, s1.t1 AS entered_at,
+       CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id, session_idx)
+ORDER BY s1.user_id, s1.session_idx
+"""
+
+EXT10_QUERIES["session_funnel"] = q_session_funnel
+EXT10_ORACLES["session_funnel"] = ORACLE_SESSION_FUNNEL

@@ -284,3 +284,29 @@ def test_multi_touch_validation(spark):
     df = spark.createDataFrame([], EV_SCHEMA)
     with pytest.raises(ValueError):
         multi_touch_attribution(df, lookback_seconds=0)
+
+
+def test_funnel_composite_key(spark):
+    """Multi-column user_col scopes the funnel to the composite key."""
+    rows = [
+        # (user 1, session 0): view -> click completes
+        (1, 1, _TS0, "view"),
+        (2, 1, _TS0 + dt.timedelta(minutes=5), "click"),
+        # (user 1, session 1): view only — the click belongs to sess 0
+        (3, 1, _TS0 + dt.timedelta(hours=12), "view"),
+        # user 2, one session, click precedes view: 1 step
+        (4, 2, _TS0, "click"),
+        (5, 2, _TS0 + dt.timedelta(minutes=1), "view"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA).withColumn(
+        "session_idx",
+        F.when(F.col("event_id") == 3, F.lit(1)).otherwise(F.lit(0)),
+    )
+    got = {
+        (r.user_id, r.session_idx): r.steps_completed
+        for r in event_funnel(
+            df, ("view", "click"), 3600,
+            user_col=["user_id", "session_idx"],
+        ).collect()
+    }
+    assert got == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
