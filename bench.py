@@ -181,6 +181,7 @@ TIER2 = [
     "interevent_stats",
     "multi_touch",
     "session_funnel",
+    "funnel_latency",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -67,8 +67,13 @@ def event_funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     checkpoint: bool = True,
+    return_times: bool = False,
 ) -> DataFrame:
     """Windowed ordered funnel (ClickHouse ``windowFunnel`` semantics).
+
+    ``return_times=True`` appends ``step_ts_2 .. step_ts_n`` columns
+    (the completing event's timestamp per step, NULL where the step
+    was not reached) — feeds time-to-convert analyses.
 
     ``user_col`` may be a list of columns — the funnel is then scoped
     to the composite key (e.g. ``["user_id", "session_idx"]`` after
@@ -151,7 +156,7 @@ def event_funnel(
         prev = nxt.select(
             "_u", "_t1", F.col("_tk").alias("_tprev"), "_deadline"
         )
-        step_frames.append(nxt.select("_u", F.lit(True).alias(f"_s{i}")))
+        step_frames.append(nxt.select("_u", F.col("_tk").alias(f"_s{i}")))
 
     out = s1.select("_u", "_t1")
     for i, frame in enumerate(step_frames, start=2):
@@ -161,10 +166,17 @@ def event_funnel(
         completed = completed + F.when(
             F.col(f"_s{i}").isNotNull(), 1
         ).otherwise(0)
+    time_cols = (
+        [F.col(f"_s{i}").alias(f"step_ts_{i}")
+         for i in range(2, len(steps) + 1)]
+        if return_times
+        else []
+    )
     return out.select(
         *[F.col(f"_u.`{k}`").alias(k) for k in keys],
         F.col("_t1").alias("entered_at"),
         completed.cast("int").alias("steps_completed"),
+        *time_cols,
     )
 
 

@@ -724,3 +724,80 @@ ORDER BY s1.user_id, s1.session_idx
 
 EXT10_QUERIES["session_funnel"] = q_session_funnel
 EXT10_ORACLES["session_funnel"] = ORACLE_SESSION_FUNNEL
+
+
+# ---------------------------------------------------------------------
+# funnel latency — time-to-convert summary per completion depth
+# ---------------------------------------------------------------------
+
+
+def q_funnel_latency(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    fun = event_funnel(
+        ev, _FUNNEL_STEPS, _FUNNEL_WINDOW, return_times=True
+    )
+    # exact integer micros from entry to the deepest completed step
+    lat = F.expr(
+        "timestampdiff(MICROSECOND, entered_at, "
+        "coalesce(step_ts_3, step_ts_2, entered_at))"
+    )
+    g = fun.select("steps_completed", lat.alias("_lat")).groupBy(
+        "steps_completed"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_lat").alias("_s"),
+        F.max("_lat").alias("_m"),
+    )
+    return g.select(
+        "steps_completed",
+        "n",
+        F.round(
+            F.col("_s").cast("double") / (F.col("n") * F.lit(1000000.0)), 6
+        ).alias("mean_latency_s"),
+        F.round(F.col("_m") / F.lit(1000000.0), 6).alias("max_latency_s"),
+    ).orderBy("steps_completed")
+
+
+ORACLE_FUNNEL_LATENCY = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1
+  FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WINDOW} SECOND
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WINDOW} SECOND
+  GROUP BY e.user_id
+),
+j AS (
+  SELECT s1.user_id,
+         CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+              AS INT) AS steps_completed,
+         epoch_us(coalesce(s3.t3, s2.t2, s1.t1)) - epoch_us(s1.t1) AS lat
+  FROM s1
+  LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)
+)
+SELECT steps_completed,
+       count(*) AS n,
+       round(CAST(sum(lat) AS DOUBLE) / (count(*) * 1000000.0), 6)
+         AS mean_latency_s,
+       round(max(lat) / 1000000.0, 6) AS max_latency_s
+FROM j GROUP BY steps_completed
+ORDER BY steps_completed
+"""
+
+EXT10_QUERIES["funnel_latency"] = q_funnel_latency
+EXT10_ORACLES["funnel_latency"] = ORACLE_FUNNEL_LATENCY

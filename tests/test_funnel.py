@@ -310,3 +310,27 @@ def test_funnel_composite_key(spark):
         ).collect()
     }
     assert got == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_funnel_return_times(spark):
+    rows = [
+        (1, 1, _TS0, "view"),
+        (2, 1, _TS0 + dt.timedelta(hours=1), "click"),
+        (3, 1, _TS0 + dt.timedelta(hours=2), "purchase"),
+        (4, 2, _TS0, "view"),
+        (5, 2, _TS0 + dt.timedelta(hours=3), "click"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {
+        r.user_id: r
+        for r in event_funnel(
+            df, ("view", "click", "purchase"), 86400, return_times=True
+        ).collect()
+    }
+    assert out[1].step_ts_2 == _TS0 + dt.timedelta(hours=1)
+    assert out[1].step_ts_3 == _TS0 + dt.timedelta(hours=2)
+    assert out[2].step_ts_2 == _TS0 + dt.timedelta(hours=3)
+    assert out[2].step_ts_3 is None
+    # default output keeps the original 3-column contract
+    slim = event_funnel(df, ("view", "click", "purchase"), 86400)
+    assert slim.columns == ["user_id", "entered_at", "steps_completed"]
