@@ -182,6 +182,11 @@ TIER2 = [
     "multi_touch",
     "session_funnel",
     "funnel_latency",
+    "active_users",
+    "rfm_segments",
+    "cusum_alarms",
+    "type_correlations",
+    "activity_histogram",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

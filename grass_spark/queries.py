@@ -861,3 +861,10 @@ from grass_spark.queries_ext10 import EXT10_ORACLES, EXT10_QUERIES  # noqa: E402
 
 QUERIES.update(EXT10_QUERIES)
 ORACLES.update(EXT10_ORACLES)
+
+# Eleventh wave (engagement & monitoring analytics) —
+# grass_spark.queries_ext11
+from grass_spark.queries_ext11 import EXT11_ORACLES, EXT11_QUERIES  # noqa: E402
+
+QUERIES.update(EXT11_QUERIES)
+ORACLES.update(EXT11_ORACLES)
