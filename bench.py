@@ -187,6 +187,9 @@ TIER2 = [
     "cusum_alarms",
     "type_correlations",
     "activity_histogram",
+    "association_rules",
+    "source_overlap",
+    "skew_report",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

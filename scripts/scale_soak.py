@@ -1466,6 +1466,104 @@ def _seq_soak(args) -> None:
     spark.stop()
 
 
+def _engagement_soak(args) -> None:
+    """Engagement-analytics soak: rolling actives / RFM / CUSUM /
+    type correlations over N synthetic events with the 10%-hot bot
+    user.  Every operator reduces volume in ONE map-side-combinable
+    groupBy on (user, day) or (day, type) — the bot user spreads over
+    ~90 calendar days, so no shuffle key is hotter than N/10/90 and
+    the partial aggregation absorbs it.  Downstream frames are
+    calendar- or census-bounded.  Like rate_anomalies, the wall is
+    scan+partial-agg bandwidth; report throughput at lo/hi cores."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.engagement import (
+        cusum_alarms,
+        rfm_segments,
+        rolling_active_users,
+        type_correlations,
+    )
+    from grass_spark.session import get_spark
+
+    n = args.engagement_events
+    n_users = max(n // 2000, 10)
+    spark = get_spark(
+        "soak_engagement", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, min(1024, n // 200_000)),
+    )
+    h = F.abs(F.xxhash64(F.lit(11), "event_id"))
+    types = F.array(
+        F.lit("view"), F.lit("view"), F.lit("view"), F.lit("view"),
+        F.lit("click"), F.lit("click"), F.lit("signup"),
+        F.lit("purchase"), F.lit("error"), F.lit("error"),
+    )
+    ev = (
+        spark.range(n).withColumnRenamed("id", "event_id")
+        .repartition(args.cores * 4)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 10 == 0, F.lit(0).cast("bigint"))
+            .otherwise(1 + F.abs(F.xxhash64(F.lit(3), "event_id"))
+                       % F.lit(n_users)).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (h % F.lit(90 * 86400))
+            ).alias("ts"),
+            F.element_at(types, (h % 10 + 1).cast("int"))
+            .alias("event_type"),
+            ((h % 10000) / F.lit(100.0)).alias("value"),
+        )
+        .localCheckpoint()
+    )
+    out: dict = {"events": n, "users": n_users, "cores": args.cores}
+    if args.engagement_op in ("all", "actives"):
+        t0 = time.perf_counter()
+        r = rolling_active_users(ev, window_days=7).agg(
+            F.count(F.lit(1)).alias("days"), F.max("wau").alias("max_wau")
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            actives_days=int(r["days"]), max_wau=int(r["max_wau"]),
+            actives_sec=wall, actives_events_per_sec=round(n / wall),
+        )
+    if args.engagement_op in ("all", "rfm"):
+        t0 = time.perf_counter()
+        r = rfm_segments(ev).agg(
+            F.count(F.lit(1)).alias("users"),
+            F.countDistinct("segment").alias("segments"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            rfm_users=int(r["users"]), rfm_segments=int(r["segments"]),
+            rfm_sec=wall, rfm_events_per_sec=round(n / wall),
+        )
+    if args.engagement_op in ("all", "cusum"):
+        t0 = time.perf_counter()
+        r = cusum_alarms(ev, drift=max(n // n_users // 90, 1) * 2,
+                         threshold=max(n // n_users // 90, 1) * 10).agg(
+            F.count(F.lit(1)).alias("users"),
+            F.count("alarm_day").alias("alarms"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            cusum_users=int(r["users"]), cusum_alarms=int(r["alarms"]),
+            cusum_sec=wall, cusum_events_per_sec=round(n / wall),
+        )
+    if args.engagement_op in ("all", "corr"):
+        t0 = time.perf_counter()
+        r = type_correlations(ev).agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.max(F.abs("corr")).alias("max_abs_corr"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            corr_pairs=int(r["pairs"]),
+            max_abs_corr=float(r["max_abs_corr"]),
+            corr_sec=wall, corr_events_per_sec=round(n / wall),
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -1581,6 +1679,14 @@ def main() -> None:
                          "(funnel is ~5x faster per event than "
                          "retention — size N per op for minutes-long "
                          "walls)")
+    ap.add_argument("--engagement-events", type=int, default=0,
+                    help="run the engagement-analytics soak over N "
+                         "synthetic events (rolling actives / RFM / "
+                         "CUSUM / correlations) and exit")
+    ap.add_argument("--engagement-op",
+                    choices=("all", "actives", "rfm", "cusum", "corr"),
+                    default="all",
+                    help="which op the --engagement-events soak times")
     ap.add_argument("--seq-events", type=int, default=0,
                     help="sequence-operator soak: transition matrix / "
                          "rate anomalies / as-of attribution over N "
@@ -1592,6 +1698,9 @@ def main() -> None:
                     help="which sequence op the --seq-events soak times")
     args = ap.parse_args()
 
+    if args.engagement_events:
+        _engagement_soak(args)
+        return
     if args.seq_events:
         _seq_soak(args)
         return
