@@ -190,6 +190,9 @@ TIER2 = [
     "association_rules",
     "source_overlap",
     "skew_report",
+    "readability",
+    "lexical_diversity",
+    "length_drift",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -309,3 +309,101 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(out, c)
+
+
+def readability(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-document Flesch reading ease + Flesch–Kincaid grade.
+
+    Heuristic components, all scan-stage expressions (0 Exchange, no
+    Python): sentences = runs of ``[.!?]`` (min 1), words =
+    whitespace tokens of the normalized text, syllables = vowel
+    groups per word with a floor of 1 (the standard cheap proxy).
+    The syllable fold's lambda touches only its own arguments — no
+    captured derived expression (the CollapseProject hazard).  Every
+    piece replays bit-for-bit in DuckDB (``regexp_count`` ==
+    ``len(regexp_extract_all)``); the score divisions cast exact
+    integer counts to double in a fixed order and round to 6 dp.
+
+    Reference analog: r.univar-style per-map scalar summaries
+    (``raster/r.univar``) — per-document scalar quality metrics.
+    """
+    from grass_spark.operators.dedup import normalize_text as _nrm
+
+    t = _nrm(F.col(text_col))
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)
+        ).cast("long"),
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    return df.select(
+        *id_cols,
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group lexical diversity: token/type counts, type-token
+    ratio, and hapax share (fraction of types occurring exactly once).
+
+    One map-side-combinable census on (group, word) absorbs corpus
+    volume; the per-group rollup runs over census rows only.  Returns
+    ``(group_col, n_tokens, n_types, ttr, hapax_share)``.
+    """
+    from grass_spark.operators.dedup import normalize_text as _nrm
+
+    census = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(_nrm(F.col(text_col)), " ")).alias("_w"),
+        )
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    out = census.groupBy("_g").agg(
+        F.sum("_f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("_f") == 1, 1).otherwise(0)).alias("_hapax"),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.col("_hapax").cast("double")
+            / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_share"),
+    ).orderBy(group_col)

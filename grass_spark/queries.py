@@ -874,3 +874,9 @@ from grass_spark.queries_ext12 import EXT12_ORACLES, EXT12_QUERIES  # noqa: E402
 
 QUERIES.update(EXT12_QUERIES)
 ORACLES.update(EXT12_ORACLES)
+
+# Thirteenth wave (text metrics & drift) — grass_spark.queries_ext13
+from grass_spark.queries_ext13 import EXT13_ORACLES, EXT13_QUERIES  # noqa: E402
+
+QUERIES.update(EXT13_QUERIES)
+ORACLES.update(EXT13_ORACLES)
