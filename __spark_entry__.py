@@ -23,7 +23,9 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("readability", "lexical_diversity", "length_drift",
+_PRIORITY = ("bm25_search", "pmi_collocations", "mad_outliers",
+             "km_survival", "acf_daily",
+             "readability", "lexical_diversity", "length_drift",
              "association_rules", "source_overlap", "skew_report",
              "active_users", "rfm_segments", "cusum_alarms",
              "type_correlations", "activity_histogram",

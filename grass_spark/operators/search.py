@@ -1,0 +1,144 @@
+"""Corpus BM25 retrieval scoring — rank documents against a small set
+of query strings with Okapi BM25 (Robertson–Spärck Jones; the Lucene
+``k1``/``b`` variant with the +1-smoothed idf, so scores are never
+negative).
+
+Training-data pipelines use this as the retrieval leg of targeted
+curation: given a handful of probe queries ("quality seed" passages,
+benchmark prompts, domain descriptors), score the whole corpus and
+keep/inspect the top hits per query.  The reference engine has no
+retrieval module — this extends the corpus toolbox alongside TF-IDF
+(operators/keywords.py), which shares its tokenizer.
+
+Scale shape (what survives 100 TB):
+
+* one corpus scan builds ``tf`` = groupBy(doc, word) — map-side
+  combinable; doc length ``dl`` comes from the SAME groupBy via a
+  second pass over the tf frame keyed on the doc id (never a separate
+  text re-scan).
+* the document-frequency census is vocabulary-sized; it is filtered to
+  the query vocabulary (tiny) BEFORE joining, so the corpus-sized tf
+  frame joins once against a broadcast term table and once (on the doc
+  id) to pick up ``dl``.
+* corpus cardinalities (N docs, total tokens) are a 1-row aggregate
+  broadcast-crossJoined into the plan — nothing collected.
+* top-k per query reuses the two-stage sharded selection
+  (:func:`grass_spark.operators.similarity._topk_per_query` shape): a
+  common query term can match a constant fraction of the corpus, so a
+  bare ``partitionBy(query)`` window would single-task it.
+
+Cross-engine parity: contributions are pure double arithmetic over
+exact integer counts with the association order mirrored verbatim in
+the DuckDB oracle; ``ln`` may differ in the last ulp between JVM and
+libm, so the summed score is rounded to 6 dp and ranking uses the
+rounded score with the doc id as tie-break (the tfidf_keywords
+convention, CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from grass_spark.operators.keywords import WORD_PATTERN, doc_terms
+
+
+def query_terms(
+    queries: DataFrame,
+    *,
+    q_id_col: str = "query_id",
+    q_text_col: str = "q_text",
+) -> DataFrame:
+    """(query_id, word) — DISTINCT query terms (BM25 ignores query-side
+    term multiplicity; duplicated words in a query string score once)."""
+    words = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.col(q_text_col)), F.lit(WORD_PATTERN), F.lit(0)
+        )
+    ).alias("word")
+    return queries.select(F.col(q_id_col), words).distinct()
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_id_col: str = "query_id",
+    q_text_col: str = "q_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    salts: int = 16,
+) -> DataFrame:
+    """Top-``top_k`` documents per query by BM25.
+
+    Returns (query_id, doc_id, n_terms, score, rank) where ``n_terms``
+    counts the distinct query terms present in the doc, ``score`` is
+    the 6-dp-rounded BM25 sum and rank 1..top_k orders by
+    (score desc, doc_id asc).  Docs matching no query term are absent.
+
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive);
+    ``tf_part = tf*(k1+1) / (tf + k1*((1-b) + b*(dl/avgdl)))`` with
+    ``avgdl = total_tokens / N`` over ALL input docs (token-less docs
+    count in N with dl = 0 — they can never match anyway).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    tf = doc_terms(docs, text_col=text_col, id_col=id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    qt = query_terms(queries, q_id_col=q_id_col, q_text_col=q_text_col)
+    # vocabulary census, filtered to the (tiny) query vocabulary before
+    # any corpus-sized join — both joins below broadcast the term side
+    qwords = qt.select("word").distinct()
+    dfreq = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(qwords), "word")
+    )
+    scalars = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tf.agg(F.sum("tf").alias("total_tokens"))
+    )
+    terms = F.broadcast(qt.join(F.broadcast(dfreq), "word"))
+    matched = (
+        tf.join(terms, "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+    )
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / n_d
+    idf = F.log(F.lit(1.0) + (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)))
+    tf_part = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d + F.lit(float(k1)) * (F.lit(1.0 - b) + F.lit(float(b)) * (dl_d / avgdl))
+    )
+    scored = (
+        matched.withColumn("_contrib", idf * tf_part)
+        .groupBy(q_id_col, id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("_contrib"), 6).alias("score"),
+        )
+    )
+    # two-stage sharded top-k: stage 1 ranks within (query, doc-shard)
+    # so no task ever sees more than ~|matches|/salts rows; stage 2
+    # ranks the <= salts*top_k survivors.  Exact-superset argument as
+    # operators/similarity._topk_per_query / operators/caps.py.
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)).cast("int")
+    local = Window.partitionBy(q_id_col, "_s").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    final = Window.partitionBy(q_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_s", shard)
+        .withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= top_k)
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= top_k)
+        .drop("_s", "_rn")
+    )

@@ -880,3 +880,9 @@ from grass_spark.queries_ext13 import EXT13_ORACLES, EXT13_QUERIES  # noqa: E402
 
 QUERIES.update(EXT13_QUERIES)
 ORACLES.update(EXT13_ORACLES)
+
+# Fourteenth wave (retrieval & robust analytics) — queries_ext14
+from grass_spark.queries_ext14 import EXT14_ORACLES, EXT14_QUERIES  # noqa: E402
+
+QUERIES.update(EXT14_QUERIES)
+ORACLES.update(EXT14_ORACLES)
