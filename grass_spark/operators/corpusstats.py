@@ -1,0 +1,131 @@
+"""Per-source corpus-statistics diagnostics: unigram Shannon entropy
+(token diversity / degenerate-source detector) and a Zipf-law slope
+fit (natural corpora run slope ≈ −1; generated/boilerplate text bends
+the curve — a cheap synthetic-data / template-spam signal).
+
+Scale shape: everything derives from ONE map-side-combinable
+``groupBy(source, word)`` census; entropy is a census-sized aggregate,
+the Zipf fit ranks only within a source's vocabulary (window bounded
+by per-source DISTINCT words, never corpus rows) and regresses over
+the top-``n_top`` ranks per source.
+
+Cross-engine parity: entropy uses H = ln(n) − Σ c·ln(c) / n over
+exact integer counts with each ``c·ln(c)`` term rounded to 6 dp
+before the sum (JVM/libm ln last-ulp; at petabyte counts the terms
+reach ~1e11 where round-6 cannot absorb ulp error — the 6-dp gate is
+a small-scale correctness proof, the operator itself is
+order-independent to ~1e-9 relative).  The Zipf OLS composes from
+per-rank ln terms rounded the same way; ranks are deterministic
+(freq desc, word asc).  sqrt/division are IEEE-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from grass_spark.operators.keywords import WORD_PATTERN
+
+
+def source_word_census(
+    df: DataFrame, *, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """(source, word, c) — per-source word counts, one corpus scan."""
+    words = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+        )
+    ).alias("word")
+    return (
+        df.select(F.col(group_col).alias("source"), words)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def source_entropy(
+    df: DataFrame, *, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """(source, n_tokens, vocab, entropy, entropy_norm, perplexity).
+
+    ``entropy`` is the unigram Shannon entropy in nats (6-dp),
+    ``entropy_norm`` divides by ln(vocab) (1.0 = perfectly uniform;
+    NULL for a single-word source), ``perplexity = exp(entropy)``.
+    """
+    cen = source_word_census(df, text_col=text_col, group_col=group_col)
+    agg = cen.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(
+            F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")), 6)
+        ).alias("_sclnc"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    h = F.round(F.log(n_d) - F.col("_sclnc") / n_d, 6)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        h.alias("entropy"),
+        F.when(
+            F.col("vocab") > 1,
+            F.round(h / F.log(F.col("vocab").cast("double")), 6),
+        ).alias("entropy_norm"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    ).orderBy("source")
+
+
+def zipf_slope(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_top: int = 100,
+) -> DataFrame:
+    """(source, n_top, slope, intercept, r2) — OLS of ln(freq) on
+    ln(rank) over the top-``n_top`` words per source (rank 1 =
+    most frequent; ties break word-asc so ranks are deterministic,
+    and tied frequencies make the fit order-invariant anyway).
+
+    slope/intercept/r2 are 6-dp rounded; sources with a single ranked
+    word return NULL slope (no x-variance).  r2 is NULL when the
+    top-``n_top`` frequencies are all equal (zero y-variance).
+    """
+    if n_top < 2:
+        raise ValueError(f"n_top must be >= 2, got {n_top}")
+    cen = source_word_census(df, text_col=text_col, group_col=group_col)
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("word"))
+    top = cen.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= n_top
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6)
+    y = F.round(F.log(F.col("c").cast("double")), 6)
+    pts = top.select("source", x.alias("_x"), y.alias("_y"))
+    agg = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n_d = F.col("n_top").cast("double")
+    sxx = n_d * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    syy = n_d * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    sxy = n_d * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when(F.round(sxx, 6) != 0.0, F.round(sxy / sxx, 6))
+    intercept = F.when(
+        F.round(sxx, 6) != 0.0,
+        F.round((F.col("_sy") - (sxy / sxx) * F.col("_sx")) / n_d, 6),
+    )
+    r2 = F.when(
+        (F.round(sxx, 6) != 0.0) & (F.round(syy, 6) != 0.0),
+        F.round((sxy * sxy) / (sxx * syy), 6),
+    )
+    return agg.select(
+        "source",
+        "n_top",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    ).orderBy("source")

@@ -1,0 +1,118 @@
+"""Seasonal (hour-of-week) traffic profile and anomaly flags — the
+monitoring gate that knows Tuesday-3pm is always busy: for every
+(event_type, day-of-week, hour) cell, a baseline mean/std over the
+weeks in the data, then a z-flag on each actual (type, date, hour)
+cell against its own seasonal baseline.
+
+Complements the trailing-window rate anomalies (operators/
+transitions.py, which detect change-from-recent-past) and CUSUM
+(engagement.py, level shifts): this one detects deviation from the
+RECURRING pattern, so a quiet Sunday spike flags even when the
+trailing week was quieter still.
+
+Scale shape: ONE map-side-combinable groupBy((type, date, hour))
+census collapses the event stream; the hour spine (distinct dates ×
+24 hours × distinct types — calendar×type bounded, zero-count cells
+MUST exist or the baseline mean is biased high) and both aggregates
+run on census-sized frames.  Baselines join back per (type, dow,
+hour) — a bounded broadcast.
+
+Cross-engine parity: means/variances compose from exact integer power
+sums (squared counts in DECIMAL(38,0)); sqrt is IEEE-correctly-rounded
+(portable, unlike ln/exp); the flag compares 6-dp-rounded deviation to
+6-dp-rounded threshold.  Day-of-week is computed portably as
+days-since-a-known-Monday mod 7 (0 = Monday) — Spark ``dayofweek`` and
+DuckDB ``dayofweek`` disagree on anchoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MONDAY = "1970-01-05"  # a Monday: portable dow = datediff % 7
+
+
+def hourly_cells(
+    events: DataFrame, *, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """(event_type, day, hour, dow, x) — gap-FILLED hourly counts over
+    the full (distinct-date × 24 × distinct-type) spine."""
+    census = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("date").alias("day"),
+        F.hour(ts_col).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    days = census.select("day").distinct()
+    types = census.select("event_type").distinct()
+    hours = days.sparkSession.range(24).select(
+        F.col("id").cast("int").alias("hour")
+    )
+    spine = days.crossJoin(F.broadcast(types)).crossJoin(F.broadcast(hours))
+    return (
+        spine.join(census, ["event_type", "day", "hour"], "left")
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            F.pmod(
+                F.datediff("day", F.lit(_MONDAY).cast("date")), F.lit(7)
+            ).alias("dow"),
+            F.coalesce("_c", F.lit(0)).alias("x"),
+        )
+    )
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    z: float = 3.0,
+) -> DataFrame:
+    """Flagged cells: (event_type, day, hour, dow, x, mu, sigma)
+    where ``round(|x - mu|, 6) > round(z * sigma, 6)`` against the
+    (type, dow, hour) baseline — AND sigma > 0 (a constant cell can
+    never flag).  mu/sigma are population moments over the weeks in
+    the data, 6-dp rounded on output; ordered by (type, day, hour).
+    """
+    cells = hourly_cells(
+        events, ts_col=ts_col, type_col=type_col
+    ).localCheckpoint(eager=False)  # feeds baseline + flag scan
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    base = cells.groupBy("event_type", "dow", "hour").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x").alias("_s1"),
+        F.sum(dec("x") * dec("x")).alias("_s2"),
+    )
+    n_d = F.col("_n").cast("double")
+    mu = F.col("_s1").cast("double") / n_d
+    var = F.col("_s2").cast("double") / n_d - mu * mu
+    sigma = F.sqrt(F.greatest(F.round(var, 6), F.lit(0.0)))
+    scored = cells.join(
+        F.broadcast(base), ["event_type", "dow", "hour"]
+    ).select(
+        "event_type",
+        "day",
+        "hour",
+        "dow",
+        "x",
+        mu.alias("_mu"),
+        sigma.alias("_sigma"),
+    )
+    flagged = scored.where(
+        (F.col("_sigma") > 0)
+        & (
+            F.round(F.abs(F.col("x").cast("double") - F.col("_mu")), 6)
+            > F.round(F.lit(float(z)) * F.col("_sigma"), 6)
+        )
+    )
+    return flagged.select(
+        "event_type",
+        "day",
+        "hour",
+        "dow",
+        "x",
+        F.round("_mu", 6).alias("mu"),
+        F.round("_sigma", 6).alias("sigma"),
+    ).orderBy("event_type", "day", "hour")

@@ -886,3 +886,9 @@ from grass_spark.queries_ext14 import EXT14_ORACLES, EXT14_QUERIES  # noqa: E402
 
 QUERIES.update(EXT14_QUERIES)
 ORACLES.update(EXT14_ORACLES)
+
+# Fifteenth wave (seasonal & corpus statistics) — queries_ext15
+from grass_spark.queries_ext15 import EXT15_ORACLES, EXT15_QUERIES  # noqa: E402
+
+QUERIES.update(EXT15_QUERIES)
+ORACLES.update(EXT15_ORACLES)
