@@ -82,12 +82,16 @@ def pmi_collocations(
     ws = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
     )
+    # both censuses feed multiple consumers (totals + joins) with
+    # different pruned projections — checkpoint or the corpus scan
+    # re-executes per consumer (the BM25/prepare_corpus lesson)
     uni = (
         df.select(F.explode(ws).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=False)
     )
-    big = bigram_counts(df, text_col=text_col)
+    big = bigram_counts(df, text_col=text_col).localCheckpoint(eager=False)
     # totals BEFORE the min_count filter (probabilities are corpus
     # probabilities, not frequent-pair probabilities)
     scalars = uni.agg(F.sum("cw").alias("n1")).crossJoin(

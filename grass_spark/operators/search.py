@@ -86,7 +86,13 @@ def bm25_search(
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    tf = doc_terms(docs, text_col=text_col, id_col=id_col)
+    # tf feeds FOUR consumers (dl, dfreq, total_tokens, the match
+    # join) whose pruned projections defeat ReuseExchange — without
+    # this the corpus tokenize+groupBy re-executes per consumer
+    # (measured 5 scans / 0 reuse; the prepare_corpus lesson)
+    tf = doc_terms(docs, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     qt = query_terms(queries, q_id_col=q_id_col, q_text_col=q_text_col)
     # vocabulary census, filtered to the (tiny) query vocabulary before

@@ -274,3 +274,33 @@ def test_acf_matches_numpy(spark):
     for k in range(1, 5):
         want = (((x[:-k] - xbar) * (x[k:] - xbar)).sum()) / den
         assert got[k] == pytest.approx(want, abs=1e-6)
+
+
+# ------------------------------------------------------- plan contracts
+def _nscans(df):
+    return df._jdf.queryExecution().executedPlan().toString().count(
+        "Scan parquet"
+    )
+
+
+def test_bm25_single_corpus_tokenize_scan(spark, tmp_path):
+    # tf feeds 4 consumers; the lazy checkpoint must hold the plan to
+    # one tokenize scan (+ the column-less n_docs count scan).  Was 5
+    # scans / 0 reuse before the fix.
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(20)],
+        "doc_id bigint, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    q = spark.createDataFrame([(1, "alpha")], "query_id int, q_text string")
+    assert _nscans(bm25_search(docs, q, top_k=3)) <= 3
+
+
+def test_pmi_two_census_scans_only(spark, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [("alpha beta gamma",)] * 20, "text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    assert _nscans(pmi_collocations(docs, min_count=2, top_k=5)) <= 2
