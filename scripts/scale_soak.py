@@ -289,6 +289,69 @@ def _drift_soak(args) -> None:
     }))
 
 
+def _bm25_soak(args) -> None:
+    """BM25 retrieval at 10^6-doc scale: one tokenize scan feeds the
+    checkpointed tf census; dl/df censuses + candidate join + sharded
+    top-k run downstream.  8 probe queries of 3 vocab words each (~
+    n*40/5000 matches per word — the candidate frame is corpus-
+    fraction-sized, the realistic shape).  Interleaved lo/hi, min-of-2."""
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.search import bm25_search
+    from grass_spark.session import get_spark
+
+    n = args.bm25_docs
+    doc_path = os.path.join(args.data, f"docs_{n}")
+    marker = doc_path + "_done"
+    gen_sec = 0.0
+    if not os.path.exists(marker):
+        spark = get_spark("soak_doc_gen", cores=None, shuffle_partitions=64)
+        t0 = time.perf_counter()
+        synth_documents(spark, n_docs=n).write.mode("overwrite").parquet(doc_path)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        open(marker, "w").write("ok")
+
+    probe = [
+        (i, f"w{(11 * i) % 5000} w{(37 * i + 3) % 5000} w{(101 * i + 7) % 5000}")
+        for i in range(1, 9)
+    ]
+
+    def one_run(cores: int) -> tuple[float, int]:
+        spark = get_spark(
+            "soak_bm25", cores=cores,
+            shuffle_partitions=max(cores * 4, 32),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        d = spark.read.parquet(doc_path).select("doc_id", "text")
+        d = d.repartition(cores * 4).localCheckpoint()
+        q = spark.createDataFrame(probe, "query_id int, q_text string")
+        t0 = time.perf_counter()
+        hits = bm25_search(d, q, top_k=10).count()
+        dt = round(time.perf_counter() - t0, 1)
+        spark.stop()
+        return dt, hits
+
+    lo, hi = 2, args.cores
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    hits = 0
+    for _ in range(2):
+        for cores in (lo, hi):
+            dt, hits = one_run(cores)
+            times[cores].append(dt)
+    sec_lo, sec_hi = min(times[lo]), min(times[hi])
+    speedup = round(sec_lo / sec_hi, 3)
+    print(json.dumps({
+        "docs": n, "gen_sec": gen_sec, "queries": len(probe),
+        "cores_lo": lo, "cores_hi": hi,
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "times_lo": times[lo], "times_hi": times[hi],
+        "docs_per_sec_hi": round(n / sec_hi),
+        "speedup": speedup,
+        "efficiency": round(speedup / (hi / lo), 3),
+        "hits": hits,
+    }))
+
+
 def _dsir_soak(args) -> None:
     """DSIR selection at 10^6 raw docs: two distribution fits (one
     combinable groupBy(bucket) each over the gram Generates), the
@@ -1687,6 +1750,10 @@ def main() -> None:
                     choices=("all", "actives", "rfm", "cusum", "corr"),
                     default="all",
                     help="which op the --engagement-events soak times")
+    ap.add_argument("--bm25-docs", type=int, default=0,
+                    help="BM25 retrieval soak: score 8 probe queries "
+                         "over N synthetic docs (one tokenize scan, "
+                         "two censuses, sharded top-k), lo/hi")
     ap.add_argument("--seq-events", type=int, default=0,
                     help="sequence-operator soak: transition matrix / "
                          "rate anomalies / as-of attribution over N "
@@ -1700,6 +1767,9 @@ def main() -> None:
 
     if args.engagement_events:
         _engagement_soak(args)
+        return
+    if args.bm25_docs:
+        _bm25_soak(args)
         return
     if args.seq_events:
         _seq_soak(args)
