@@ -158,3 +158,55 @@ def decontaminate(
             F.col("n_hit_shingles") >= min_hit_shingles
         ).select(id_col)
     return corpus.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def novelty_report(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: what
+    share of the doc's word-``n``-gram window positions carry a
+    shingle NEVER seen in the reference.
+
+    The memorization/freshness dual of :func:`contamination_report`
+    (same shingle machinery, opposite sign): high novelty = new
+    material; near-zero novelty = the reference already covers the
+    doc (stale re-crawl, template spam, or verbatim copy).  Returns
+    ONE row per corpus doc — docs with zero reference overlap score
+    novelty 1.0, never drop out.
+
+    Plan shape: the corpus never shuffles before the per-doc groupBy
+    over its own positions; the reference shingle set is distinct-ed
+    and broadcast (reference = curated/eval-sized).  Counts are window
+    POSITIONS (map-side, no corpus-wide distinct) — the
+    decontaminate convention.
+    """
+    ref_text_col = ref_text_col or text_col
+    sh = shingle_positions(corpus, text_col, n, id_col)
+    ref = (
+        shingle_positions(reference, ref_text_col, n)
+        .select("s")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = sh.join(F.broadcast(ref), "s", "left")
+    return (
+        joined.groupBy(id_col, "n_shingles")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_seen"))
+        .select(
+            id_col,
+            "n_shingles",
+            "n_seen",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_seen").cast("double")
+                  / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

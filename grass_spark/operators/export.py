@@ -201,3 +201,48 @@ def shard_manifest(
     if tokens_col is not None:
         aggs.insert(2, F.sum(F.col(tokens_col)).cast("bigint").alias("n_tokens"))
     return staged.groupBy("shard_id").agg(*aggs)
+
+
+def grouped_splits(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    group_col: str,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe split labels: the split is a pure function of the
+    GROUP key, so every row of a group lands in the same split.
+
+    Plain per-id splitting leaks whenever related rows (near-dup
+    documents, turns of one conversation, sessions of one user)
+    straddle train and validation — the model "generalizes" to rows it
+    effectively saw.  Hashing the group key instead makes co-assignment
+    structural.  Same scan-stage CASE chain as
+    :func:`split_assignments`; zero shuffle, zero rand().
+    """
+    return split_assignments(df, fractions, id_col=group_col, salt=salt)
+
+
+def content_splits(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    text_col: str = "text",
+    salt: str = "split",
+) -> DataFrame:
+    """Exact-duplicate-safe splits: the group key is the md5 of the
+    NORMALIZED text (the exact-dedup content hash), so byte-identical
+    and whitespace/case-variant copies always co-assign — the most
+    common train/test leak.  Adds ``content_key`` and ``split``.
+
+    Near-duplicate leakage needs a cluster id from the near-dedup
+    family fed through :func:`grouped_splits` instead.
+    """
+    from grass_spark.operators.dedup import normalize_text
+
+    d = df.withColumn(
+        "content_key", F.md5(normalize_text(F.col(text_col)))
+    )
+    return grouped_splits(
+        d, fractions, group_col="content_key", salt=salt
+    )

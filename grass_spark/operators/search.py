@@ -59,42 +59,20 @@ def query_terms(
     return queries.select(F.col(q_id_col), words).distinct()
 
 
-def bm25_search(
-    docs: DataFrame,
-    queries: DataFrame,
-    *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    q_id_col: str = "query_id",
-    q_text_col: str = "q_text",
-    k1: float = 1.2,
-    b: float = 0.75,
-    top_k: int = 10,
-    salts: int = 16,
+def _census_candidates(
+    docs: DataFrame, qt: DataFrame, *, text_col: str, id_col: str
 ) -> DataFrame:
-    """Top-``top_k`` documents per query by BM25.
+    """Index-build path: full (doc, word) tf census, then probe.
 
-    Returns (query_id, doc_id, n_terms, score, rank) where ``n_terms``
-    counts the distinct query terms present in the doc, ``score`` is
-    the 6-dp-rounded BM25 sum and rank 1..top_k orders by
-    (score desc, doc_id asc).  Docs matching no query term are absent.
-
-    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive);
-    ``tf_part = tf*(k1+1) / (tf + k1*((1-b) + b*(dl/avgdl)))`` with
-    ``avgdl = total_tokens / N`` over ALL input docs (token-less docs
-    count in N with dl = 0 — they can never match anyway).
+    tf feeds FOUR consumers (dl, dfreq, total_tokens, the match join)
+    whose pruned projections defeat ReuseExchange — without the
+    checkpoint the corpus tokenize+groupBy re-executes per consumer
+    (measured 5 scans / 0 reuse; the prepare_corpus lesson).
     """
-    if top_k < 1:
-        raise ValueError(f"top_k must be >= 1, got {top_k}")
-    # tf feeds FOUR consumers (dl, dfreq, total_tokens, the match
-    # join) whose pruned projections defeat ReuseExchange — without
-    # this the corpus tokenize+groupBy re-executes per consumer
-    # (measured 5 scans / 0 reuse; the prepare_corpus lesson)
     tf = doc_terms(docs, text_col=text_col, id_col=id_col).localCheckpoint(
         eager=False
     )
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    qt = query_terms(queries, q_id_col=q_id_col, q_text_col=q_text_col)
     # vocabulary census, filtered to the (tiny) query vocabulary before
     # any corpus-sized join — both joins below broadcast the term side
     qwords = qt.select("word").distinct()
@@ -107,11 +85,127 @@ def bm25_search(
         tf.agg(F.sum("tf").alias("total_tokens"))
     )
     terms = F.broadcast(qt.join(F.broadcast(dfreq), "word"))
-    matched = (
+    return (
         tf.join(terms, "word")
         .join(dl, id_col)
         .crossJoin(F.broadcast(scalars))
     )
+
+
+def _scan_candidates(
+    docs: DataFrame,
+    qt: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    q_id_col: str,
+) -> DataFrame:
+    """Query-pushdown path: the query vocabulary (collected —
+    probe-set-bounded by contract) filters the token arrays IN the
+    scan stage, so the only corpus-keyed shuffle carries occurrences
+    of query terms (~|terms|/|vocab| of the census path's volume).
+
+    The token array is materialized once per row (the checkpointed
+    projection) — referencing the derived ``regexp_extract_all`` from
+    size() AND filter() would re-run the regex per reference
+    (CollapseProject inlines; the SQ8 lesson).  df/dl/tf are exact and
+    identical to the census path (pinned by tests).
+    """
+    terms = sorted({r["word"] for r in qt.select("word").collect()})
+    ws = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+    )
+    toks = docs.select(F.col(id_col), ws.alias("_ws")).localCheckpoint(
+        eager=False
+    )
+    scalars = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_ws")).alias("total_tokens"),
+    )
+    if not terms:  # no alnum token in any query: no candidates
+        return (
+            toks.select(F.col(id_col))
+            .limit(0)
+            .withColumn("word", F.lit(""))
+            .withColumn("dl", F.lit(0).cast("bigint"))
+            .withColumn("tf", F.lit(0).cast("bigint"))
+            .join(F.broadcast(qt), "word")
+            .withColumn("df", F.lit(0).cast("bigint"))
+            .crossJoin(F.broadcast(scalars))
+        )
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    occ = toks.select(
+        F.col(id_col),
+        F.size("_ws").cast("bigint").alias("dl"),
+        F.explode(
+            F.filter("_ws", lambda w: F.array_contains(lit_terms, w))
+        ).alias("word"),
+    )
+    cand = occ.groupBy(id_col, "dl", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = cand.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        cand.join(F.broadcast(qt), "word")
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(scalars))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_id_col: str = "query_id",
+    q_text_col: str = "q_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    salts: int = 16,
+    method: str = "auto",
+) -> DataFrame:
+    """Top-``top_k`` documents per query by BM25.
+
+    Returns (query_id, doc_id, n_terms, score, rank) where ``n_terms``
+    counts the distinct query terms present in the doc, ``score`` is
+    the 6-dp-rounded BM25 sum and rank 1..top_k orders by
+    (score desc, doc_id asc).  Docs matching no query term are absent.
+
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive);
+    ``tf_part = tf*(k1+1) / (tf + k1*((1-b) + b*(dl/avgdl)))`` with
+    ``avgdl = total_tokens / N`` over ALL input docs (token-less docs
+    count in N with dl = 0 — they can never match anyway).
+
+    ``method``: ``"scan"`` pushes the (collected, probe-set-bounded)
+    query vocabulary into the corpus scan — only occurrences of query
+    terms ever shuffle (the 4M-doc soak measured the census path's
+    full (doc, word) census shuffle at efficiency 0.706; the scan path
+    shuffles ~vocab_fraction of that).  ``"census"`` builds the full
+    term-frequency census — the right shape when the query set is
+    large or reused across batches (an index build).  ``"auto"``
+    (default) picks scan at <= 64 distinct query terms.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if method not in ("auto", "scan", "census"):
+        raise ValueError(f"unknown method {method!r}")
+    qt = query_terms(queries, q_id_col=q_id_col, q_text_col=q_text_col)
+    if method == "auto":
+        method = (
+            "scan"
+            if qt.select("word").distinct().count() <= 64
+            else "census"
+        )
+    if method == "scan":
+        matched = _scan_candidates(
+            docs, qt, text_col=text_col, id_col=id_col, q_id_col=q_id_col
+        )
+    else:
+        matched = _census_candidates(
+            docs, qt, text_col=text_col, id_col=id_col
+        )
     n_d = F.col("n_docs").cast("double")
     df_d = F.col("df").cast("double")
     tf_d = F.col("tf").cast("double")

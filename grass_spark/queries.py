@@ -892,3 +892,9 @@ from grass_spark.queries_ext15 import EXT15_ORACLES, EXT15_QUERIES  # noqa: E402
 
 QUERIES.update(EXT15_QUERIES)
 ORACLES.update(EXT15_ORACLES)
+
+# Sixteenth wave (data-QC & leakage safety) — queries_ext16
+from grass_spark.queries_ext16 import EXT16_ORACLES, EXT16_QUERIES  # noqa: E402
+
+QUERIES.update(EXT16_QUERIES)
+ORACLES.update(EXT16_ORACLES)

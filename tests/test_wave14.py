@@ -57,6 +57,39 @@ def test_bm25_query_term_multiplicity_ignored(spark):
     assert s1 == s2
 
 
+def test_bm25_scan_equals_census(spark):
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = _docs(
+        spark,
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+            for i in range(300)
+        ],
+    )
+    q = spark.createDataFrame(
+        [(1, "t0 t7 t7 t13"), (2, "t1"), (3, "zzz")],
+        "query_id int, q_text string",
+    )
+    a = bm25_search(docs, q, top_k=7, method="scan").orderBy(
+        "query_id", "rank"
+    ).collect()
+    b = bm25_search(docs, q, top_k=7, method="census").orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert len(a) > 0
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_empty_query_vocab(spark):
+    docs = _docs(spark, [(1, "alpha beta")])
+    q = spark.createDataFrame([(1, "!!! ???")], "query_id int, q_text string")
+    assert bm25_search(docs, q, method="scan").count() == 0
+    assert bm25_search(docs, q, method="census").count() == 0
+
+
 def test_bm25_two_stage_topk_equals_bare_window(spark):
     import random
 
@@ -294,7 +327,8 @@ def test_bm25_single_corpus_tokenize_scan(spark, tmp_path):
     ).write.parquet(p)
     docs = spark.read.parquet(p)
     q = spark.createDataFrame([(1, "alpha")], "query_id int, q_text string")
-    assert _nscans(bm25_search(docs, q, top_k=3)) <= 3
+    assert _nscans(bm25_search(docs, q, top_k=3, method="census")) <= 3
+    assert _nscans(bm25_search(docs, q, top_k=3, method="scan")) <= 2
 
 
 def test_pmi_two_census_scans_only(spark, tmp_path):
