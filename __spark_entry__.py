@@ -27,6 +27,8 @@ _PRIORITY = ("bm25_search", "pmi_collocations", "mad_outliers",
              "km_survival", "acf_daily",
              "seasonal_anomalies", "source_entropy", "zipf_slope",
              "profile_events", "content_splits", "novelty",
+             "chi_square", "mann_whitney", "interval_join",
+             "quantile_rank",
              "readability", "lexical_diversity", "length_drift",
              "association_rules", "source_overlap", "skew_report",
              "active_users", "rfm_segments", "cusum_alarms",

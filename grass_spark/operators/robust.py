@@ -148,3 +148,40 @@ def mad_outliers(
         )
         .orderBy(group_col)
     )
+
+
+def quantile_rank(
+    df: DataFrame,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Adds ``ecdf`` — the within-group empirical CDF value
+    P(X <= v), 6-dp rounded — to every row.
+
+    The quantile-normalization primitive (length-percentile features,
+    per-source score calibration).  Shape: ONE distinct-value census,
+    a census-bounded cumulative window, then an equi-join back onto
+    the corpus on (group, value) — the corpus shuffles once, the ECDF
+    table is census-sized.  Ties share their ECDF by construction
+    (identical to SQL ``cume_dist``).
+    """
+    census = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cum_w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy(group_col)
+    ecdf = census.select(
+        group_col,
+        value_col,
+        F.round(
+            F.sum("_c").over(cum_w).cast("double")
+            / F.sum("_c").over(tot_w).cast("double"),
+            6,
+        ).alias("ecdf"),
+    )
+    return df.join(ecdf, [group_col, value_col])

@@ -1,0 +1,184 @@
+"""Classical statistical tests, census-exact: chi-square independence
+between two categorical columns and the Mann-Whitney U (Wilcoxon
+rank-sum) two-sample location test.
+
+These round out the monitoring/test family — ab_test (two-proportion
+z), ks_test (distribution shape), rate/seasonal anomalies — with (a)
+"are these two dimensions associated" and (b) a nonparametric "did
+the metric shift" that heavy tails can't fool.
+
+Scale shape: both tests reduce the input in ONE map-side-combinable
+census groupBy; every later step runs on category-grid or
+distinct-value rows.  The chi-square grid is |A|×|B| (bounded by
+category cardinalities — the event_transitions argument); the
+Mann-Whitney rank walk is a cumulative window over the distinct-value
+census (the ks_test argument).
+
+Cross-engine parity: all counts, rank sums and tie sums stay EXACT
+integers (rank sums via the doubled-rank identity 2·rank = 2·cum_prev
++ cnt + 1, so tied average ranks never leave the integers; DECIMAL(38)
+for the cubes), cast to double once into a mirrored final expression;
+sqrt is IEEE-exact.  No transcendentals anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chi_square(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One-row chi-square independence test between two categorical
+    columns: (n, card_a, card_b, dof, chi2, cramers_v).
+
+    The statistic sums over the FULL |A|×|B| grid (zero-observed cells
+    contribute their expectation).  ``cramers_v = sqrt(chi2 / (n *
+    (min(card)-1)))``; NULL when either cardinality is 1 (dof 0).
+    Null category values are excluded (document upstream).
+    """
+    cen = (
+        df.select(
+            F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+        )
+        .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint(eager=False)  # feeds margins + grid join
+    )
+    ma = cen.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    mb = cen.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    tot = cen.agg(
+        F.sum("_o").alias("_n"),
+        F.count(F.lit(1)).alias("_cells_obs"),
+    )
+    grid = (
+        ma.crossJoin(mb)
+        .join(cen, ["_a", "_b"], "left")
+        .select(
+            "_a",
+            "_b",
+            "_na",
+            "_nb",
+            F.coalesce("_o", F.lit(0)).alias("_o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("_na").cast("double") * F.col("_nb").cast("double")
+    ) / F.col("_n").cast("double")
+    term = F.round(
+        (F.col("_o").cast("double") - e) * (F.col("_o").cast("double") - e)
+        / e,
+        6,
+    )
+    agg = grid.agg(
+        F.max("_n").alias("n"),
+        F.count_distinct("_a").alias("card_a"),
+        F.count_distinct("_b").alias("card_b"),
+        F.round(F.sum(term), 6).alias("chi2"),
+    )
+    min1 = F.least(F.col("card_a"), F.col("card_b")) - 1
+    return agg.select(
+        "n",
+        "card_a",
+        "card_b",
+        ((F.col("card_a") - 1) * (F.col("card_b") - 1)).alias("dof"),
+        "chi2",
+        F.when(
+            min1 > 0,
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n").cast("double") * min1.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def mann_whitney(
+    a: DataFrame, b: DataFrame, *, value_col: str = "value"
+) -> DataFrame:
+    """One-row Mann-Whitney U test: (n_a, n_b, u_a, u_b, z).
+
+    ``u_a`` counts (a, b) pairs where a beats b (ties half) — computed
+    via tie-averaged rank sums kept as EXACT doubled integers.  ``z``
+    uses the normal approximation with the tie-corrected variance (no
+    continuity correction); NULL when the variance is 0 (all values
+    identical).  Null values are excluded.
+    """
+    ca = (
+        a.select(F.col(value_col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    )
+    cb = (
+        b.select(F.col(value_col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    j = ca.join(cb, "_v", "full_outer").select(
+        "_v",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    cnt = (F.col("_ca") + F.col("_cb")).alias("_t")
+    cum_w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    staged = j.select(
+        "_v",
+        "_ca",
+        "_cb",
+        cnt,
+        F.coalesce(
+            F.sum(F.col("_ca") + F.col("_cb")).over(cum_w), F.lit(0)
+        ).alias("_prev"),
+    )
+    # doubled tie-averaged rank: 2*rank(v) = 2*prev + t + 1 (integer)
+    r2 = dec(F.lit(2) * F.col("_prev") + F.col("_t") + F.lit(1))
+    agg = staged.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(dec(F.col("_ca")) * r2).alias("_r2a"),  # 2 * rank-sum of a
+        F.sum(
+            dec(F.col("_t")) * dec(F.col("_t")) * dec(F.col("_t"))
+            - dec(F.col("_t"))
+        ).alias("_ties"),
+    )
+    na = F.col("n_a").cast("decimal(38,0)")
+    nb = F.col("n_b").cast("decimal(38,0)")
+    # 2*U_a = 2*R_a - n_a*(n_a+1); exact decimals until ONE cast
+    u2a = F.col("_r2a") - na * (na + F.lit(1))
+    u2b = F.lit(2).cast("decimal(38,0)") * na * nb - u2a
+    staged2 = agg.select(
+        "n_a",
+        "n_b",
+        u2a.alias("_u2a"),
+        u2b.alias("_u2b"),
+        "_ties",
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    n_d = na_d + nb_d
+    var = (na_d * nb_d / F.lit(12.0)) * (
+        (n_d + F.lit(1.0))
+        - F.col("_ties").cast("double") / (n_d * (n_d - F.lit(1.0)))
+    )
+    num = F.col("_u2a").cast("double") - na_d * nb_d  # 2*(U_a - mu)
+    return staged2.select(
+        "n_a",
+        "n_b",
+        (F.col("_u2a").cast("double") / F.lit(2.0)).alias("u_a"),
+        (F.col("_u2b").cast("double") / F.lit(2.0)).alias("u_b"),
+        F.when(
+            F.round(var, 6) > 0,
+            F.round(num / (F.lit(2.0) * F.sqrt(var)), 6),
+        ).alias("z"),
+    )

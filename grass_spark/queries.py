@@ -898,3 +898,15 @@ from grass_spark.queries_ext16 import EXT16_ORACLES, EXT16_QUERIES  # noqa: E402
 
 QUERIES.update(EXT16_QUERIES)
 ORACLES.update(EXT16_ORACLES)
+
+# Seventeenth wave (classical tests) — queries_ext17
+from grass_spark.queries_ext17 import EXT17_ORACLES, EXT17_QUERIES  # noqa: E402
+
+QUERIES.update(EXT17_QUERIES)
+ORACLES.update(EXT17_ORACLES)
+
+# Eighteenth wave (interval join & quantile ranks) — queries_ext18
+from grass_spark.queries_ext18 import EXT18_ORACLES, EXT18_QUERIES  # noqa: E402
+
+QUERIES.update(EXT18_QUERIES)
+ORACLES.update(EXT18_ORACLES)
