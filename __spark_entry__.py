@@ -29,6 +29,8 @@ _PRIORITY = ("bm25_search", "pmi_collocations", "mad_outliers",
              "profile_events", "content_splits", "novelty",
              "chi_square", "mann_whitney", "interval_join",
              "quantile_rank",
+             "spearman_corr", "psi_drift", "user_streaks",
+             "benford_digits",
              "readability", "lexical_diversity", "length_drift",
              "association_rules", "source_overlap", "skew_report",
              "active_users", "rfm_segments", "cusum_alarms",

@@ -57,6 +57,7 @@ __all__ = [
     "rfm_segments",
     "cusum_alarms",
     "type_correlations",
+    "user_streaks",
 ]
 
 
@@ -300,6 +301,56 @@ def rfm_segments(
             F.col("frequency_score").cast("string"),
             F.col("_cents_score").cast("string"),
         ).alias("segment"),
+    ).orderBy(user_col)
+
+
+def user_streaks(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user consecutive-day activity streaks (gaps-and-islands):
+    ``(user_col, n_active_days, n_streaks, longest_streak,
+    longest_start, last_streak, last_day)``.
+
+    ``longest_streak`` ties break to the EARLIEST start;
+    ``last_streak`` is the run containing the user's final active day.
+    Event volume collapses in the (user, day) distinct first; the
+    per-user ``row_number`` window and the island groupBy run over
+    active DAYS — bounded by calendar span per user, never by event
+    volume (the retention_cohorts argument).  Island anchor =
+    ``day - row_number`` days, exact for distinct days.  Elections are
+    map-side min/max(struct) — no second window.
+    """
+    ud = _user_days(df, user_col, ts_col).select("_u", "day")
+    uw = Window.partitionBy("_u").orderBy("day")
+    anchored = ud.withColumn(
+        "_anchor", F.date_sub(F.col("day"), F.row_number().over(uw))
+    )
+    runs = anchored.groupBy("_u", "_anchor").agg(
+        F.count(F.lit(1)).alias("_len"),
+        F.min("day").alias("_start"),
+        F.max("day").alias("_end"),
+    )
+    per_user = runs.groupBy("_u").agg(
+        F.sum("_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min(
+            F.struct((-F.col("_len")).alias("a"), F.col("_start").alias("s"))
+        ).alias("_lg"),
+        F.max(
+            F.struct(F.col("_end").alias("e"), F.col("_len").alias("l"))
+        ).alias("_cur"),
+    )
+    return per_user.select(
+        F.col("_u").alias(user_col),
+        "n_active_days",
+        "n_streaks",
+        (-F.col("_lg.a")).alias("longest_streak"),
+        F.col("_lg.s").alias("longest_start"),
+        F.col("_cur.l").alias("last_streak"),
+        F.col("_cur.e").alias("last_day"),
     ).orderBy(user_col)
 
 

@@ -27,6 +27,120 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spearman_corr(
+    df: DataFrame, col_x: str, col_y: str
+) -> DataFrame:
+    """One-row Spearman rank correlation between two numeric columns:
+    ``(n, rho)``.
+
+    Tie-averaged ranks via the doubled-rank identity (2·rank =
+    2·cum_prev + cnt + 1 — exact integers, see :func:`mann_whitney`);
+    rho is Pearson over the doubled ranks (the doubling cancels).
+    Power sums stay exact DECIMAL(38,0) and cast to double ONCE into a
+    mirrored final expression — bit-identical across engines and
+    shuffle orders.  Rows where either column is NULL are excluded.
+
+    Scale shape: two distinct-value censuses (map-side combinable),
+    two census-bounded cumulative windows, two equi-joins of the rank
+    tables back onto the pair frame, one scalar aggregate.  The corpus
+    shuffles twice (once per rank join) — never sorts globally.
+    """
+    base = (
+        df.select(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .localCheckpoint(eager=False)  # feeds 2 censuses + the joins
+    )
+
+    def _ranks(col: str, out: str) -> DataFrame:
+        cen = base.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        prev_w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return cen.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("_c").over(prev_w), F.lit(0))
+                + F.col("_c")
+                + F.lit(1)
+            ).alias(out),
+        )
+
+    rx = _ranks("_x", "_r2x")
+    ry = _ranks("_y", "_r2y")
+    ranked = base.join(rx, "_x").join(ry, "_y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("_r2x")).alias("_sx"),
+        F.sum(dec("_r2y")).alias("_sy"),
+        F.sum(dec("_r2x") * dec("_r2x")).alias("_sxx"),
+        F.sum(dec("_r2y") * dec("_r2y")).alias("_syy"),
+        F.sum(dec("_r2x") * dec("_r2y")).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov = n * F.col("_sxy").cast("double") - sx * sy
+    vx = n * F.col("_sxx").cast("double") - sx * sx
+    vy = n * F.col("_syy").cast("double") - sy * sy
+    return sums.select(
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
+        ).alias("rho"),
+    )
+
+
+def benford_digits(
+    df: DataFrame, *, value_col: str = "value"
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    fabricated-numbers QC screen.  Returns one row per digit 1-9:
+    ``(digit, n, p_obs, p_benford, abs_dev)``.
+
+    Values go through exact integer cents (``round(|v|*100)`` — the
+    rfm_segments convention) so the leading digit comes from an
+    INTEGER's string rendering, which is portable across engines
+    (double rendering is not).  Zero/NULL values are excluded.
+    ``p_benford = log10(1 + 1/d)`` rounds to 6 dp — the nine constants
+    sit far from any rounding boundary.  ONE map-side-combinable
+    groupBy on a 9-value key; everything after is 9 rows.
+    """
+    cents = F.round(F.abs(F.col(value_col)) * 100).cast("long")
+    digits = (
+        df.where(F.col(value_col).isNotNull())
+        .select(cents.alias("_cents"))
+        .where(F.col("_cents") > 0)
+        .select(
+            F.substring(F.col("_cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    cen = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot_w = Window.partitionBy()
+    p_obs = F.round(
+        F.col("n").cast("double") / F.sum("n").over(tot_w).cast("double"),
+        6,
+    )
+    p_ben = F.round(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
+    )
+    return (
+        cen.select(
+            "digit",
+            "n",
+            p_obs.alias("p_obs"),
+            p_ben.alias("p_benford"),
+        )
+        .withColumn(
+            "abs_dev",
+            F.round(F.abs(F.col("p_obs") - F.col("p_benford")), 6),
+        )
+        .orderBy("digit")
+    )
+
+
 def chi_square(
     df: DataFrame, col_a: str, col_b: str
 ) -> DataFrame:

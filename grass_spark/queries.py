@@ -910,3 +910,9 @@ from grass_spark.queries_ext18 import EXT18_ORACLES, EXT18_QUERIES  # noqa: E402
 
 QUERIES.update(EXT18_QUERIES)
 ORACLES.update(EXT18_ORACLES)
+
+# Nineteenth wave (rank corr, PSI drift, streaks, Benford) — queries_ext19
+from grass_spark.queries_ext19 import EXT19_ORACLES, EXT19_QUERIES  # noqa: E402
+
+QUERIES.update(EXT19_QUERIES)
+ORACLES.update(EXT19_ORACLES)
