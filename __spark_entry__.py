@@ -31,6 +31,7 @@ _PRIORITY = ("bm25_search", "pmi_collocations", "mad_outliers",
              "quantile_rank",
              "spearman_corr", "psi_drift", "user_streaks",
              "benford_digits",
+             "cooccur_edges", "graph_triangles", "edit_verify",
              "readability", "lexical_diversity", "length_drift",
              "association_rules", "source_overlap", "skew_report",
              "active_users", "rfm_segments", "cusum_alarms",

@@ -916,3 +916,9 @@ from grass_spark.queries_ext19 import EXT19_ORACLES, EXT19_QUERIES  # noqa: E402
 
 QUERIES.update(EXT19_QUERIES)
 ORACLES.update(EXT19_ORACLES)
+
+# Twentieth wave (co-occurrence graph, edit verify) — queries_ext20
+from grass_spark.queries_ext20 import EXT20_ORACLES, EXT20_QUERIES  # noqa: E402
+
+QUERIES.update(EXT20_QUERIES)
+ORACLES.update(EXT20_ORACLES)
