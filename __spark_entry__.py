@@ -32,6 +32,7 @@ _PRIORITY = ("bm25_search", "pmi_collocations", "mad_outliers",
              "spearman_corr", "psi_drift", "user_streaks",
              "benford_digits",
              "cooccur_edges", "graph_triangles", "edit_verify",
+             "trimmed_means", "containment_pairs", "rollup_report",
              "readability", "lexical_diversity", "length_drift",
              "association_rules", "source_overlap", "skew_report",
              "active_users", "rfm_segments", "cusum_alarms",

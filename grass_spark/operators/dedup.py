@@ -239,6 +239,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Directed shingle-set containment for candidate pairs:
+    ``containment(a in b) = |A ∩ B| / |A|`` — catches
+    subset-duplicates (a doc quoted whole inside a longer doc) that
+    symmetric Jaccard dilutes below any threshold.
+
+    Returns ``(id_a, id_b, n_a, n_b, containment_a, containment_b,
+    jaccard)``; containment is NULL for an empty shingle set.  Same
+    candidate-bounded shape as :func:`ngram_jaccard_pairs` — the
+    quadratic compare only ever touches LSH candidates.
+    """
+    base = (
+        shingles
+        if shingles is not None
+        else with_shingles(df, text_col, shingle_n)
+    )
+    sh = base.select(F.col(id_col), F.col("sh_arr").alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    na = F.size("sh_a")
+    nb = F.size("sh_b")
+    return joined.select(
+        "id_a",
+        "id_b",
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.when(na > 0, F.round(inter / na, 6)).alias("containment_a"),
+        F.when(nb > 0, F.round(inter / nb, 6)).alias("containment_b"),
+        F.when(union > 0, F.round(inter / union, 6)).alias("jaccard"),
+    )
+
+
 def simhash(
     df: DataFrame,
     *,

@@ -185,3 +185,100 @@ def quantile_rank(
         ).alias("ecdf"),
     )
     return df.join(ecdf, [group_col, value_col])
+
+
+def trimmed_stats(
+    df: DataFrame,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed and winsorized means at ``trim_frac`` per
+    tail: ``(group_col, n, k, n_kept, lo_cut, hi_cut, trimmed_mean,
+    winsor_mean)``.
+
+    ``k = floor(trim_frac * n)`` ranks drop from EACH tail; the
+    trimmed mean averages the middle ``n - 2k``; the winsorized mean
+    replaces each clipped tail with ``k`` copies of the surviving
+    boundary values (``lo_cut`` / ``hi_cut``).  Means are NULL when
+    the kept band is empty.
+
+    Census-exact, never rank-per-row: the contribution of a distinct
+    value v with rank interval [cum_prev, cum) is its overlap with
+    the kept band [k, n-k) — one map-side-combinable value census,
+    one per-group census-bounded cumulative window, one groupBy.
+    Boundary elections (``min(v | cum >= k+1)``) are combinable aggs,
+    no second window.  ``floor(trim_frac * n)`` is the same IEEE
+    double product in every engine — portable, even where it differs
+    from exact rational arithmetic.
+    """
+    if not 0 <= trim_frac < 0.5:
+        raise ValueError("trimmed_stats: trim_frac must be in [0, 0.5)")
+    census = (
+        df.select(
+            F.col(group_col), F.col(value_col).cast("double").alias("_v")
+        )
+        .where(F.col("_v").isNotNull())
+        .groupBy(group_col, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cum_w = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy(group_col)
+    staged = census.select(
+        group_col,
+        "_v",
+        "_c",
+        F.sum("_c").over(cum_w).alias("_cum"),
+        F.sum("_c").over(tot_w).alias("_n"),
+    ).withColumn(
+        "_k",
+        F.floor(F.lit(float(trim_frac)) * F.col("_n").cast("double"))
+        .cast("long"),
+    )
+    prev = F.col("_cum") - F.col("_c")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("_cum"), F.col("_n") - F.col("_k"))
+        - F.greatest(prev, F.col("_k")),
+    )
+    agg = staged.groupBy(group_col).agg(
+        F.max("_n").alias("n"),
+        F.max("_k").alias("k"),
+        F.sum(kept.cast("double") * F.col("_v")).alias("_tsum"),
+        F.min(
+            F.when(F.col("_cum") >= F.col("_k") + 1, F.col("_v"))
+        ).alias("lo_cut"),
+        F.min(
+            F.when(F.col("_cum") >= F.col("_n") - F.col("_k"), F.col("_v"))
+        ).alias("hi_cut"),
+    )
+    n_kept = F.col("n") - 2 * F.col("k")
+    return agg.select(
+        group_col,
+        "n",
+        "k",
+        n_kept.alias("n_kept"),
+        "lo_cut",
+        "hi_cut",
+        F.when(
+            n_kept > 0,
+            F.round(F.col("_tsum") / n_kept.cast("double"), 6),
+        ).alias("trimmed_mean"),
+        F.when(
+            n_kept > 0,
+            F.round(
+                (
+                    F.col("_tsum")
+                    + F.col("k").cast("double")
+                    * (F.col("lo_cut") + F.col("hi_cut"))
+                )
+                / F.col("n").cast("double"),
+                6,
+            ),
+        ).alias("winsor_mean"),
+    ).orderBy(group_col)

@@ -922,3 +922,9 @@ from grass_spark.queries_ext20 import EXT20_ORACLES, EXT20_QUERIES  # noqa: E402
 
 QUERIES.update(EXT20_QUERIES)
 ORACLES.update(EXT20_ORACLES)
+
+# Twenty-first wave (trimmed means, containment, rollup) — queries_ext21
+from grass_spark.queries_ext21 import EXT21_ORACLES, EXT21_QUERIES  # noqa: E402
+
+QUERIES.update(EXT21_QUERIES)
+ORACLES.update(EXT21_ORACLES)
