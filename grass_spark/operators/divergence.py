@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from grass_spark.operators.bpe import word_frequencies
+from grass_spark.operators.prefix import exclusive_prefix_sums
 
 
 def corpus_divergence(
@@ -180,16 +181,16 @@ def psi_bins(
         )
         .localCheckpoint(eager=False)  # window + totals consumers
     )
-    prev_w = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, -1
+    # bucketed exclusive prefix sums + 1-row broadcast totals — same
+    # single-task-census avoidance as ks_test (operators/prefix.py)
+    tot = j.agg(
+        F.sum("_cr").alias("_nref"), F.sum("_cc").alias("_ncur")
     )
-    tot_w = Window.partitionBy()
-    staged = j.select(
-        "_cr",
-        "_cc",
-        F.coalesce(F.sum("_cr").over(prev_w), F.lit(0)).alias("_prev"),
-        F.sum("_cr").over(tot_w).alias("_nref"),
-        F.sum("_cc").over(tot_w).alias("_ncur"),
+    staged = (
+        exclusive_prefix_sums(j, "_v", ["_cr"])
+        .withColumnRenamed("_prev__cr", "_prev")
+        .crossJoin(F.broadcast(tot))
+        .select("_cr", "_cc", "_prev", "_nref", "_ncur")
     ).withColumn(
         "bucket",
         F.least(
@@ -293,18 +294,29 @@ def ks_test(
     if checkpoint:  # the census feeds two consumers (max + argmin) —
         # without this, BOTH corpus scans re-execute per consumer
         j = j.localCheckpoint(eager=False)
-    cum_w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    tot_w = Window.partitionBy()
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    staged = j.select(
-        "_v",
-        F.sum("_ca").over(cum_w).alias("_cuma"),
-        F.sum("_cb").over(cum_w).alias("_cumb"),
-        F.sum("_ca").over(tot_w).alias("_na"),
-        F.sum("_cb").over(tot_w).alias("_nb"),
-    ).withColumn(
-        "_num",
-        F.abs(dec("_cuma") * dec("_nb") - dec("_cumb") * dec("_na")),
+    # bucketed exclusive prefix sums (operators/prefix.py) — a census
+    # over a continuous column is corpus-sized, so a bare orderBy
+    # window would single-task it; totals come from a 1-row broadcast
+    # aggregate, not a whole-frame window
+    tot = j.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    staged = (
+        exclusive_prefix_sums(j, "_v", ["_ca", "_cb"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_v",
+            (F.col("_prev__ca") + F.col("_ca")).alias("_cuma"),
+            (F.col("_prev__cb") + F.col("_cb")).alias("_cumb"),
+            "_na",
+            "_nb",
+        )
+        .withColumn(
+            "_num",
+            F.abs(dec("_cuma") * dec("_nb") - dec("_cumb") * dec("_na")),
+        )
+        .localCheckpoint(eager=False)  # feeds the max agg + argmin join
     )
     agg = staged.agg(
         F.max("_na").alias("n_a"),

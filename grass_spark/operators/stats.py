@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from grass_spark.operators.prefix import exclusive_prefix_sums
+
 
 def spearman_corr(
     df: DataFrame, col_x: str, col_y: str
@@ -52,16 +54,15 @@ def spearman_corr(
     )
 
     def _ranks(col: str, out: str) -> DataFrame:
+        # exclusive prefix sums via bucketed stitch — a census over a
+        # CONTINUOUS column is corpus-sized, so a bare orderBy window
+        # would Exchange SinglePartition the whole census
         cen = base.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
-        prev_w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        return cen.select(
+        p = exclusive_prefix_sums(cen, col, ["_c"])
+        return p.select(
             col,
             (
-                F.lit(2) * F.coalesce(F.sum("_c").over(prev_w), F.lit(0))
-                + F.col("_c")
-                + F.lit(1)
+                F.lit(2) * F.col("_prev__c") + F.col("_c") + F.lit(1)
             ).alias(out),
         )
 
@@ -240,20 +241,13 @@ def mann_whitney(
         "_v",
         F.coalesce("_ca", F.lit(0)).alias("_ca"),
         F.coalesce("_cb", F.lit(0)).alias("_cb"),
-    )
-    cnt = (F.col("_ca") + F.col("_cb")).alias("_t")
-    cum_w = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    ).withColumn("_t", F.col("_ca") + F.col("_cb"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    staged = j.select(
-        "_v",
-        "_ca",
-        "_cb",
-        cnt,
-        F.coalesce(
-            F.sum(F.col("_ca") + F.col("_cb")).over(cum_w), F.lit(0)
-        ).alias("_prev"),
+    # bucketed exclusive prefix sums — never a single-task census sort
+    # (operators/prefix.py; a continuous value column makes the union
+    # census corpus-sized)
+    staged = exclusive_prefix_sums(j, "_v", ["_t"]).withColumnRenamed(
+        "_prev__t", "_prev"
     )
     # doubled tie-averaged rank: 2*rank(v) = 2*prev + t + 1 (integer)
     r2 = dec(F.lit(2) * F.col("_prev") + F.col("_t") + F.lit(1))
