@@ -193,6 +193,45 @@ TIER2 = [
     "readability",
     "lexical_diversity",
     "length_drift",
+    # round 5 continuation: retrieval / QC / classical-tests waves
+    "bm25_search",
+    "pmi_collocations",
+    "mad_outliers",
+    "km_survival",
+    "acf_daily",
+    "seasonal_anomalies",
+    "source_entropy",
+    "zipf_slope",
+    "profile_events",
+    "content_splits",
+    "novelty",
+    "chi_square",
+    "mann_whitney",
+    "interval_join",
+    "quantile_rank",
+    "spearman_corr",
+    "psi_drift",
+    "user_streaks",
+    "benford_digits",
+    "cooccur_edges",
+    "graph_triangles",
+    "edit_verify",
+    "trimmed_means",
+    "containment_pairs",
+    "rollup_report",
+    # round 5 continuation: retrieval fusion / CUBE wave
+    "rrf_fusion",
+    "mrl_shortlist",
+    "ndcg_eval",
+    "cube_report",
+    "weighted_sample",
+    "rbo_overlap",
+    "phrase_search",
+    "k_anonymity",
+    "auc_eval",
+    "calibration_bins",
+    "pr_thresholds",
+    "corpus_diff",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -193,3 +193,49 @@ def skew_report(
         ),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """One-row k-anonymity audit over the quasi-identifier tuple
+    ``quasi_cols``: a row is re-identifiable when its QI equivalence
+    class holds fewer than ``k`` rows (Sweeney's criterion) — the
+    privacy gate a training-data release runs AFTER pii_redact
+    (redaction removes direct identifiers; rare attribute
+    combinations still single people out).
+
+    Returns (k, n_rows, n_groups, n_risky_groups, n_risky_rows,
+    min_group_n, risky_row_frac) — risky_row_frac 6-dp.  NULLs in QI
+    columns form their own equivalence class (a NULL combination is
+    as linkable as any other value).
+
+    Scale shape: ONE map-side-combinable groupBy on the QI tuple,
+    then a 1-row aggregate over the class-size census — the census is
+    |distinct QI tuples|-sized, never row-scale, and nothing
+    shuffles twice.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity: quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k_anonymity: k must be >= 2")
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    risky = F.col("_n") < k
+    return sizes.agg(
+        F.lit(int(k)).alias("k"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(risky.cast("long")).alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("_n")).otherwise(0)).cast(
+            "bigint"
+        ).alias("n_risky_rows"),
+        F.min("_n").alias("min_group_n"),
+        F.round(
+            F.sum(F.when(risky, F.col("_n")).otherwise(0)).cast("double")
+            / F.sum("_n").cast("double"),
+            6,
+        ).alias("risky_row_frac"),
+    )

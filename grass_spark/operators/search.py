@@ -242,3 +242,57 @@ def bm25_search(
         .filter(F.col("rank") <= top_k)
         .drop("_s", "_rn")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching over the BM25 tokenizer's word stream:
+    docs where ``phrase``'s words appear CONSECUTIVELY, with match
+    count and the first match's 1-based word position — the
+    positional-index query a lexical search stack runs after boolean
+    retrieval ("table hash" must not match "table ... hash").
+
+    Scale shape: one scan tokenizes; a posexplode Generate
+    materializes the words array per row so the consecutive-window
+    slice references a column ATTRIBUTE (the decontaminate pattern —
+    a slice over a lambda-captured derived array would re-run the
+    regex per element, the 23x shingle anti-finding); the first-word
+    equality filter drops every non-candidate position IN the scan
+    stage, so only actual first-word occurrences reach the slice
+    compare and the one combinable groupBy(doc).  Docs with no match
+    are absent (search semantics).
+
+    Returns (id, n_matches, first_pos), deterministic and
+    engine-portable (integer positions, no floats anywhere).
+    """
+    import re as _re
+
+    pw = _re.findall("[a-z0-9]+", phrase.lower())
+    if not pw:
+        raise ValueError("phrase_search: phrase has no alphanumeric word")
+    lit_arr = F.array(*[F.lit(w) for w in pw])
+    n = len(pw)
+    toks = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+        ).alias("_ws"),
+    )
+    pos = toks.select(
+        id_col, "_ws", F.posexplode("_ws").alias("_p", "_w")
+    ).where(F.col("_w") == F.lit(pw[0]))
+    hits = pos.where(
+        F.slice("_ws", F.col("_p") + 1, n) == lit_arr
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            (F.min("_p") + 1).cast("bigint").alias("first_pos"),
+        )
+    )

@@ -152,6 +152,94 @@ def hard_negatives(
     return topk.select("q_id", "rank", "neighbor_id", "label", "cosine")
 
 
+def mrl_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    trunc_dims: int,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str | None = None,
+    q_vec_col: str | None = None,
+    salts: int = 16,
+) -> DataFrame:
+    """Matryoshka coarse-to-fine retrieval: shortlist ``shortlist``
+    candidates per query by cosine over the FIRST ``trunc_dims``
+    dimensions (MRL-style truncated embeddings are trained so prefixes
+    stay meaningful), then re-rank the shortlist EXACTLY on the full
+    vector and keep top ``k``.
+
+    Returns (q_id, rank, neighbor_id, cosine, cosine_trunc) — rank by
+    (full cosine desc, neighbor asc), both cosines 6-dp rounded BEFORE
+    their respective rankings (cross-engine tie discipline; the
+    shortlist membership itself must be deterministic or the re-rank
+    input differs between engines).
+
+    Scale shape: stage 1 scores ``trunc_dims``-element folds instead
+    of full-width ones (the arithmetic saving is the point of MRL) and
+    selects via the two-stage sharded top-m (:func:`_topk_per_query`);
+    stage 2 touches only |queries| * shortlist rows — it fetches full
+    vectors by joining the shortlist back to the corpus with the
+    SHORTLIST as the broadcast build side, so the corpus is probed,
+    never shuffled.  The final window orders <= ``shortlist`` rows per
+    query.  Unlike PQ/IVF this is a lossy-then-exact cascade with no
+    trained artifact — the candidate-covers-truth caveat of
+    ``operators/pq.py`` applies identically: guarantee recall by
+    sizing ``shortlist``, verified against brute force in tests.
+    """
+    if trunc_dims < 1:
+        raise ValueError("mrl_rerank: trunc_dims must be >= 1")
+    if shortlist < k:
+        raise ValueError("mrl_rerank: shortlist must be >= k")
+    q_id_col = q_id_col or id_col
+    q_vec_col = q_vec_col or vec_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_e")
+    ).localCheckpoint(eager=False)  # scored in stage 1 AND probed in
+    # stage 2 — two consumers of one scan (the bm25 census lesson)
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), _as_double(q_vec_col).alias("_qe")
+    ).localCheckpoint(eager=False)
+    ct = F.slice("_e", 1, int(trunc_dims))
+    qt = F.slice("_qe", 1, int(trunc_dims))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                dot(qt, ct) / (l2norm(qt) * l2norm(ct)), 6
+            ).alias("cosine"),
+        )
+    )
+    short = _topk_per_query(pairs, int(shortlist), salts).select(
+        "q_id", "neighbor_id", F.col("cosine").alias("cosine_trunc")
+    )
+    # full-vector re-rank: shortlist (|q| * shortlist rows) is the
+    # broadcast build side against the corpus probe + the query side
+    refetched = F.broadcast(short).join(c, "neighbor_id").join(
+        F.broadcast(q), "q_id"
+    )
+    full = F.round(
+        dot("_qe", "_e") / (l2norm("_qe") * l2norm("_e")), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        refetched.select(
+            "q_id", "neighbor_id", "cosine_trunc", full.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", "rank", "neighbor_id", "cosine", "cosine_trunc")
+    )
+
+
 def _planes(dims: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.normal(size=(n_planes, dims)).tolist()

@@ -928,3 +928,21 @@ from grass_spark.queries_ext21 import EXT21_ORACLES, EXT21_QUERIES  # noqa: E402
 
 QUERIES.update(EXT21_QUERIES)
 ORACLES.update(EXT21_ORACLES)
+
+# Twenty-second wave (rank fusion, MRL re-rank, NDCG, CUBE) — queries_ext22
+from grass_spark.queries_ext22 import EXT22_ORACLES, EXT22_QUERIES  # noqa: E402
+
+QUERIES.update(EXT22_QUERIES)
+ORACLES.update(EXT22_ORACLES)
+
+# Twenty-third wave (weighted sample, RBO, phrase search, k-anon) — queries_ext23
+from grass_spark.queries_ext23 import EXT23_ORACLES, EXT23_QUERIES  # noqa: E402
+
+QUERIES.update(EXT23_QUERIES)
+ORACLES.update(EXT23_ORACLES)
+
+# Twenty-fourth wave (AUC, calibration, PR sweep, corpus diff) — queries_ext24
+from grass_spark.queries_ext24 import EXT24_ORACLES, EXT24_QUERIES  # noqa: E402
+
+QUERIES.update(EXT24_QUERIES)
+ORACLES.update(EXT24_ORACLES)

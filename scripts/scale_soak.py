@@ -1627,6 +1627,118 @@ def _engagement_soak(args) -> None:
     spark.stop()
 
 
+def _graph_soak(args) -> None:
+    """Co-occurrence graph soak: bipartite membership -> edges ->
+    triangle census over N membership rows, with 3 planted mega-groups
+    (N/100 members each) that the density cap must DROP — an uncapped
+    run would emit C(N/100, 2) pairs from each.  Wall + members/s for
+    BASELINE.md; run at lo/hi cores."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.graph import cooccurrence_edges, triangle_stats
+    from grass_spark.session import get_spark
+
+    n = args.graph_members
+    n_groups = max(n // 6, 1)
+    n_items = max(n // 30, 10)
+    # ANTI-FINDING (measured): resizing shuffle partitions by wedge
+    # volume (n//5000 = 800 at 4M members) made the 8-core leg 2.1x
+    # SLOWER (366.6 s vs 177.2 s at 32 partitions) — the wedge join's
+    # per-task sorts are already spill-managed, and 800 task waves of
+    # fixed overhead swamp any cache-residency win.  The census-window
+    # partition-sizing fact does NOT transfer to SMJ sorts here; keep
+    # the cores*4 default and report throughput (the wedge join is
+    # memory-bandwidth-bound on this box — lo/hi reads ~0.6, same
+    # class as rate_anomalies' scan walls).
+    spark = get_spark(
+        "soak_graph", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, min(512, n // 200_000)),
+    )
+    h = F.abs(F.xxhash64(F.lit(17), "id"))
+    base = (
+        spark.range(n)
+        .repartition(args.cores * 4)
+        .select(
+            (F.col("id") % F.lit(n_groups)).alias("g"),
+            (h % F.lit(n_items)).alias("i"),
+        )
+    )
+    hot = (
+        spark.range(3 * max(n // 100, 10))
+        .select(
+            (F.lit(n_groups) + F.col("id") % 3).alias("g"),
+            (F.abs(F.xxhash64(F.lit(23), "id")) % F.lit(n_items)).alias("i"),
+        )
+    )
+    mem = base.unionAll(hot).localCheckpoint()
+    t0 = time.perf_counter()
+    edges = cooccurrence_edges(mem, group_col="g", item_col="i")
+    r = triangle_stats(edges).first()
+    wall = round(time.perf_counter() - t0, 1)
+    print(json.dumps({
+        "members": n, "groups": n_groups, "items": n_items,
+        "cores": args.cores,
+        "n_nodes": int(r["n_nodes"]), "n_edges": int(r["n_edges"]),
+        "n_wedges": int(r["n_wedges"]),
+        "n_triangles": int(r["n_triangles"]),
+        "clustering": r["clustering"], "wall_sec": wall,
+        "members_per_sec": round(n / wall),
+    }))
+    spark.stop()
+
+
+def _rank_soak(args) -> None:
+    """Census-rank soak over CONTINUOUS doubles — the census is
+    corpus-sized (every value distinct), so this exercises the
+    bucketed prefix-sum path (operators/prefix.py) that replaced the
+    single-task unpartitioned window.  Times spearman / mann-whitney /
+    ks over N rows; run at lo/hi cores."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.divergence import ks_test
+    from grass_spark.operators.stats import mann_whitney, spearman_corr
+    from grass_spark.session import get_spark
+
+    n = args.rank_rows
+    spark = get_spark(
+        "soak_rank", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, min(1024, n // 200_000)),
+    )
+    u = (F.abs(F.xxhash64(F.lit(29), "id")) % F.lit(2**40)).cast(
+        "double"
+    ) / F.lit(float(2**40))
+    base = (
+        spark.range(n)
+        .repartition(args.cores * 4)
+        .select(
+            "id",
+            (u * 1000.0).alias("x"),
+            (u * 500.0 + (F.abs(F.xxhash64(F.lit(31), "id"))
+                          % F.lit(10000)).cast("double") / 10.0).alias("y"),
+        )
+        .localCheckpoint()
+    )
+    out: dict = {"rows": n, "cores": args.cores}
+    t0 = time.perf_counter()
+    r = spearman_corr(base, "x", "y").first()
+    wall = round(time.perf_counter() - t0, 1)
+    out.update(rho=r["rho"], spearman_sec=wall,
+               spearman_rows_per_sec=round(n / wall))
+    a = base.where(F.col("id") % 2 == 0).select(F.col("y").alias("value"))
+    b = base.where(F.col("id") % 2 == 1).select(F.col("y").alias("value"))
+    t0 = time.perf_counter()
+    r = mann_whitney(a, b).first()
+    wall = round(time.perf_counter() - t0, 1)
+    out.update(mw_z=r["z"], mw_sec=wall, mw_rows_per_sec=round(n / wall))
+    t0 = time.perf_counter()
+    r = ks_test(a, b, value_col="value").first()
+    wall = round(time.perf_counter() - t0, 1)
+    out.update(ks_stat=r["ks_stat"], ks_sec=wall,
+               ks_rows_per_sec=round(n / wall))
+    print(json.dumps(out))
+    spark.stop()
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -1763,8 +1875,23 @@ def main() -> None:
                              "interevent", "resample"),
                     default="all",
                     help="which sequence op the --seq-events soak times")
+    ap.add_argument("--graph-members", type=int, default=0,
+                    help="co-occurrence graph soak: edges + triangle "
+                         "census over N membership rows with planted "
+                         "over-cap mega-groups, lo/hi")
+    ap.add_argument("--rank-rows", type=int, default=0,
+                    help="census-rank soak over continuous doubles "
+                         "(corpus-sized census): spearman / mann-"
+                         "whitney / ks via the bucketed prefix-sum "
+                         "path, lo/hi")
     args = ap.parse_args()
 
+    if args.graph_members:
+        _graph_soak(args)
+        return
+    if args.rank_rows:
+        _rank_soak(args)
+        return
     if args.engagement_events:
         _engagement_soak(args)
         return
