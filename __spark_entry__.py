@@ -23,7 +23,9 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("rrf_fusion", "mrl_shortlist", "ndcg_eval", "cube_report",
+_PRIORITY = ("star_revenue", "order_priorities", "promo_share",
+             "customer_orders", "top_suppliers",
+             "rrf_fusion", "mrl_shortlist", "ndcg_eval", "cube_report",
              "weighted_sample", "rbo_overlap", "phrase_search",
              "k_anonymity", "auc_eval", "calibration_bins",
              "pr_thresholds", "corpus_diff",

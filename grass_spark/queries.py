@@ -946,3 +946,9 @@ from grass_spark.queries_ext24 import EXT24_ORACLES, EXT24_QUERIES  # noqa: E402
 
 QUERIES.update(EXT24_QUERIES)
 ORACLES.update(EXT24_ORACLES)
+
+# Twenty-fifth wave (star-schema OLAP joins) — queries_ext25
+from grass_spark.queries_ext25 import EXT25_ORACLES, EXT25_QUERIES  # noqa: E402
+
+QUERIES.update(EXT25_QUERIES)
+ORACLES.update(EXT25_ORACLES)
