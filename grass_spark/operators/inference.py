@@ -1,0 +1,204 @@
+"""Two-sample inference and resampling: Welch's unequal-variance
+t-test and the distributed Poisson bootstrap.
+
+``welch_ttest`` answers "did the metric move between cohorts" when
+variances differ (the A/B companion to ``ab_test``'s proportions and
+``mann_whitney``'s ranks).  ``poisson_bootstrap`` is the classic
+shared-nothing bootstrap (Chamandy et al., "Estimating Uncertainty for
+Massive Data Streams"): resampling WITH replacement is impossible to
+coordinate across executors, but giving every row an independent
+Poisson(1) weight per replicate is a one-pass projection whose
+replicate totals converge to the true bootstrap distribution — the
+standard trick for confidence intervals at 100-TB scale.
+
+Scale shapes: welch is ONE map-side-combinable aggregate per side (no
+shuffle beyond the 1-row agg); the bootstrap explodes each row into
+``n_reps`` weighted copies map-side and reduces to ``n_reps`` groups —
+partial aggregation absorbs everything, the shuffle carries
+``n_reps × tasks`` rows.  Neither ever windows or sorts the corpus.
+
+Cross-engine parity: metric values are 2-dp doubles so all power sums
+run in EXACT INTEGER cents (DECIMAL(38,0) == DuckDB HUGEINT); Poisson
+weights come from the portable md5 uniform (sampling.uniform_hash
+convention) against CDF thresholds computed DRIVER-SIDE in exact
+python floats and shipped as identical literals to both engines (the
+rbo_tail_weights lesson); each final statistic casts exact integers to
+double ONCE into a mirrored expression.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["welch_ttest", "poisson_bootstrap", "poisson_cdf_thresholds"]
+
+
+def _cents(value_col: str) -> F.Column:
+    return F.round(F.col(value_col) * 100).cast("long")
+
+
+def welch_ttest(
+    a: DataFrame, b: DataFrame, *, value_col: str = "value"
+) -> DataFrame:
+    """One-row Welch two-sample t-test: ``(n_a, n_b, mean_a, mean_b,
+    t, df)`` — sample variances, Welch–Satterthwaite degrees of
+    freedom.  NULL ``t``/``df`` when either side has < 2 rows or the
+    pooled standard error is 0.  NULL values are excluded.
+
+    Everything reduces in exact integer cents; the t statistic is one
+    mirrored double expression over six exact integers, so Spark and
+    DuckDB agree bit-for-bit before the 6-dp round.
+    """
+
+    def _sums(df: DataFrame, tag: str) -> DataFrame:
+        c = _cents(value_col)
+        dec = c.cast("decimal(38,0)")
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum(dec).alias(f"_s1{tag}"),
+                F.sum(dec * dec).alias(f"_s2{tag}"),
+            )
+        )
+
+    j = _sums(a, "a").crossJoin(_sums(b, "b"))  # 1 row x 1 row
+
+    def _stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s1 = F.col(f"_s1{tag}").cast("double")
+        # exact integer numerator n*S2 - S1^2, ONE cast to double
+        num = (
+            F.col(f"n_{tag}").cast("decimal(38,0)") * F.col(f"_s2{tag}")
+            - F.col(f"_s1{tag}") * F.col(f"_s1{tag}")
+        ).cast("double")
+        mean = s1 / (n * F.lit(100.0))
+        var = F.when(
+            F.col(f"n_{tag}") >= 2,
+            num / (n * (n - F.lit(1.0)) * F.lit(10000.0)),
+        )
+        return mean, var, n
+
+    mean_a, var_a, na = _stats("a")
+    mean_b, var_b, nb = _stats("b")
+    se2 = var_a / na + var_b / nb
+    t = F.when(se2 > 0, F.round((mean_a - mean_b) / F.sqrt(se2), 6))
+    df_den = (var_a / na) * (var_a / na) / (na - F.lit(1.0)) + (
+        var_b / nb
+    ) * (var_b / nb) / (nb - F.lit(1.0))
+    dof = F.when(
+        (se2 > 0) & (df_den > 0), F.round(se2 * se2 / df_den, 6)
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        t.alias("t"),
+        dof.alias("df"),
+    )
+
+
+def poisson_cdf_thresholds(max_k: int = 9) -> list[float]:
+    """Poisson(1) CDF values P(K <= k) for k = 0..max_k-1, computed
+    driver-side in exact python floats — shipped as identical plan
+    literals to Spark and the DuckDB oracle.  A uniform draw u maps to
+    the smallest k with u < CDF[k] (else ``max_k``; P ~ 1e-7 at the
+    default, and BOTH engines see the same u so the clamp agrees)."""
+    cdf, term, acc = [], math.exp(-1.0), 0.0
+    for k in range(max_k):
+        if k > 0:
+            term /= k
+        acc += term
+        cdf.append(acc)
+    return cdf
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_reps: int = 64,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    salt: str = "boot",
+) -> DataFrame:
+    """One-row Poisson-bootstrap confidence interval for the mean of
+    ``value_col``: ``(n, n_reps, mean, ci_lo, ci_hi)``.
+
+    Each row gets an independent deterministic Poisson(1) weight per
+    replicate (portable md5 uniform of ``id:rep:salt`` against
+    driver-side CDF literals); replicate means are exact-integer
+    ratios; the CI is the exact Hyndman–Fan type-7 percentile over the
+    ``n_reps`` replicate means (a bounded frame).  Replicates whose
+    total weight is 0 drop (only possible on toy inputs; documented).
+    """
+    if n_reps < 2:
+        raise ValueError("poisson_bootstrap: n_reps must be >= 2")
+    cdf = poisson_cdf_thresholds()
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("_id"),
+        _cents(value_col).alias("_c"),
+    )
+    reps = base.select(
+        "_id", "_c", F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("_rep")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("_id"), F.col("_rep").cast("string"),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(2.0**32)
+    )
+    k = F.lit(len(cdf))
+    for i in range(len(cdf) - 1, -1, -1):
+        k = F.when(u < F.lit(cdf[i]), F.lit(i)).otherwise(k)
+    w = reps.select("_rep", k.alias("_k"), "_c")
+    per = (
+        w.groupBy("_rep")
+        .agg(
+            F.sum(
+                F.col("_k").cast("decimal(38,0)")
+                * F.col("_c").cast("decimal(38,0)")
+            ).alias("_skc"),
+            F.sum("_k").alias("_sk"),
+        )
+        .where(F.col("_sk") > 0)
+        .select(
+            F.round(
+                F.col("_skc").cast("double")
+                / (F.col("_sk").cast("double") * F.lit(100.0)),
+                6,
+            ).alias("_m")
+        )
+    )
+    ci = per.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.percentile("_m", F.lit(lo)), 6).alias("ci_lo"),
+        F.round(F.percentile("_m", F.lit(hi)), 6).alias("ci_hi"),
+    )
+    full = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("_c").cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(100.0)),
+            6,
+        ).alias("mean"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n", "n_reps", "mean", "ci_lo", "ci_hi"
+    )

@@ -952,3 +952,9 @@ from grass_spark.queries_ext25 import EXT25_ORACLES, EXT25_QUERIES  # noqa: E402
 
 QUERIES.update(EXT25_QUERIES)
 ORACLES.update(EXT25_ORACLES)
+
+# Twenty-sixth wave (Welch t, Poisson bootstrap, EWMA) — queries_ext26
+from grass_spark.queries_ext26 import EXT26_ORACLES, EXT26_QUERIES  # noqa: E402
+
+QUERIES.update(EXT26_QUERIES)
+ORACLES.update(EXT26_ORACLES)
