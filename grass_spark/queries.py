@@ -958,3 +958,9 @@ from grass_spark.queries_ext26 import EXT26_ORACLES, EXT26_QUERIES  # noqa: E402
 
 QUERIES.update(EXT26_QUERIES)
 ORACLES.update(EXT26_ORACLES)
+
+# Twenty-seventh wave (skew-safe join, z-order key) — queries_ext27
+from grass_spark.queries_ext27 import EXT27_ORACLES, EXT27_QUERIES  # noqa: E402
+
+QUERIES.update(EXT27_QUERIES)
+ORACLES.update(EXT27_ORACLES)
