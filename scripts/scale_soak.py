@@ -1739,6 +1739,105 @@ def _rank_soak(args) -> None:
     spark.stop()
 
 
+def _skewjoin_soak(args) -> None:
+    """Generic skew-join soak: fact N rows with ONE key carrying 30%,
+    dim too large to auto-broadcast.  Times the plain shuffle join
+    (with and without AQE skew mitigation) against skew_join's
+    census-routed hybrid; asserts identical (count, sum) results."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.skewjoin import skew_join
+    from grass_spark.session import get_spark
+
+    n = args.skewjoin_rows
+    n_keys = 5_000_000
+    spark = get_spark(
+        "soak_skewjoin", cores=args.cores,
+        shuffle_partitions=args.cores * 4,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    hot = F.abs(F.xxhash64(F.lit(7), "id")) % 10 < 3  # 30% hot
+    fact = (
+        spark.range(n)
+        .repartition(args.cores * 4)
+        .select(
+            F.when(hot, F.lit(0))
+            .otherwise(F.abs(F.xxhash64(F.lit(11), "id")) % n_keys)
+            .alias("k"),
+            (F.col("id") % 1000).alias("payload"),
+        )
+        .localCheckpoint()
+    )
+    dim = (
+        spark.range(n_keys)
+        .select(
+            F.col("id").alias("k"),
+            F.repeat(F.lit("x"), 64).alias("dval"),
+        )
+        .localCheckpoint()
+    )
+    out: dict = {"rows": n, "dim_keys": n_keys, "cores": args.cores}
+
+    def _run(tag, df):
+        t0 = time.perf_counter()
+        r = df.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("payload").alias("s")
+        ).first()
+        out[f"{tag}_sec"] = round(time.perf_counter() - t0, 1)
+        out[f"{tag}_rows_per_sec"] = round(n / out[f"{tag}_sec"])
+        return (r["c"], r["s"])
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    plain_noaqe = _run("plain_noskewaqe", fact.join(dim, "k"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    plain = _run("plain_aqe", fact.join(dim, "k"))
+    ours = _run(
+        "skew_join",
+        skew_join(fact, dim, "k", hot_threshold=max(n // 100, 1000)),
+    )
+    assert plain == ours == plain_noaqe, (plain, ours, plain_noaqe)
+    out["rows_joined"] = plain[0]
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _boot_soak(args) -> None:
+    """Poisson-bootstrap soak: N rows x 64 replicates of md5-derived
+    Poisson(1) weights — a pure map-side explode+census; the shuffle
+    carries 64 x tasks rows.  Run at lo/hi cores for efficiency."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.inference import poisson_bootstrap
+    from grass_spark.session import get_spark
+
+    n = args.boot_rows
+    spark = get_spark(
+        "soak_boot", cores=args.cores, shuffle_partitions=args.cores * 4,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    base = (
+        spark.range(n)
+        .repartition(args.cores * 4)
+        .select(
+            F.col("id").alias("event_id"),
+            ((F.abs(F.xxhash64(F.lit(3), "id")) % 10000).cast("double")
+             / 100.0).alias("value"),
+        )
+        .localCheckpoint()
+    )
+    out: dict = {"rows": n, "cores": args.cores, "n_reps": 64}
+    for mode in ("md5", "fast"):
+        t0 = time.perf_counter()
+        r = poisson_bootstrap(base, n_reps=64, hash=mode).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out[f"{mode}_sec"] = wall
+        out[f"{mode}_weighted_rows_per_sec"] = round(n * 64 / wall)
+        out[f"{mode}_ci"] = [r["ci_lo"], r["ci_hi"]]
+        out["mean"] = r["mean"]
+    print(json.dumps(out))
+    spark.stop()
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -1884,8 +1983,21 @@ def main() -> None:
                          "(corpus-sized census): spearman / mann-"
                          "whitney / ks via the bucketed prefix-sum "
                          "path, lo/hi")
+    ap.add_argument("--skewjoin-rows", type=int, default=0,
+                    help="skew-join soak: fact N rows (one key = 30%%) "
+                         "vs 5M-key dim — plain join (AQE on/off) vs "
+                         "skew_join, identical-result assert")
+    ap.add_argument("--boot-rows", type=int, default=0,
+                    help="Poisson-bootstrap soak: N rows x 64 "
+                         "replicates of md5 Poisson weights, lo/hi")
     args = ap.parse_args()
 
+    if args.skewjoin_rows:
+        _skewjoin_soak(args)
+        return
+    if args.boot_rows:
+        _boot_soak(args)
+        return
     if args.graph_members:
         _graph_soak(args)
         return

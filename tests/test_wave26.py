@@ -82,6 +82,19 @@ def test_poisson_bootstrap_deterministic_and_sane(spark):
     assert (r3.ci_lo, r3.ci_hi) != (r1.ci_lo, r1.ci_hi)
 
 
+def test_poisson_bootstrap_fast_mode_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, float(10 + (i % 7))) for i in range(400)],
+        "event_id bigint, value double",
+    )
+    r1 = poisson_bootstrap(df, n_reps=32, hash="fast").collect()[0]
+    r2 = poisson_bootstrap(df, n_reps=32, hash="fast").collect()[0]
+    assert r1 == r2
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    with pytest.raises(ValueError):
+        poisson_bootstrap(df, n_reps=32, hash="sha1")
+
+
 def test_poisson_bootstrap_rejects_tiny_reps(spark):
     df = spark.createDataFrame(
         [(1, 1.0)], "event_id bigint, value double"
