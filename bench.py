@@ -232,6 +232,20 @@ TIER2 = [
     "calibration_bins",
     "pr_thresholds",
     "corpus_diff",
+    # round 5 continuation: star joins / inference / layout primitives
+    "star_revenue",
+    "order_priorities",
+    "promo_share",
+    "customer_orders",
+    "top_suppliers",
+    "welch_ttest",
+    "poisson_bootstrap",
+    "ewma_daily",
+    "hot_key_join",
+    "zorder_layout",
+    "theil_sen",
+    "seasonal_naive",
+    "scd2_segments",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

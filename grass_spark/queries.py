@@ -964,3 +964,9 @@ from grass_spark.queries_ext27 import EXT27_ORACLES, EXT27_QUERIES  # noqa: E402
 
 QUERIES.update(EXT27_QUERIES)
 ORACLES.update(EXT27_ORACLES)
+
+# Twenty-eighth wave (Theil–Sen, seasonal-naive eval, SCD-2 join)
+from grass_spark.queries_ext28 import EXT28_ORACLES, EXT28_QUERIES  # noqa: E402
+
+QUERIES.update(EXT28_QUERIES)
+ORACLES.update(EXT28_ORACLES)
