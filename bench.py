@@ -246,6 +246,8 @@ TIER2 = [
     "theil_sen",
     "seasonal_naive",
     "scd2_segments",
+    "expectations_report",
+    "pagerank_bipartite",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -970,3 +970,9 @@ from grass_spark.queries_ext28 import EXT28_ORACLES, EXT28_QUERIES  # noqa: E402
 
 QUERIES.update(EXT28_QUERIES)
 ORACLES.update(EXT28_ORACLES)
+
+# Twenty-ninth wave (expectations validator, PageRank) — queries_ext29
+from grass_spark.queries_ext29 import EXT29_ORACLES, EXT29_QUERIES  # noqa: E402
+
+QUERIES.update(EXT29_QUERIES)
+ORACLES.update(EXT29_ORACLES)
