@@ -248,6 +248,9 @@ TIER2 = [
     "scd2_segments",
     "expectations_report",
     "pagerank_bipartite",
+    "lang_confusion",
+    "lang_class_metrics",
+    "cohort_ltv",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

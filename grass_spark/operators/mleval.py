@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["auc_eval", "calibration_bins", "pr_thresholds"]
+__all__ = ["auc_eval", "calibration_bins", "pr_thresholds",
+           "confusion_matrix", "class_metrics"]
 
 
 def auc_eval(
@@ -173,5 +174,79 @@ def pr_thresholds(
     )
     return ex.select(
         "threshold", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
+def confusion_matrix(
+    df, *, actual_col: str = "actual", pred_col: str = "predicted"
+):
+    """Observed multiclass confusion census: ``(actual, predicted,
+    n)`` — ONE map-side-combinable groupBy on a |classes|² -bounded
+    key grid.  Rows with a NULL on either side are excluded (document
+    upstream; a NULL prediction is a pipeline bug, not a class)."""
+    return (
+        df.select(
+            F.col(actual_col).alias("actual"),
+            F.col(pred_col).alias("predicted"),
+        )
+        .where(
+            F.col("actual").isNotNull() & F.col("predicted").isNotNull()
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def class_metrics(
+    df, *, actual_col: str = "actual", pred_col: str = "predicted"
+):
+    """Per-class one-vs-rest metrics over the confusion census:
+    ``(class, n_actual, n_predicted, tp, precision, recall, f1)`` for
+    every class appearing on EITHER side.  precision/recall are NULL
+    on a 0 denominator; f1 composes from the ROUNDED precision/recall
+    (the pr_thresholds convention) and is NULL when both are 0/NULL.
+
+    Scale shape: everything after the confusion census runs on
+    |classes|-bounded frames.
+    """
+    cen = confusion_matrix(
+        df, actual_col=actual_col, pred_col=pred_col
+    ).localCheckpoint(eager=False)  # 3 consumers
+    by_a = cen.groupBy(F.col("actual").alias("class")).agg(
+        F.sum("n").alias("n_actual")
+    )
+    by_p = cen.groupBy(F.col("predicted").alias("class")).agg(
+        F.sum("n").alias("n_predicted")
+    )
+    tp = (
+        cen.where(F.col("actual") == F.col("predicted"))
+        .select(F.col("actual").alias("class"), F.col("n").alias("tp"))
+    )
+    base = (
+        by_a.join(by_p, "class", "full_outer")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    tp_d = F.col("tp").cast("double")
+    prec = F.when(
+        F.col("n_predicted") > 0,
+        F.round(tp_d / F.col("n_predicted").cast("double"), 6),
+    )
+    rec = F.when(
+        F.col("n_actual") > 0,
+        F.round(tp_d / F.col("n_actual").cast("double"), 6),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        F.round(F.lit(2.0) * prec * rec / (prec + rec), 6),
+    )
+    return base.select(
+        "class", "n_actual", "n_predicted", "tp",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )

@@ -976,3 +976,11 @@ from grass_spark.queries_ext29 import EXT29_ORACLES, EXT29_QUERIES  # noqa: E402
 
 QUERIES.update(EXT29_QUERIES)
 ORACLES.update(EXT29_ORACLES)
+
+# Thirtieth wave (multiclass eval, cohort LTV) — queries_ext30
+# (imports back from this module: ORACLE_LANG_GUESS is defined above,
+# so the circular import is safe at this point)
+from grass_spark.queries_ext30 import EXT30_ORACLES, EXT30_QUERIES  # noqa: E402
+
+QUERIES.update(EXT30_QUERIES)
+ORACLES.update(EXT30_ORACLES)
