@@ -251,6 +251,8 @@ TIER2 = [
     "lang_confusion",
     "lang_class_metrics",
     "cohort_ltv",
+    "cdc_merge",
+    "share_shift",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_report", "cube_report"]
+__all__ = ["rollup_report", "cube_report", "share_shift"]
 
 
 def _grouping_report(grouped, dims: list[str], value_col: str | None):
@@ -73,3 +73,67 @@ def cube_report(
     if not dims:
         raise ValueError("cube_report: dims must be non-empty")
     return _grouping_report(df.cube(*dims), dims, value_col)
+
+
+def share_shift(
+    df,
+    *,
+    ts_col: str = "ts",
+    group_col: str,
+    value_col: str,
+):
+    """Month-over-month market-share shift per group: ``(month, group,
+    value_sum, share, share_prev, share_delta)``.
+
+    ``share`` is the group's fraction of that month's total;
+    ``share_prev`` comes from an EXPLICIT previous-calendar-month
+    self-join (not a lag over present months — a gap month must yield
+    NULL delta, not silently compare across the hole).
+
+    Scale shape: one map-side-combinable census on (month, group);
+    month totals and the prev-month join run on census-sized frames.
+    Values reduce in exact integer cents; shares round 6 and the delta
+    subtracts the two ROUNDED shares (deterministic in both engines).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    cen = (
+        df.select(
+            F.date_trunc("month", F.col(ts_col).cast("timestamp"))
+            .cast("date")
+            .alias("month"),
+            F.col(group_col).alias("_g"),
+            cents.alias("_c"),
+        )
+        .groupBy("month", "_g")
+        .agg(F.sum(F.col("_c").cast("decimal(38,0)")).alias("_v"))
+        .localCheckpoint(eager=False)  # totals + self-join + output
+    )
+    tot = cen.groupBy("month").agg(F.sum("_v").alias("_t"))
+    cur = cen.join(tot, "month").select(
+        "month",
+        "_g",
+        F.round(F.col("_v").cast("double") / F.lit(100.0), 6).alias(
+            "value_sum"
+        ),
+        F.round(
+            F.col("_v").cast("double") / F.col("_t").cast("double"), 6
+        ).alias("share"),
+    ).localCheckpoint(eager=False)  # both sides of the shift join
+    prev = cur.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("_g"),
+        F.col("share").alias("share_prev"),
+    )
+    return (
+        cur.join(prev, ["month", "_g"], "left")
+        .select(
+            "month",
+            F.col("_g").alias(group_col),
+            "value_sum",
+            "share",
+            "share_prev",
+            F.round(F.col("share") - F.col("share_prev"), 6).alias(
+                "share_delta"
+            ),
+        )
+    )

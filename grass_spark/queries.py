@@ -984,3 +984,9 @@ from grass_spark.queries_ext30 import EXT30_ORACLES, EXT30_QUERIES  # noqa: E402
 
 QUERIES.update(EXT30_QUERIES)
 ORACLES.update(EXT30_ORACLES)
+
+# Thirty-first wave (CDC merge, share shift) — queries_ext31
+from grass_spark.queries_ext31 import EXT31_ORACLES, EXT31_QUERIES  # noqa: E402
+
+QUERIES.update(EXT31_QUERIES)
+ORACLES.update(EXT31_ORACLES)
