@@ -253,6 +253,8 @@ TIER2 = [
     "cohort_ltv",
     "cdc_merge",
     "share_shift",
+    "abc_customers",
+    "gini_customers",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -990,3 +990,9 @@ from grass_spark.queries_ext31 import EXT31_ORACLES, EXT31_QUERIES  # noqa: E402
 
 QUERIES.update(EXT31_QUERIES)
 ORACLES.update(EXT31_ORACLES)
+
+# Thirty-second wave (ABC/Pareto, Gini) — queries_ext32
+from grass_spark.queries_ext32 import EXT32_ORACLES, EXT32_QUERIES  # noqa: E402
+
+QUERIES.update(EXT32_QUERIES)
+ORACLES.update(EXT32_ORACLES)
