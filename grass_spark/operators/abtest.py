@@ -106,3 +106,145 @@ def ab_test(
         ).alias("lift"),
         z.alias("z"),
     )
+
+
+def did_estimate(
+    df: DataFrame,
+    *,
+    group_col: str,
+    period_col: str,
+    value_col: str = "value",
+    treat: str = "treat",
+    pre: str = "pre",
+) -> DataFrame:
+    """One-row difference-in-differences point estimate:
+    ``(n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+    mean_treat_pre, mean_treat_post, mean_ctrl_pre, mean_ctrl_post,
+    did)`` — ``did = (T_post - T_pre) - (C_post - C_pre)``.
+
+    ``group_col`` / ``period_col`` are binary string columns
+    (``treat`` / ``pre`` name the treated group and pre period; every
+    other value is control / post).  One global aggregate of
+    conditional exact-integer cent sums — the abtest scale shape;
+    means are mirrored single-cast double expressions, round 6, NULL
+    on an empty cell (did NULL if any cell is empty).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    dec = cents.cast("decimal(38,0)")
+    is_t = F.col(group_col) == treat
+    is_pre = F.col(period_col) == pre
+    cells = {
+        "tp": is_t & ~is_pre,
+        "tq": is_t & is_pre,
+        "cp": ~is_t & ~is_pre,
+        "cq": ~is_t & is_pre,
+    }
+    aggs = []
+    for tag, cond in cells.items():
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"_n{tag}"))
+        aggs.append(
+            F.sum(F.when(cond, dec).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .alias(f"_s{tag}")
+        )
+    one = df.where(F.col(value_col).isNotNull()).agg(*aggs)
+
+    def mean(tag):
+        return F.when(
+            F.col(f"_n{tag}") > 0,
+            F.col(f"_s{tag}").cast("double")
+            / (F.col(f"_n{tag}").cast("double") * F.lit(100.0)),
+        )
+
+    m_tp, m_tq, m_cp, m_cq = mean("tp"), mean("tq"), mean("cp"), mean("cq")
+    return one.select(
+        F.col("_ntq").alias("n_treat_pre"),
+        F.col("_ntp").alias("n_treat_post"),
+        F.col("_ncq").alias("n_ctrl_pre"),
+        F.col("_ncp").alias("n_ctrl_post"),
+        F.round(m_tq, 6).alias("mean_treat_pre"),
+        F.round(m_tp, 6).alias("mean_treat_post"),
+        F.round(m_cq, 6).alias("mean_ctrl_pre"),
+        F.round(m_cp, 6).alias("mean_ctrl_post"),
+        F.round((m_tp - m_tq) - (m_cp - m_cq), 6).alias("did"),
+    )
+
+
+def cuped_means(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    group_col: str,
+    period_col: str,
+    value_col: str = "value",
+    pre: str = "pre",
+) -> DataFrame:
+    """CUPED variance-reduced per-variant means (Deng et al. 2013):
+    per user, X = pre-period value sum (0 when absent) and Y =
+    post-period sum; ``theta = cov(X, Y) / var(X)`` (population, from
+    exact integer power sums, 6-dp rounded); the adjusted metric is
+    ``Y - theta * (X - mean(X))``.  Returns one row per variant:
+    ``(variant, n_users, mean_post, mean_post_adj, theta)``.
+
+    A user's variant is taken as the max group label over their rows
+    (assignment is per-user by construction — document upstream).
+    Because theta and mean(X) are scalars, the per-variant adjusted
+    mean decomposes as ``mean(Y) - theta * (mean(X) - mean(X)_global)``
+    — so every emitted mean composes from EXACT decimal cent sums in a
+    fixed float order (never ``avg`` over per-user doubles, whose
+    distributed sum order diverges across engines).  Scale shape: one
+    per-user conditional-sum groupBy (map-side combinable), one 1-row
+    power-sum aggregate, one per-variant aggregate of the same census
+    (checkpointed — two consumers), a 1-row broadcast cross join.
+    theta is NULL (and adj = raw) when var(X) is 0.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    is_pre = F.col(period_col) == pre
+    per_user = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.max(group_col).alias("_g"),
+            F.sum(F.when(is_pre, cents).otherwise(F.lit(0)))
+            .cast("decimal(38,0)").alias("_x"),
+            F.sum(F.when(~is_pre, cents).otherwise(F.lit(0)))
+            .cast("decimal(38,0)").alias("_y"),
+        )
+        .localCheckpoint(eager=False)  # power sums + variant agg
+    )
+    pw = per_user.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov = n * F.col("_sxy").cast("double") - sx * sy
+    varx = n * F.col("_sxx").cast("double") - sx * sx
+    params = pw.select(
+        F.when(varx > 0, F.round(cov / varx, 6)).alias("theta"),
+        # global mean of X in dollars, mirrored single division
+        F.round(sx / (n * F.lit(100.0)), 6).alias("_mx"),
+    )
+    per_variant = per_user.groupBy(F.col("_g").alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_x").alias("_gx"),
+        F.sum("_y").alias("_gy"),
+    )
+    staged = per_variant.crossJoin(F.broadcast(params))
+    ng = F.col("n_users").cast("double") * F.lit(100.0)
+    my = F.col("_gy").cast("double") / ng
+    mxg = F.col("_gx").cast("double") / ng
+    adj = F.when(
+        F.col("theta").isNotNull(),
+        my - F.col("theta") * (mxg - F.col("_mx")),
+    ).otherwise(my)
+    return staged.select(
+        "variant",
+        "n_users",
+        F.round(my, 6).alias("mean_post"),
+        F.round(adj, 6).alias("mean_post_adj"),
+        "theta",
+    ).orderBy("variant")

@@ -996,3 +996,9 @@ from grass_spark.queries_ext32 import EXT32_ORACLES, EXT32_QUERIES  # noqa: E402
 
 QUERIES.update(EXT32_QUERIES)
 ORACLES.update(EXT32_ORACLES)
+
+# Thirty-third wave (diff-in-diff, CUPED) — queries_ext33
+from grass_spark.queries_ext33 import EXT33_ORACLES, EXT33_QUERIES  # noqa: E402
+
+QUERIES.update(EXT33_QUERIES)
+ORACLES.update(EXT33_ORACLES)
