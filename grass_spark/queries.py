@@ -1002,3 +1002,9 @@ from grass_spark.queries_ext33 import EXT33_ORACLES, EXT33_QUERIES  # noqa: E402
 
 QUERIES.update(EXT33_QUERIES)
 ORACLES.update(EXT33_ORACLES)
+
+# Thirty-fourth wave (fuzzy linkage, set-similarity join) — queries_ext34
+from grass_spark.queries_ext34 import EXT34_ORACLES, EXT34_QUERIES  # noqa: E402
+
+QUERIES.update(EXT34_QUERIES)
+ORACLES.update(EXT34_ORACLES)
