@@ -1008,3 +1008,9 @@ from grass_spark.queries_ext34 import EXT34_ORACLES, EXT34_QUERIES  # noqa: E402
 
 QUERIES.update(EXT34_QUERIES)
 ORACLES.update(EXT34_ORACLES)
+
+# Thirty-fifth wave (concurrency sweep, compaction plan) — queries_ext35
+from grass_spark.queries_ext35 import EXT35_ORACLES, EXT35_QUERIES  # noqa: E402
+
+QUERIES.update(EXT35_QUERIES)
+ORACLES.update(EXT35_ORACLES)
