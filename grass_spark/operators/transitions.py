@@ -563,3 +563,57 @@ def interevent_stats(
         F.round(F.col("_gmax") / F.lit(1000000.0), 6).alias("max_gap_s"),
     )
     return out
+
+
+def transition_entropy(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-state conditional entropy of the next-event distribution:
+    how predictable is what follows each event type.
+
+    Composes :func:`event_transitions` (same exact global-order
+    decomposition) and reduces each ``from_type``'s transition counts
+    to ``(from_type, n_obs, n_next_types, entropy, entropy_norm)``:
+    ``entropy = -sum p ln p`` in nats over ``p = n / n_obs`` via the
+    census identity ``ln(n_obs) - sum(n ln n) / n_obs`` (each
+    ``n ln n`` term 6-dp rounded before the sum — the source_entropy
+    portability discipline), ``entropy_norm`` divides by
+    ``ln(n_next_types)`` (NULL for a single successor type — a fully
+    deterministic state).
+    """
+    m = event_transitions(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        id_col=id_col,
+        bucket=bucket,
+    )
+    agg = m.groupBy("from_type").agg(
+        F.sum("n").alias("n_obs"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.sum(
+            F.round(
+                F.col("n").cast("double") * F.log(F.col("n").cast("double")),
+                6,
+            )
+        ).alias("_snln"),
+    )
+    nd = F.col("n_obs").cast("double")
+    h = F.round(F.log(nd) - F.col("_snln") / nd, 6)
+    return agg.select(
+        "from_type",
+        "n_obs",
+        "n_next_types",
+        h.alias("entropy"),
+        F.when(
+            F.col("n_next_types") > 1,
+            F.round(h / F.log(F.col("n_next_types").cast("double")), 6),
+        ).alias("entropy_norm"),
+    ).orderBy("from_type")

@@ -1014,3 +1014,9 @@ from grass_spark.queries_ext35 import EXT35_ORACLES, EXT35_QUERIES  # noqa: E402
 
 QUERIES.update(EXT35_QUERIES)
 ORACLES.update(EXT35_ORACLES)
+
+# Thirty-sixth wave (daily CCF, transition entropy) — queries_ext36
+from grass_spark.queries_ext36 import EXT36_ORACLES, EXT36_QUERIES  # noqa: E402
+
+QUERIES.update(EXT36_QUERIES)
+ORACLES.update(EXT36_ORACLES)
