@@ -23,7 +23,9 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("ccf_daily", "transition_entropy",
+_PRIORITY = ("state_occupancy", "kappa_lang",
+             "mrr_eval", "stratified_ate",
+             "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",
              "did_orders", "cuped_orders",

@@ -255,6 +255,16 @@ TIER2 = [
     "share_shift",
     "abc_customers",
     "gini_customers",
+    "did_orders",
+    "cuped_orders",
+    # round 5 continuation: entity resolution / ops-maintenance /
+    # lead-lag waves
+    "fuzzy_pairs",
+    "setsim_docs",
+    "concurrency_days",
+    "compaction_plan",
+    "ccf_daily",
+    "transition_entropy",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

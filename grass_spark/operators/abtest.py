@@ -248,3 +248,97 @@ def cuped_means(
         F.round(adj, 6).alias("mean_post_adj"),
         "theta",
     ).orderBy("variant")
+
+
+def stratified_ate(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    group_col: str,
+    value_col: str = "value",
+    treat: str = "treat",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Post-stratified average-treatment-effect estimate: within each
+    stratum the treated-vs-control mean difference, combined with
+    stratum-size weights — the standard covariate adjustment when
+    assignment is (or should be) independent of the stratum.
+
+    Returns one row ``(n_strata_used, n_treat, n_ctrl, ate,
+    diff_unadj)``: only strata with BOTH arms contribute to ``ate``
+    (weights renormalise over contributing strata, the complete-case
+    post-stratification convention); ``diff_unadj`` is the plain
+    all-rows mean difference for comparison.  NULL ``ate`` when no
+    stratum holds both arms, NULL ``diff_unadj`` when an arm is empty.
+
+    Scale shape: ONE corpus-sized stage — the map-side-combinable
+    ``groupBy(stratum)`` of conditional exact-cent sums (the abtest
+    discipline); the census result is stratum-cardinality-sized and is
+    lazily checkpointed for its two aggregate consumers.  Per-stratum
+    diffs are mirrored single-cast double expressions over exact
+    integers; the weighted terms round to 6 dp before the (tiny,
+    strata-count-bounded) final sum — the NDCG small-term-sum
+    discipline.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    dec = cents.cast("decimal(38,0)")
+    is_t = F.col(group_col) == treat
+    zero = F.lit(0).cast("decimal(38,0)")
+    cen = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("_st"))
+        .agg(
+            F.sum(F.when(is_t, 1).otherwise(0)).alias("_nt"),
+            F.sum(F.when(is_t, dec).otherwise(zero)).alias("_vt"),
+            F.sum(F.when(~is_t, 1).otherwise(0)).alias("_nc"),
+            F.sum(F.when(~is_t, dec).otherwise(zero)).alias("_vc"),
+        )
+    )
+    if checkpoint:
+        cen = cen.localCheckpoint(eager=False)  # used-strata + unadj aggs
+
+    diff = (
+        F.col("_vt").cast("double")
+        / (F.col("_nt").cast("double") * F.lit(100.0))
+        - F.col("_vc").cast("double")
+        / (F.col("_nc").cast("double") * F.lit(100.0))
+    )
+    term = F.round(
+        (F.col("_nt") + F.col("_nc")).cast("double") * F.round(diff, 6), 6
+    )
+    used = (
+        cen.where((F.col("_nt") > 0) & (F.col("_nc") > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_strata_used"),
+            F.sum("_nt").alias("n_treat"),
+            F.sum("_nc").alias("n_ctrl"),
+            F.sum(term).alias("_tsum"),
+        )
+    )
+    unadj = cen.agg(
+        F.sum("_nt").alias("_ant"),
+        F.sum("_vt").alias("_avt"),
+        F.sum("_nc").alias("_anc"),
+        F.sum("_vc").alias("_avc"),
+    )
+    udiff = F.when(
+        (F.col("_ant") > 0) & (F.col("_anc") > 0),
+        F.col("_avt").cast("double")
+        / (F.col("_ant").cast("double") * F.lit(100.0))
+        - F.col("_avc").cast("double")
+        / (F.col("_anc").cast("double") * F.lit(100.0)),
+    )
+    return used.crossJoin(F.broadcast(unadj)).select(
+        "n_strata_used",
+        F.coalesce("n_treat", F.lit(0).cast("long")).alias("n_treat"),
+        F.coalesce("n_ctrl", F.lit(0).cast("long")).alias("n_ctrl"),
+        F.when(
+            F.col("n_strata_used") > 0,
+            F.round(
+                F.col("_tsum")
+                / (F.col("n_treat") + F.col("n_ctrl")).cast("double"),
+                6,
+            ),
+        ).alias("ate"),
+        F.round(udiff, 6).alias("diff_unadj"),
+    )

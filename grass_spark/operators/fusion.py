@@ -179,6 +179,80 @@ def ndcg_at_k(
     )
 
 
+def mrr_ap_at_k(
+    ranked: DataFrame,
+    totals: DataFrame,
+    *,
+    q_col: str = "q_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    n_rel_col: str = "n_rel",
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal rank and average precision at ``k`` per query.
+
+    Same input contract as :func:`ndcg_at_k` (top-k ``ranked`` frame +
+    corpus-wide relevant counts in ``totals``), binary relevance:
+    ``rel_col > 0`` is a hit.  Returns (q, n_rel, rel_at_k, rr, ap) —
+    ``rr = 1/first_hit_rank`` (0.0 when the top-k holds no hit),
+    ``ap = (sum over hit positions of precision@rank) / min(k, n_rel)``
+    (the TREC AP@k convention); both NULL when the corpus holds no
+    relevant item at all.  The precision prefix-count window partitions
+    by query over <= k rows — bounded by contract, never data-scale.
+    The hit-position sum rounds to 6 dp before the final division
+    (the NDCG discipline: <= k exact-integer ratios per query).
+    """
+    if k < 1:
+        raise ValueError("mrr_ap_at_k: k must be >= 1")
+    hit = F.when(F.col(rel_col).cast("long") > 0, 1).otherwise(0)
+    w = Window.partitionBy(q_col).orderBy(rank_col)
+    cum = (
+        ranked.filter(F.col(rank_col) <= int(k))
+        .withColumn("_h", hit)
+        .withColumn("_cr", F.sum("_h").over(w))
+    )
+    per_q = cum.groupBy(q_col).agg(
+        F.sum("_h").alias("rel_at_k"),
+        F.min(F.when(F.col("_h") == 1, F.col(rank_col))).alias("_fr"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_h") == 1,
+                    F.col("_cr").cast("double")
+                    / F.col(rank_col).cast("double"),
+                )
+            ),
+            6,
+        ).alias("_apnum"),
+    )
+    joined = totals.select(
+        F.col(q_col), F.col(n_rel_col).cast("long").alias("n_rel")
+    ).join(F.broadcast(per_q), q_col, "left")
+    has_rel = F.col("n_rel") > 0
+    return joined.select(
+        q_col,
+        "n_rel",
+        F.coalesce("rel_at_k", F.lit(0).cast("long")).alias("rel_at_k"),
+        F.when(
+            has_rel,
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("_fr").cast("double"), 6),
+                F.lit(0.0),
+            ),
+        ).alias("rr"),
+        F.when(
+            has_rel,
+            F.round(
+                F.coalesce("_apnum", F.lit(0.0))
+                / F.least(
+                    F.lit(int(k)).cast("long"), F.col("n_rel")
+                ).cast("double"),
+                6,
+            ),
+        ).alias("ap"),
+    )
+
+
 def rbo_tail_weights(k: int, p: float) -> list[float]:
     """``T[m] = sum_{d=m..k} p^(d-1) / d`` for m = 1..k — the total
     RBO weight an item earns when it enters both prefixes at depth

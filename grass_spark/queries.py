@@ -1020,3 +1020,15 @@ from grass_spark.queries_ext36 import EXT36_ORACLES, EXT36_QUERIES  # noqa: E402
 
 QUERIES.update(EXT36_QUERIES)
 ORACLES.update(EXT36_ORACLES)
+
+# Thirty-seventh wave (state occupancy, Cohen's kappa) — queries_ext37
+from grass_spark.queries_ext37 import EXT37_ORACLES, EXT37_QUERIES  # noqa: E402
+
+QUERIES.update(EXT37_QUERIES)
+ORACLES.update(EXT37_ORACLES)
+
+# Thirty-eighth wave (MRR/MAP eval, post-stratified ATE) — queries_ext38
+from grass_spark.queries_ext38 import EXT38_ORACLES, EXT38_QUERIES  # noqa: E402
+
+QUERIES.update(EXT38_QUERIES)
+ORACLES.update(EXT38_ORACLES)

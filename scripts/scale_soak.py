@@ -1838,6 +1838,134 @@ def _boot_soak(args) -> None:
     spark.stop()
 
 
+def _setsim_soak(args) -> None:
+    """Exact prefix-filtered set-similarity self-join over N synthetic
+    docs with planted near-dup clusters (3-word shingle sets, Jaccard
+    >= 0.8).  Boilerplate cliques are disabled (boiler_every=n): an
+    identical-text clique makes the OUTPUT itself quadratic — exact
+    all-pairs on it belongs to exact_dedup, the near_dedup cap lesson.
+    Reports wall, docs/s, pair count, and recall against the planted
+    base->copy ground truth."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.datagen import synth_documents
+    from grass_spark.operators.dedup import shingles_of_words
+    from grass_spark.operators.setsim import setsim_pairs
+    from grass_spark.session import get_spark
+
+    n = args.setsim_docs
+    spark = get_spark(
+        "soak_setsim", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, min(512, n // 100_000)),
+    )
+    docs = synth_documents(
+        spark, n_docs=n, boiler_every=n
+    ).repartition(args.cores * 4).localCheckpoint()
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = docs.select(
+        "doc_id", shingles_of_words(words, 3).alias("sh")
+    )
+    t0 = time.perf_counter()
+    pairs = setsim_pairs(
+        toks, id_col="doc_id", tokens_col="sh", threshold=0.8
+    )
+    pairs = pairs.localCheckpoint()  # count + recall join consumers
+    n_pairs = pairs.count()
+    wall = round(time.perf_counter() - t0, 1)
+
+    copies = docs.filter(
+        (F.col("true_cluster") >= 0)
+        & (F.col("doc_id") != F.col("true_cluster"))
+    ).select("doc_id")
+    n_copies = copies.count()
+    matched = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    caught = copies.join(matched, "doc_id").count()
+    print(json.dumps({
+        "docs": n, "cores": args.cores, "setsim_sec": wall,
+        "docs_per_sec": round(n / wall), "pairs": int(n_pairs),
+        "near_dup_copies": int(n_copies),
+        "copies_caught": int(caught),
+        "recall": round(caught / max(n_copies, 1), 4),
+    }))
+    spark.stop()
+
+
+def _fuzzy_soak(args) -> None:
+    """Blocked fuzzy linkage over N synthetic names: 9-digit serials
+    blocked on all-but-the-last-two digits (blocks of <= 100), exact
+    Levenshtein <= 1 verify.  Work is sum-of-block^2 by construction —
+    the soak verifies the equi-join shape holds that bound at scale."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.linkage import blocked_fuzzy_pairs
+    from grass_spark.session import get_spark
+
+    n = args.fuzzy_names
+    spark = get_spark(
+        "soak_fuzzy", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, min(512, n // 100_000)),
+    )
+    names = (
+        spark.range(n).repartition(args.cores * 4)
+        .select(
+            F.col("id"),
+            F.format_string("user-%09d", F.col("id")).alias("name"),
+        )
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    n_pairs = blocked_fuzzy_pairs(
+        names, id_col="id", name_col="name", block=12, max_dist=1
+    ).count()
+    wall = round(time.perf_counter() - t0, 1)
+    print(json.dumps({
+        "names": n, "cores": args.cores, "fuzzy_sec": wall,
+        "names_per_sec": round(n / wall), "pairs": int(n_pairs),
+        "lev_calls": n * 99 // 2,
+    }))
+    spark.stop()
+
+
+def _sweep_soak(args) -> None:
+    """Interval-concurrency sweep over N intervals spread across a
+    2-year calendar: the corpus-sized stage is one map-side-combinable
+    day census; the cumulative sweep itself runs over <= 760 rows."""
+    from pyspark.sql import functions as F
+
+    from grass_spark.operators.sweep import concurrency_sweep
+    from grass_spark.session import get_spark
+
+    n = args.sweep_intervals
+    spark = get_spark(
+        "soak_sweep", cores=args.cores,
+        shuffle_partitions=max(args.cores * 4, 32),
+    )
+    h = F.abs(F.xxhash64(F.lit(5), "id"))
+    iv = (
+        spark.range(n).repartition(args.cores * 4)
+        .select(
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       (h % 720).cast("int")).alias("s"),
+            (h % 28 + 1).cast("int").alias("_d"),
+        )
+        .select("s", F.expr("date_add(s, _d)").alias("e"))
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    out = concurrency_sweep(iv, start_col="s", end_col="e").agg(
+        F.count(F.lit(1)).alias("days"), F.max("peak").alias("max_peak")
+    ).first()
+    wall = round(time.perf_counter() - t0, 1)
+    print(json.dumps({
+        "intervals": n, "cores": args.cores, "sweep_sec": wall,
+        "intervals_per_sec": round(n / wall),
+        "days": int(out["days"]), "max_peak": int(out["max_peak"]),
+    }))
+    spark.stop()
+
+
 def _parse_buckets(s: str):
     if "=" in s:
         return {k: int(v) for k, v in (p.split("=") for p in s.split(","))}
@@ -1990,8 +2118,26 @@ def main() -> None:
     ap.add_argument("--boot-rows", type=int, default=0,
                     help="Poisson-bootstrap soak: N rows x 64 "
                          "replicates of md5 Poisson weights, lo/hi")
+    ap.add_argument("--setsim-docs", type=int, default=0,
+                    help="exact set-similarity join soak over N docs "
+                         "with planted near-dup clusters, lo/hi")
+    ap.add_argument("--fuzzy-names", type=int, default=0,
+                    help="blocked fuzzy-linkage soak over N serial "
+                         "names (blocks of 100, lev<=1), lo/hi")
+    ap.add_argument("--sweep-intervals", type=int, default=0,
+                    help="interval-concurrency sweep soak over N "
+                         "intervals (census + calendar window), lo/hi")
     args = ap.parse_args()
 
+    if args.setsim_docs:
+        _setsim_soak(args)
+        return
+    if args.fuzzy_names:
+        _fuzzy_soak(args)
+        return
+    if args.sweep_intervals:
+        _sweep_soak(args)
+        return
     if args.skewjoin_rows:
         _skewjoin_soak(args)
         return
