@@ -25,6 +25,7 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # FULL set each round as compensating evidence.
 _PRIORITY = ("state_occupancy", "kappa_lang",
              "mrr_eval", "stratified_ate",
+             "gains_table", "conversion_ci",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

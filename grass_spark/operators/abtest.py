@@ -342,3 +342,69 @@ def stratified_ate(
         ).alias("ate"),
         F.round(udiff, 6).alias("diff_unadj"),
     )
+
+
+#: z for a 95% two-sided interval, as a FIXED 6-dp literal — a runtime
+#: inverse-normal would differ across engines; the constant ships in
+#: both the plan and the oracle SQL verbatim.
+_WILSON_Z = 1.959964
+
+
+def conversion_ci(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    salt: str = "ab",
+    treat_frac: float = 0.5,
+    z: float = _WILSON_Z,
+) -> DataFrame:
+    """Per-variant conversion rate with a Wilson score interval —
+    the binomial CI that behaves at small n and extreme rates (never
+    leaves [0, 1], never collapses to a point at 0/n), one row per
+    variant: ``(variant, n_users, n_conv, rate, ci_lo, ci_hi)``.
+
+    Same per-user conversion census + deterministic md5 assignment as
+    :func:`ab_test` (one corpus-sized map-side-combinable groupBy);
+    the interval is one fixed double expression over the exact integer
+    counts with ``z`` a plan literal, so Spark and a SQL replay agree
+    bit-for-bit after ``round(., 6)``.  NULL bounds on an empty arm.
+    """
+    per_user = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            (F.col(type_col) == convert_type).cast("int").alias("_c"),
+        )
+        .groupBy("_u")
+        .agg(F.max("_c").alias("_conv"))
+        .withColumn(
+            "_v", assign_variant("_u", salt=salt, treat_frac=treat_frac)
+        )
+    )
+    cen = per_user.groupBy(F.col("_v").alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_conv").alias("n_conv"),
+    )
+    zz = F.lit(float(z))
+    n = F.col("n_users").cast("double")
+    p = F.col("n_conv").cast("double") / n
+    denom = F.lit(1.0) + zz * zz / n
+    center = (p + zz * zz / (F.lit(2.0) * n)) / denom
+    half = (
+        zz
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + zz * zz / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    ok = F.col("n_users") > 0
+    return cen.select(
+        "variant",
+        "n_users",
+        "n_conv",
+        F.when(ok, F.round(p, 6)).alias("rate"),
+        F.when(ok, F.round(center - half, 6)).alias("ci_lo"),
+        F.when(ok, F.round(center + half, 6)).alias("ci_hi"),
+    ).orderBy("variant")

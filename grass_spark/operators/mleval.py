@@ -250,3 +250,106 @@ def class_metrics(
         "class", "n_actual", "n_predicted", "tp",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
+
+
+def gains_table(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 10,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Cumulative-gains / lift table: bucket rows into score quantile
+    bands and report, from the TOP band down, how much of the positive
+    class each cumulative slice captures and its lift over the base
+    rate — the classic campaign-targeting diagnostic.
+
+    Bands come from exact ``percentile`` thresholds (Hyndman-Fan
+    type 7 == DuckDB ``quantile_cont``) over the 6-dp-ROUNDED score
+    (the perplexity_buckets discipline: thresholds round again before
+    the band compare, so a last-ulp score difference cannot flip a
+    band).  Band 1 = highest scores.  Ties share a band by value, so
+    band sizes need not be equal — the table reports actual ``n`` per
+    band.
+
+    Scale shape: one corpus-sized aggregate for the thresholds (the
+    percentile buffer is the ~10^8-row per-group bound documented on
+    perplexity_buckets), one scan-stage band assignment against the
+    broadcast 1-row threshold array, one map-side-combinable
+    ``groupBy(band)``; the cumulative window runs over <= n_buckets
+    census rows.  Capture and lift compose from exact integer counts
+    in DECIMAL(38): one double cast each, bit-identical across
+    engines after ``round(., 6)``.
+    """
+    if n_buckets < 2:
+        raise ValueError("gains_table: n_buckets must be >= 2")
+    base = scored.select(
+        F.round(F.col(score_col).cast("double"), 6).alias("_sc"),
+        F.when(F.col(label_col).cast("long") > 0, 1)
+        .otherwise(0)
+        .alias("_pos"),
+    ).where(F.col("_sc").isNotNull())
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)  # thresholds + bands
+
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    thr = base.agg(
+        F.transform(
+            F.percentile("_sc", F.array(*[F.lit(f) for f in fracs])),
+            lambda t: F.round(t, 6),
+        ).alias("_thr")
+    )
+    # band from the top: n_buckets - (# thresholds strictly below sc)
+    banded = base.crossJoin(F.broadcast(thr)).select(
+        (
+            F.lit(int(n_buckets))
+            - F.aggregate(
+                "_thr",
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(F.col("_sc") > t, 1).otherwise(0),
+            )
+        ).alias("band"),
+        "_pos",
+    )
+    cen = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_pos").alias("n_pos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cen.select(
+        "band",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("_cn"),
+        F.sum("n_pos").over(w).alias("_cp"),
+        F.sum("n").over(tot).alias("_tn"),
+        F.sum("n_pos").over(tot).alias("_tp"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    capture = F.when(
+        F.col("_tp") > 0,
+        F.col("_cp").cast("double") / F.col("_tp").cast("double"),
+    )
+    lift = F.when(
+        (F.col("_tp") > 0) & (F.col("_cn") > 0),
+        (dec("_cp") * dec("_tn")).cast("double")
+        / (dec("_cn") * dec("_tp")).cast("double"),
+    )
+    return cum.select(
+        "band",
+        "n",
+        "n_pos",
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(capture, 6).alias("cum_capture"),
+        F.round(lift, 6).alias("cum_lift"),
+    ).orderBy("band")

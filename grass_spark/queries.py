@@ -1032,3 +1032,9 @@ from grass_spark.queries_ext38 import EXT38_ORACLES, EXT38_QUERIES  # noqa: E402
 
 QUERIES.update(EXT38_QUERIES)
 ORACLES.update(EXT38_ORACLES)
+
+# Thirty-ninth wave (gains/lift table, Wilson conversion CI) — queries_ext39
+from grass_spark.queries_ext39 import EXT39_ORACLES, EXT39_QUERIES  # noqa: E402
+
+QUERIES.update(EXT39_QUERIES)
+ORACLES.update(EXT39_ORACLES)
