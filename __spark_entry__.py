@@ -26,6 +26,7 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 _PRIORITY = ("state_occupancy", "kappa_lang",
              "mrr_eval", "stratified_ate",
              "gains_table", "conversion_ci",
+             "fk_orphans", "user_growth",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

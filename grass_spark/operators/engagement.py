@@ -494,3 +494,44 @@ def type_correlations(
             (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
         ).alias("corr"),
     ).orderBy("type_a", "type_b")
+
+
+def user_growth(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cumulative user-acquisition curve: per calendar day the number
+    of first-ever-seen users and the running total, zero-densified
+    over the full calendar span (a day with no signups is an explicit
+    ``n_new_users = 0`` row, so the curve plots without gaps).
+
+    Scale shape: first-seen election is one map-side-combinable
+    ``groupBy(user).min(day)``; everything after runs on the
+    calendar-bounded day census (the ccf/sweep discipline) — the
+    cumulative window orders <= span-days rows, never corpus rows.
+    All columns are exact integers.
+    """
+    fst = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("_d"),
+        )
+        .groupBy("_u")
+        .agg(F.min("_d").alias("_d"))
+    )
+    cen = fst.groupBy("_d").agg(F.count(F.lit(1)).alias("_new"))
+    bounds = cen.agg(F.min("_d").alias("lo"), F.max("_d").alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    grid = days.join(cen, days["day"] == cen["_d"], "left").select(
+        "day", F.coalesce("_new", F.lit(0)).cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    ).orderBy("day")

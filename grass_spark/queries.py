@@ -1038,3 +1038,9 @@ from grass_spark.queries_ext39 import EXT39_ORACLES, EXT39_QUERIES  # noqa: E402
 
 QUERIES.update(EXT39_QUERIES)
 ORACLES.update(EXT39_ORACLES)
+
+# Fortieth wave (fk-orphan audit, user growth) — queries_ext40
+from grass_spark.queries_ext40 import EXT40_ORACLES, EXT40_QUERIES  # noqa: E402
+
+QUERIES.update(EXT40_QUERIES)
+ORACLES.update(EXT40_ORACLES)
