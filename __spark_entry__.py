@@ -27,6 +27,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "mrr_eval", "stratified_ate",
              "gains_table", "conversion_ci",
              "fk_orphans", "user_growth",
+             "trending_ranks", "vocab_growth",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

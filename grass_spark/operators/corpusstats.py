@@ -178,3 +178,78 @@ def corpus_diff(
         "status",
         F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: walking the corpus in
+    ``id_col`` order in buckets of ``bucket_size`` docs, how many
+    NEVER-before-seen whitespace words each bucket contributes and the
+    running vocabulary / token totals — the log-log slope of
+    ``cum_vocab`` vs ``cum_tokens`` is the Heaps exponent.
+
+    Returns ``(bucket, n_docs, bucket_tokens, new_words, cum_vocab,
+    cum_tokens)`` — one row per occupied id bucket.
+
+    Scale shape: first-occurrence election is a map-side-combinable
+    ``groupBy(word).min(id)`` (the corpus-sized stage — a stopword's
+    10^9 occurrences collapse in the partial aggregate); token counts
+    are a scan-stage projection into a bucket census.  Both cumulative
+    windows run over the <= n_docs/bucket_size census rows.  The two
+    corpus consumers re-scan the parquet rather than checkpoint: the
+    shared subtree is a plain scan + split (cheap), not a reduced
+    frame — the multi-consumer rule targets expensive subtrees.
+    """
+    if bucket_size < 1:
+        raise ValueError("vocab_growth: bucket_size must be >= 1")
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != ""
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        words.alias("_ws"),
+    ).select(
+        # integer floor division (Spark `div` == DuckDB `//`) — the
+        # m4_downsample bucket-id discipline
+        F.expr(f"_id div {int(bucket_size)}").alias("bucket"),
+        "_ws",
+    )
+    toks = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_ws")).alias("bucket_tokens"),
+    )
+    fo = (
+        base.select("bucket", F.explode(F.array_distinct("_ws")).alias("_w"))
+        .groupBy("_w")
+        .agg(F.min("bucket").alias("_fb"))
+    )
+    wc = fo.groupBy(F.col("_fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        toks.join(wc, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "bucket_tokens",
+            F.coalesce("new_words", F.lit(0).cast("long"))
+            .alias("new_words"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "bucket_tokens",
+            "new_words",
+            F.sum("new_words").over(w).alias("cum_vocab"),
+            F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+        )
+        .orderBy("bucket")
+    )

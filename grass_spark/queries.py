@@ -1044,3 +1044,9 @@ from grass_spark.queries_ext40 import EXT40_ORACLES, EXT40_QUERIES  # noqa: E402
 
 QUERIES.update(EXT40_QUERIES)
 ORACLES.update(EXT40_ORACLES)
+
+# Forty-first wave (trending ranks, vocab growth) — queries_ext41
+from grass_spark.queries_ext41 import EXT41_ORACLES, EXT41_QUERIES  # noqa: E402
+
+QUERIES.update(EXT41_QUERIES)
+ORACLES.update(EXT41_ORACLES)
