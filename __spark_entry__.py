@@ -28,6 +28,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "gains_table", "conversion_ci",
              "fk_orphans", "user_growth",
              "trending_ranks", "vocab_growth",
+             "reconcile_orders", "session_summary",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

@@ -617,3 +617,72 @@ def transition_entropy(
             F.round(h / F.log(F.col("n_next_types").cast("double")), 6),
         ).alias("entropy_norm"),
     ).orderBy("from_type")
+
+
+def session_summary(
+    df: DataFrame,
+    timeout_s: int,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """One-row engagement summary over :func:`sessionize_events`
+    sessions: ``(n_sessions, n_users, n_events, bounce_sessions,
+    bounce_rate, mean_depth, p50_depth, p95_depth)`` — a bounce is a
+    single-event session; depth quantiles are exact Hyndman-Fan
+    type 7 over the per-session depth multiset (== DuckDB
+    ``quantile_cont``; the percentile buffer holds one value per
+    SESSION — the documented ~10^8-per-group bound applies to the
+    session count, not events).
+
+    Scale shape: sessionization is the bucket-decomposed variant
+    (bounded windows + calendar-bounded carry — never a bare per-user
+    full-history sort); depths are one further map-side-combinable
+    ``groupBy(user, session_idx)``; the summary is a single global
+    aggregate.  ``bounce_rate`` and ``mean_depth`` are single double
+    expressions over exact integers, round 6.
+    """
+    s = sessionize_events(
+        df, timeout_s, user_col=user_col, ts_col=ts_col,
+        id_col=id_col, bucket=bucket,
+    )
+    dep = (
+        s.groupBy(F.col(user_col).alias("_u"), "session_idx")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        # two consumers (count summary + percentile agg) — without the
+        # checkpoint the whole sessionize window/join subtree runs twice
+        .localCheckpoint(eager=False)
+    )
+    return dep.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("_u").alias("n_users"),
+        F.sum("_d").alias("n_events"),
+        F.sum(F.when(F.col("_d") == 1, 1).otherwise(0))
+        .alias("bounce_sessions"),
+    ).select(
+        "n_sessions",
+        "n_users",
+        "n_events",
+        "bounce_sessions",
+        F.round(
+            F.col("bounce_sessions").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.col("n_events").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("mean_depth"),
+    ).crossJoin(
+        F.broadcast(
+            dep.agg(
+                F.round(F.percentile("_d", F.lit(0.5)), 6)
+                .alias("p50_depth"),
+                F.round(F.percentile("_d", F.lit(0.95)), 6)
+                .alias("p95_depth"),
+            )
+        )
+    )

@@ -1050,3 +1050,9 @@ from grass_spark.queries_ext41 import EXT41_ORACLES, EXT41_QUERIES  # noqa: E402
 
 QUERIES.update(EXT41_QUERIES)
 ORACLES.update(EXT41_ORACLES)
+
+# Forty-second wave (order reconciliation, session summary) — queries_ext42
+from grass_spark.queries_ext42 import EXT42_ORACLES, EXT42_QUERIES  # noqa: E402
+
+QUERIES.update(EXT42_QUERIES)
+ORACLES.update(EXT42_ORACLES)
