@@ -29,6 +29,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "fk_orphans", "user_growth",
              "trending_ranks", "vocab_growth",
              "reconcile_orders", "session_summary",
+             "churn_labels", "value_histogram",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

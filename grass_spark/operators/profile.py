@@ -66,3 +66,74 @@ def profile_table(
         )
         .orderBy("column")
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equal-width histogram over a currency/measure column in EXACT
+    integer cents: ``(bin, lo_value, hi_value, n)`` with empty bins
+    densified to explicit zeros — the numeric-shape companion to
+    ``profile_table``.
+
+    Bin width is the integer ``ceil(span / n_bins)`` over the observed
+    cent range (>= 1), so at most ``n_bins`` bins exist and the max
+    value lands in the last bin; ``lo_value``/``hi_value`` are the
+    bin's inclusive cent bounds rendered as currency (6 dp).
+
+    Scale shape: one global min/max aggregate + one map-side
+    combinable ``groupBy(bin)`` over the scan-stage cent projection
+    (two consumers of a plain scan — cheaper to re-scan than to
+    checkpoint, the vocab_growth note); the densifying ``sequence``
+    explodes <= n_bins rows from the 1-row bounds frame.  All bin
+    arithmetic is integer floor division (Spark ``div`` == DuckDB
+    ``//`` — the m4 bucket-id discipline).
+    """
+    if n_bins < 1:
+        raise ValueError("value_histogram: n_bins must be >= 1")
+    cents = F.round(F.col(value_col).cast("double") * F.lit(100.0)).cast(
+        "long"
+    )
+    vals = df.where(F.col(value_col).isNotNull()).select(cents.alias("_c"))
+    bw = vals.agg(
+        F.min("_c").alias("_lo"), F.max("_c").alias("_hi")
+    ).select(
+        "_lo",
+        "_hi",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(_hi - _lo + {int(n_bins)}) div {int(n_bins)}"),
+        ).alias("_w"),
+    )
+    cen = (
+        vals.crossJoin(F.broadcast(bw))
+        .select(F.expr("(_c - _lo) div _w").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = bw.select(
+        "_lo",
+        "_w",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.expr("(_hi - _lo) div _w")
+            )
+        ).alias("bin"),
+    )
+    lo_v = (F.col("_lo") + F.col("bin") * F.col("_w")).cast("double")
+    hi_v = (
+        F.col("_lo") + (F.col("bin") + 1) * F.col("_w") - 1
+    ).cast("double")
+    return (
+        grid.join(cen, "bin", "left")
+        .select(
+            "bin",
+            F.round(lo_v / F.lit(100.0), 6).alias("lo_value"),
+            F.round(hi_v / F.lit(100.0), 6).alias("hi_value"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+        .orderBy("bin")
+    )

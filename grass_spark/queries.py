@@ -1056,3 +1056,9 @@ from grass_spark.queries_ext42 import EXT42_ORACLES, EXT42_QUERIES  # noqa: E402
 
 QUERIES.update(EXT42_QUERIES)
 ORACLES.update(EXT42_ORACLES)
+
+# Forty-third wave (churn labels, value histogram) — queries_ext43
+from grass_spark.queries_ext43 import EXT43_ORACLES, EXT43_QUERIES  # noqa: E402
+
+QUERIES.update(EXT43_QUERIES)
+ORACLES.update(EXT43_ORACLES)
