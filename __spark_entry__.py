@@ -30,6 +30,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "trending_ranks", "vocab_growth",
              "reconcile_orders", "session_summary",
              "churn_labels", "value_histogram",
+             "geo_means", "funnel_weekly",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

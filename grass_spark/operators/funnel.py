@@ -315,3 +315,81 @@ def multi_touch_attribution(
         F.round(F.lit(1.0) / F.col("n_touches"), 6).alias("w_linear"),
         F.round(F.col("_w") / F.col("_s"), 6).alias("w_decay"),
     )
+
+
+def funnel_weekly(
+    df: DataFrame,
+    *,
+    step1: str,
+    step2: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Two-step funnel conversion as a weekly trend: users are
+    cohorted by the week of their FIRST ``step1`` event; a cohort
+    member converts if any ``step2`` event follows that first step
+    strictly in ``(ts, id)`` order (the ties-by-id contract shared
+    with event_funnel).  Returns ``(week_start, n_cohort,
+    n_converted, cvr)`` — the portable Monday anchor, round-6 cvr.
+
+    Scale shape: first-step election is a map-side-combinable
+    ``min(struct(ts, id))`` census (checkpointed — the cohort census
+    feeds BOTH the conversion join and the week rollup); the
+    conversion check is one equi-join on user against the
+    step2-filtered scan folded by a combinable ``max`` flag.  No
+    window ever sees the corpus.
+    """
+    s1 = (
+        df.where(F.col(type_col) == step1)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.min(
+                F.struct(F.col(ts_col).alias("_ts"),
+                         F.col(id_col).alias("_id"))
+            ).alias("_f")
+        )
+        .select("_u", F.col("_f._ts").alias("_fts"),
+                F.col("_f._id").alias("_fid"))
+    )
+    if checkpoint:
+        s1 = s1.localCheckpoint(eager=False)  # conversion join + rollup
+
+    s2 = df.where(F.col(type_col) == step2).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts2"),
+        F.col(id_col).alias("_id2"),
+    )
+    after = (F.col("_ts2") > F.col("_fts")) | (
+        (F.col("_ts2") == F.col("_fts")) & (F.col("_id2") > F.col("_fid"))
+    )
+    conv = (
+        s1.join(s2, "_u", "left")
+        .groupBy("_u")
+        .agg(F.max(F.when(after, 1).otherwise(0)).alias("_conv"))
+    )
+    day = F.to_date(F.date_trunc("day", F.col("_fts")))
+    wk = F.date_sub(
+        day, F.pmod(F.datediff(day, F.lit("1970-01-05").cast("date")), 7)
+    )
+    return (
+        s1.join(conv, "_u")
+        .groupBy(wk.alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cohort"),
+            F.sum("_conv").alias("n_converted"),
+        )
+        .select(
+            "week_start",
+            "n_cohort",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_cohort").cast("double"),
+                6,
+            ).alias("cvr"),
+        )
+        .orderBy("week_start")
+    )

@@ -290,3 +290,54 @@ def mann_whitney(
             F.round(num / (F.lit(2.0) * F.sqrt(var)), 6),
         ).alias("z"),
     )
+
+
+def geometric_means(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group geometric and arithmetic means of a positive measure:
+    ``(group, n_pos, n_excluded, geo_mean, arith_mean)`` — the
+    multiplicative average that a skewed positive metric (latency,
+    price, gap) actually wants.
+
+    Non-positive / NULL values are excluded (ln undefined) and counted
+    in ``n_excluded``.  Cross-engine parity: each row's ``ln`` rounds
+    to 6 dp BEFORE the sum (the entropy per-term discipline), the mean
+    rounds before ``exp`` (the classify sigmoid-the-rounded-score
+    rule), and the result rounds again — JVM vs libm transcendentals
+    differ in the last ulp on anything unrounded.  ``arith_mean``
+    composes from the exact-cent sum.  One map-side-combinable
+    ``groupBy``; nothing else touches the corpus.
+    """
+    pos = F.col(value_col).isNotNull() & (F.col(value_col) > 0)
+    cents = F.round(F.col(value_col).cast("double") * F.lit(100.0)).cast(
+        "decimal(38,0)"
+    )
+    lnr = F.round(F.log(F.col(value_col).cast("double")), 6)
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.when(pos, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~pos | F.col(value_col).isNull(), 1).otherwise(0))
+        .alias("n_excluded"),
+        F.sum(F.when(pos, lnr)).alias("_sln"),
+        F.sum(F.when(pos, cents)).alias("_sc"),
+    )
+    mean_ln = F.round(F.col("_sln") / F.col("n_pos").cast("double"), 6)
+    return agg.select(
+        "group",
+        "n_pos",
+        "n_excluded",
+        F.when(
+            F.col("n_pos") > 0, F.round(F.exp(mean_ln), 6)
+        ).alias("geo_mean"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(
+                F.col("_sc").cast("double")
+                / (F.col("n_pos").cast("double") * F.lit(100.0)),
+                6,
+            ),
+        ).alias("arith_mean"),
+    ).orderBy("group")

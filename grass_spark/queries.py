@@ -1062,3 +1062,9 @@ from grass_spark.queries_ext43 import EXT43_ORACLES, EXT43_QUERIES  # noqa: E402
 
 QUERIES.update(EXT43_QUERIES)
 ORACLES.update(EXT43_ORACLES)
+
+# Forty-fourth wave (geometric means, weekly funnel trend) — queries_ext44
+from grass_spark.queries_ext44 import EXT44_ORACLES, EXT44_QUERIES  # noqa: E402
+
+QUERIES.update(EXT44_QUERIES)
+ORACLES.update(EXT44_ORACLES)
