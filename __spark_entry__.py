@@ -31,6 +31,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "reconcile_orders", "session_summary",
              "churn_labels", "value_histogram",
              "geo_means", "funnel_weekly",
+             "hill_tail", "brier_score",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

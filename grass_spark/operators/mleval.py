@@ -353,3 +353,50 @@ def gains_table(
         F.round(capture, 6).alias("cum_capture"),
         F.round(lift, 6).alias("cum_lift"),
     ).orderBy("band")
+
+
+def brier_score(
+    scored: DataFrame,
+    *,
+    prob_col: str = "prob",
+    label_col: str = "label",
+) -> DataFrame:
+    """One-row probabilistic-forecast quality: ``(n, n_pos, base_rate,
+    brier, brier_base, skill)`` — ``brier = mean((p - y)^2)``,
+    ``brier_base = base_rate * (1 - base_rate)`` (the always-predict-
+    the-base-rate reference, exact from integer counts), ``skill =
+    1 - brier / brier_base`` (NULL when the reference is zero — a
+    single-class label column).
+
+    One map-side-combinable global aggregate.  The squared-error sum
+    runs unrounded (terms are <= 1; the final round-6 absorbs
+    cross-engine sum-order ulps — the NDCG sum discipline); the
+    baseline composes exactly from DECIMAL counts.
+    """
+    y = F.when(F.col(label_col).cast("long") > 0, 1).otherwise(0)
+    p = F.col(prob_col).cast("double")
+    err = (p - y.cast("double")) * (p - y.cast("double"))
+    agg = scored.where(p.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("n_pos"),
+        F.sum(err).alias("_se"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    base = (
+        (dec("n_pos") * (dec("n") - dec("n_pos"))).cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+    )
+    brier = F.round(F.col("_se") / F.col("n").cast("double"), 6)
+    base_r = F.round(base, 6)
+    return agg.select(
+        "n",
+        "n_pos",
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("base_rate"),
+        brier.alias("brier"),
+        base_r.alias("brier_base"),
+        F.when(
+            base_r > 0, F.round(F.lit(1.0) - brier / base_r, 6)
+        ).alias("skill"),
+    )

@@ -341,3 +341,65 @@ def geometric_means(
             ),
         ).alias("arith_mean"),
     ).orderBy("group")
+
+
+def hill_tail_index(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top ``k``
+    order statistics: ``hill = mean(ln(x_(i) / x_(k+1)))`` for the k
+    largest values, ``alpha = 1 / hill`` — how heavy the value tail is
+    (alpha ~ 1-2: very heavy; alpha > 3: light).
+
+    One row: ``(k, x_threshold, hill, alpha)`` — NULL when fewer than
+    ``k + 1`` positive values exist or the top ``k + 1`` are all equal
+    (``hill = 0``, the index diverges).
+
+    Scale shape: the ONLY corpus-sized stage is a
+    ``TakeOrderedAndProject`` top-(k+1) (per-partition heaps, no full
+    sort — the heavy_hitters shape) with a deterministic
+    ``(value DESC, id ASC)`` tie order; everything after runs on
+    ``k + 1`` rows.  Log ratios round to 6 dp per term (the
+    transcendental discipline).
+    """
+    if k < 2:
+        raise ValueError("hill_tail_index: k must be >= 2")
+    top = (
+        df.where(F.col(value_col) > 0)
+        .select(
+            F.col(value_col).cast("double").alias("_v"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy(F.desc("_v"), F.asc("_id"))
+        .limit(int(k) + 1)
+    )
+    w = Window.orderBy(F.desc("_v"), F.asc("_id"))
+    ranked = top.withColumn("_rn", F.row_number().over(w))
+    thr = ranked.where(F.col("_rn") == int(k) + 1).select(
+        F.col("_v").alias("_xk")
+    )
+    terms = (
+        ranked.where(F.col("_rn") <= int(k))
+        .crossJoin(F.broadcast(thr))
+        .select(F.round(F.log(F.col("_v") / F.col("_xk")), 6).alias("_t"),
+                "_xk")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.sum("_t") / F.lit(float(k)), 6).alias("_hill"),
+        F.max("_xk").alias("_xkv"),
+    )
+    return agg.select(
+        F.when(F.col("_n") == int(k), F.lit(int(k))).alias("k"),
+        F.when(F.col("_n") == int(k), F.round(F.col("_xkv"), 6))
+        .alias("x_threshold"),
+        F.when(F.col("_n") == int(k), F.col("_hill")).alias("hill"),
+        F.when(
+            (F.col("_n") == int(k)) & (F.col("_hill") > 0),
+            F.round(F.lit(1.0) / F.col("_hill"), 6),
+        ).alias("alpha"),
+    )

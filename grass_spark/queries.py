@@ -1068,3 +1068,9 @@ from grass_spark.queries_ext44 import EXT44_ORACLES, EXT44_QUERIES  # noqa: E402
 
 QUERIES.update(EXT44_QUERIES)
 ORACLES.update(EXT44_ORACLES)
+
+# Forty-fifth wave (Hill tail index, Brier score) — queries_ext45
+from grass_spark.queries_ext45 import EXT45_ORACLES, EXT45_QUERIES  # noqa: E402
+
+QUERIES.update(EXT45_QUERIES)
+ORACLES.update(EXT45_ORACLES)
