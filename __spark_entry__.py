@@ -32,6 +32,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "churn_labels", "value_histogram",
              "geo_means", "funnel_weekly",
              "hill_tail", "brier_score",
+             "quantile_effects", "dow_index",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

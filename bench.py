@@ -265,6 +265,25 @@ TIER2 = [
     "compaction_plan",
     "ccf_daily",
     "transition_entropy",
+    # round 5 continuation: eval / causal / hygiene / trend waves
+    "state_occupancy",
+    "kappa_lang",
+    "mrr_eval",
+    "stratified_ate",
+    "gains_table",
+    "conversion_ci",
+    "fk_orphans",
+    "user_growth",
+    "trending_ranks",
+    "vocab_growth",
+    "reconcile_orders",
+    "session_summary",
+    "churn_labels",
+    "value_histogram",
+    "geo_means",
+    "funnel_weekly",
+    "hill_tail",
+    "brier_score",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -116,3 +116,74 @@ def seasonal_anomalies(
         F.round("_mu", 6).alias("mu"),
         F.round("_sigma", 6).alias("sigma"),
     ).orderBy("event_type", "day", "hour")
+
+
+def dow_index(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Multiplicative day-of-week seasonal indices over the daily
+    value series: ``(dow, n_days, day_value_mean, index)`` with
+    ``dow 0 = Monday`` (the portable integer anchor) and ``index =
+    dow mean / overall daily mean`` — > 1 means that weekday runs hot.
+
+    Days inside the observed calendar span with no rows count as
+    explicit zero days (a quiet Sunday IS seasonal signal — the ccf
+    zero-densify contract).  Exactness: daily totals reduce in
+    integer cents; the index composes as ``(dow_sum * n_days) /
+    (n_dow_days * total)`` in DECIMAL(38) with one double cast, so no
+    intermediate mean ever floats.
+
+    Scale shape: one map-side-combinable ``groupBy(day)`` census;
+    everything after is calendar-bounded.
+    """
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    cents = F.round(F.col(value_col).cast("double") * F.lit(100.0)).cast(
+        "long"
+    )
+    cen = (
+        df.where(F.col(value_col).isNotNull())
+        .select(day.alias("_d"), cents.alias("_c"))
+        .groupBy("_d")
+        .agg(F.sum("_c").alias("_s"))
+    )
+    bounds = cen.agg(F.min("_d").alias("lo"), F.max("_d").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    ).join(cen, F.col("day") == F.col("_d"), "left").select(
+        "day", F.coalesce("_s", F.lit(0).cast("long")).alias("_s")
+    )
+    dow = F.pmod(
+        F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")), 7
+    ).cast("int")
+    per_dow = grid.groupBy(dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_s").alias("_ds"),
+    )
+    tot = per_dow.agg(
+        F.sum("n_days").alias("_nd"), F.sum("_ds").alias("_ts")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            F.round(
+                F.col("_ds").cast("double")
+                / (F.col("n_days").cast("double") * F.lit(100.0)),
+                6,
+            ).alias("day_value_mean"),
+            F.when(
+                F.col("_ts") > 0,
+                F.round(
+                    (dec("_ds") * dec("_nd")).cast("double")
+                    / (dec("n_days") * dec("_ts")).cast("double"),
+                    6,
+                ),
+            ).alias("index"),
+        )
+        .orderBy("dow")
+    )

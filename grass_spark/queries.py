@@ -1074,3 +1074,9 @@ from grass_spark.queries_ext45 import EXT45_ORACLES, EXT45_QUERIES  # noqa: E402
 
 QUERIES.update(EXT45_QUERIES)
 ORACLES.update(EXT45_ORACLES)
+
+# Forty-sixth wave (quantile effects, dow seasonality) — queries_ext46
+from grass_spark.queries_ext46 import EXT46_ORACLES, EXT46_QUERIES  # noqa: E402
+
+QUERIES.update(EXT46_QUERIES)
+ORACLES.update(EXT46_ORACLES)
