@@ -33,6 +33,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "geo_means", "funnel_weekly",
              "hill_tail", "brier_score",
              "quantile_effects", "dow_index",
+             "next_event_top", "freshness_report",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

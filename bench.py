@@ -284,6 +284,10 @@ TIER2 = [
     "funnel_weekly",
     "hill_tail",
     "brier_score",
+    "quantile_effects",
+    "dow_index",
+    "next_event_top",
+    "freshness_report",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -137,3 +137,46 @@ def value_histogram(
         )
         .orderBy("bin")
     )
+
+
+def freshness_report(
+    df: DataFrame,
+    *,
+    group_col: str,
+    ts_col: str = "ts",
+    recent_days: int = 7,
+) -> DataFrame:
+    """Per-group data-freshness audit: ``(group, n_rows, last_day,
+    days_behind, n_recent)`` — how stale each source/type is relative
+    to the newest data anywhere, and how much of it arrived in the
+    trailing ``recent_days`` window ending at the global max day.
+
+    Scale shape: the global max day is a 1-row aggregate broadcast
+    onto the scan (BroadcastNestedLoopJoin of one row — the bounds
+    pattern), so recency flags resolve in the scan stage and ONE
+    map-side-combinable ``groupBy(group)`` does everything; exact
+    integer day arithmetic throughout.
+    """
+    if recent_days < 1:
+        raise ValueError("freshness_report: recent_days must be >= 1")
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    base = df.select(F.col(group_col).alias("_g"), day.alias("_d"))
+    gmax = base.agg(F.max("_d").alias("_gm"))
+    return (
+        base.crossJoin(F.broadcast(gmax))
+        .groupBy(F.col("_g").alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("_d").alias("last_day"),
+            F.min(F.datediff(F.col("_gm"), F.col("_d")))
+            .alias("days_behind"),
+            F.sum(
+                F.when(
+                    F.col("_d") > F.date_sub(F.col("_gm"), int(recent_days)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_recent"),
+        )
+        .select("group", "n_rows", "last_day", "days_behind", "n_recent")
+        .orderBy("group")
+    )

@@ -686,3 +686,40 @@ def session_summary(
             )
         )
     )
+
+
+def next_event_top(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """Top-``k`` most likely next events per state: the
+    :func:`event_transitions` census ranked within each ``from_type``
+    by ``(n DESC, to_type ASC)`` — the lookup table a "predict the
+    next action" feature actually ships.
+
+    Returns ``(from_type, rank, to_type, n, p)``.  The ranking window
+    partitions the transition CENSUS (type-cardinality-squared rows),
+    never the corpus — all corpus-scale work happens inside the
+    event_transitions bucket-stitch decomposition.
+    """
+    if k < 1:
+        raise ValueError("next_event_top: k must be >= 1")
+    m = event_transitions(
+        df, user_col=user_col, ts_col=ts_col,
+        type_col=type_col, id_col=id_col, bucket=bucket,
+    )
+    w = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), F.asc("to_type")
+    )
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("from_type", "rank", "to_type", "n", "p")
+        .orderBy("from_type", "rank")
+    )

@@ -1080,3 +1080,9 @@ from grass_spark.queries_ext46 import EXT46_ORACLES, EXT46_QUERIES  # noqa: E402
 
 QUERIES.update(EXT46_QUERIES)
 ORACLES.update(EXT46_ORACLES)
+
+# Forty-seventh wave (next-event top-k, freshness audit) — queries_ext47
+from grass_spark.queries_ext47 import EXT47_ORACLES, EXT47_QUERIES  # noqa: E402
+
+QUERIES.update(EXT47_QUERIES)
+ORACLES.update(EXT47_ORACLES)
