@@ -34,6 +34,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "hill_tail", "brier_score",
              "quantile_effects", "dow_index",
              "next_event_top", "freshness_report",
+             "cluster_quality", "centroid_shift",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

@@ -466,3 +466,122 @@ def diversity_sample(
     return kept.select(
         id_col, "cluster_id", F.round("_u", 6).alias("u")
     )
+
+
+def cluster_quality(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster assignment-quality report over a centroid set:
+    ``(cluster_id, n, mean_cohesion, min_cohesion, mean_margin)`` —
+    cohesion is each member's cosine to its own centroid, margin the
+    gap to the runner-up centroid (small margins = vectors on cluster
+    boundaries; SemDeDup multi-probe exists exactly for those).
+
+    Scale shape: the k-row centroid frame broadcasts onto the scan
+    (the assign_clusters crossJoin shape); the best/second election is
+    a window over the per-vector k-row candidate partition (bounded by
+    the quantizer size, never the corpus — k >= 2 required); the
+    report is one map-side-combinable ``groupBy(cluster)``.
+    Similarities round to 6 dp BEFORE the argmax and margin (the
+    assign_clusters tie contract), so a SQL replay agrees bit-for-bit.
+    """
+    e = emb.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_e")
+    )
+    sims = e.crossJoin(F.broadcast(centroids)).select(
+        "_id",
+        "c_id",
+        F.round(
+            dot("_e", "ce") / (l2norm("_e") * l2norm("ce")), 6
+        ).alias("_sim"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.desc("_sim"), F.asc("c_id")
+    )
+    ranked = sims.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= 2
+    )
+    per_vec = ranked.groupBy("_id").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("c_id"))).alias("cluster_id"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_sim"))).alias("_best"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_sim"))).alias("_second"),
+    )
+    return (
+        per_vec.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_best"), 6).alias("mean_cohesion"),
+            F.min("_best").alias("min_cohesion"),
+            F.round(F.avg(F.col("_best") - F.col("_second")), 6)
+            .alias("mean_margin"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def centroid_shift(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantizer drift report: for each cluster, the cosine between
+    its centroid and the MEAN vector of its assigned members —
+    ``shift_cos`` near 1 means the centroid still represents its
+    cluster; low values say the quantizer needs retraining (the Lloyd
+    update in ``operators/kmeans.py`` is exactly one such step).
+
+    Scale shape: assignment as in :func:`cluster_quality`; the mean
+    vector is the posexplode + ``groupBy(cluster, pos)`` average (the
+    Lloyd-update shape — a hot cluster absorbs map-side), with
+    per-position means ROUNDED to 6 dp before the cosine so both
+    engines fold identical inputs; the final cosine runs over k rows.
+    """
+    e = emb.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_e")
+    )
+    sims = e.crossJoin(F.broadcast(centroids)).select(
+        "_id",
+        "c_id",
+        "_e",
+        F.round(
+            dot("_e", "ce") / (l2norm("_e") * l2norm("ce")), 6
+        ).alias("_sim"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("c_id"))
+    assigned = (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("c_id").alias("cluster_id"), "_e")
+    )
+    pos = assigned.select(
+        "cluster_id", F.posexplode("_e").alias("_p", "_v")
+    )
+    means = (
+        pos.groupBy("cluster_id", "_p")
+        .agg(F.round(F.avg("_v"), 6).alias("_m"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_p", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_mean")
+        )
+    )
+    cnt = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    j = means.join(
+        centroids.select(F.col("c_id").alias("cluster_id"), "ce"),
+        "cluster_id",
+    ).join(cnt, "cluster_id")
+    den = l2norm("_mean") * l2norm("ce")
+    return j.select(
+        "cluster_id",
+        "n",
+        F.when(den > 0, F.round(dot("_mean", "ce") / den, 6))
+        .alias("shift_cos"),
+    ).orderBy("cluster_id")

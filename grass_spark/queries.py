@@ -1086,3 +1086,9 @@ from grass_spark.queries_ext47 import EXT47_ORACLES, EXT47_QUERIES  # noqa: E402
 
 QUERIES.update(EXT47_QUERIES)
 ORACLES.update(EXT47_ORACLES)
+
+# Forty-eighth wave (cluster quality, centroid shift) — queries_ext48
+from grass_spark.queries_ext48 import EXT48_ORACLES, EXT48_QUERIES  # noqa: E402
+
+QUERIES.update(EXT48_QUERIES)
+ORACLES.update(EXT48_ORACLES)
