@@ -288,6 +288,8 @@ TIER2 = [
     "dow_index",
     "next_event_top",
     "freshness_report",
+    "cluster_quality",
+    "centroid_shift",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,
