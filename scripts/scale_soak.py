@@ -1506,6 +1506,21 @@ def _seq_soak(args) -> None:
             interevent_sec=wall,
             interevent_events_per_sec=round(n / wall),
         )
+    if args.seq_op in ("all", "occupancy"):
+        from grass_spark.operators.occupancy import state_occupancy
+
+        t0 = time.perf_counter()
+        oc = state_occupancy(ev).agg(
+            F.count(F.lit(1)).alias("states"),
+            F.sum("n_intervals").alias("intervals"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 1)
+        out.update(
+            occ_states=int(oc["states"]),
+            occ_intervals=int(oc["intervals"]),
+            occupancy_sec=wall,
+            occupancy_events_per_sec=round(n / wall),
+        )
     if args.seq_op in ("all", "resample"):
         from grass_spark.operators.asof import resample_locf
 
@@ -2099,7 +2114,7 @@ def main() -> None:
                          "events with a 10%%-hot bot user, lo/hi")
     ap.add_argument("--seq-op",
                     choices=("all", "transitions", "anomalies", "asof",
-                             "interevent", "resample"),
+                             "interevent", "resample", "occupancy"),
                     default="all",
                     help="which sequence op the --seq-events soak times")
     ap.add_argument("--graph-members", type=int, default=0,
