@@ -35,6 +35,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "quantile_effects", "dow_index",
              "next_event_top", "freshness_report",
              "cluster_quality", "centroid_shift",
+             "waterfill_mixture", "dup_size_dist",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

@@ -599,3 +599,45 @@ def dedup_report(
             F.countDistinct("cluster_id").alias("n_clusters"),
         )
     )
+
+
+def dup_size_distribution(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-duplicate family-size histogram: ``(family_size,
+    n_families, n_docs, frac_docs)`` — how much of the corpus lives in
+    singletons vs. 2-copies vs. mirror blowups.  The monitoring view
+    over :func:`exact_dedup`'s hash census (a corpus with a fat tail
+    here wants the cap/boilerplate operators before anything else).
+
+    Scale shape: two map-side-combinable groupBys — content hash ->
+    family size, then family size -> counts (the second input is
+    family-cardinality-sized); one 1-row total broadcast for the
+    fraction.  Exact integers plus one rounded ratio.
+    """
+    fam = (
+        df.select(F.md5(F.col(text_col).cast("string")).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("family_size"))
+    )
+    hist = fam.groupBy("family_size").agg(
+        F.count(F.lit(1)).alias("n_families"),
+        F.sum("family_size").alias("n_docs"),
+    )
+    tot = hist.agg(F.sum("n_docs").alias("_t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "family_size",
+            "n_families",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_t").cast("double"),
+                6,
+            ).alias("frac_docs"),
+        )
+        .orderBy("family_size")
+    )

@@ -1092,3 +1092,9 @@ from grass_spark.queries_ext48 import EXT48_ORACLES, EXT48_QUERIES  # noqa: E402
 
 QUERIES.update(EXT48_QUERIES)
 ORACLES.update(EXT48_ORACLES)
+
+# Forty-ninth wave (water-filling mixture, dup-size histogram) — queries_ext49
+from grass_spark.queries_ext49 import EXT49_ORACLES, EXT49_QUERIES  # noqa: E402
+
+QUERIES.update(EXT49_QUERIES)
+ORACLES.update(EXT49_ORACLES)
