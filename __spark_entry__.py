@@ -36,6 +36,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "next_event_top", "freshness_report",
              "cluster_quality", "centroid_shift",
              "waterfill_mixture", "dup_size_dist",
+             "join_cardinality", "user_hhi",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

@@ -535,3 +535,39 @@ def user_growth(
         "n_new_users",
         F.sum("n_new_users").over(w).alias("cum_users"),
     ).orderBy("day")
+
+
+def user_hhi(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user behavioral concentration: the Herfindahl index of the
+    user's event-type mix — ``hhi = sum((n_t / n)^2)``, 1/k for a
+    perfectly even k-type user, 1.0 for a one-trick user.  Returns
+    ``(user, n_events, n_types, hhi)``.
+
+    Scale shape: one map-side-combinable ``groupBy(user, type)``
+    census, one ``groupBy(user)`` over it.  ``hhi`` composes as
+    ``sum(n_t^2) / n^2`` from exact DECIMAL(38) integer sums — one
+    double cast, no per-type float terms to order.
+    """
+    cen = df.groupBy(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_t")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    dec = F.col("_n").cast("decimal(19,0)")
+    agg = cen.groupBy("_u").agg(
+        F.sum("_n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(dec * dec).alias("_s2"),
+    )
+    nd = F.col("n_events").cast("decimal(19,0)")
+    return agg.select(
+        F.col("_u").alias(user_col),
+        "n_events",
+        "n_types",
+        F.round(
+            F.col("_s2").cast("double") / (nd * nd).cast("double"), 6
+        ).alias("hhi"),
+    ).orderBy(user_col)

@@ -180,3 +180,69 @@ def freshness_report(
         .select("group", "n_rows", "last_day", "days_behind", "n_recent")
         .orderBy("group")
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Pre-join cardinality report: ``(n_left_rows, n_right_rows,
+    n_left_keys, n_right_keys, n_matched_keys, max_left_fanout,
+    max_right_fanout, exact_join_rows)`` — what an equi-join WOULD
+    produce, without producing it.  ``exact_join_rows = sum over
+    matched keys of n_a * n_b`` is the number the optimizer estimates
+    and a skew audit needs exactly (one hot key's ``n_a * n_b`` term
+    IS the straggler).
+
+    Scale shape: two map-side-combinable key censuses, one
+    census-vs-census equi-join, one global aggregate.  Products run in
+    DECIMAL(38) (two 10^9-row fanouts multiply past BIGINT).  NULL
+    keys are excluded (SQL equi-joins never match them).
+    """
+    ca = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_na"))
+    )
+    cb = (
+        right.where(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    la = ca.agg(
+        F.sum("_na").alias("n_left_rows"),
+        F.count(F.lit(1)).alias("n_left_keys"),
+        F.max("_na").alias("max_left_fanout"),
+    )
+    lb = cb.agg(
+        F.sum("_nb").alias("n_right_rows"),
+        F.count(F.lit(1)).alias("n_right_keys"),
+        F.max("_nb").alias("max_right_fanout"),
+    )
+    m = ca.join(cb, "_k").agg(
+        F.count(F.lit(1)).alias("n_matched_keys"),
+        F.coalesce(
+            F.sum(
+                F.col("_na").cast("decimal(19,0)")
+                * F.col("_nb").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_jr"),
+    )
+    return (
+        la.crossJoin(F.broadcast(lb))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_left_rows",
+            "n_right_rows",
+            "n_left_keys",
+            "n_right_keys",
+            "n_matched_keys",
+            "max_left_fanout",
+            "max_right_fanout",
+            F.col("_jr").cast("long").alias("exact_join_rows"),
+        )
+    )

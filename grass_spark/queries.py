@@ -1098,3 +1098,9 @@ from grass_spark.queries_ext49 import EXT49_ORACLES, EXT49_QUERIES  # noqa: E402
 
 QUERIES.update(EXT49_QUERIES)
 ORACLES.update(EXT49_ORACLES)
+
+# Fiftieth wave (join cardinality, user HHI) — queries_ext50
+from grass_spark.queries_ext50 import EXT50_ORACLES, EXT50_QUERIES  # noqa: E402
+
+QUERIES.update(EXT50_QUERIES)
+ORACLES.update(EXT50_ORACLES)
