@@ -37,6 +37,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "cluster_quality", "centroid_shift",
              "waterfill_mixture", "dup_size_dist",
              "join_cardinality", "user_hhi",
+             "ks_lengths", "ece_score",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

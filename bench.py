@@ -290,6 +290,12 @@ TIER2 = [
     "freshness_report",
     "cluster_quality",
     "centroid_shift",
+    "waterfill_mixture",
+    "dup_size_dist",
+    "join_cardinality",
+    "user_hhi",
+    "ks_lengths",
+    "ece_score",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -400,3 +400,39 @@ def brier_score(
             base_r > 0, F.round(F.lit(1.0) - brier / base_r, 6)
         ).alias("skill"),
     )
+
+
+def ece_score(
+    df: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected / maximum calibration error — the one-number summary
+    of :func:`calibration_bins`: ``ece = sum_b (n_b / n) *
+    |frac_pos_b - mean_score_b|``, ``mce = max_b |...|``.  One row:
+    ``(n, n_bins_used, ece, mce)``.
+
+    Reuses the calibration census (per-bin values already rounded to
+    6 dp there, so the gaps are deterministic); the weighted terms
+    round before the bins-count-bounded sum (the stratified-ATE
+    small-term discipline).
+    """
+    bins = calibration_bins(
+        df, score_col=score_col, label_col=label_col, n_bins=n_bins
+    )
+    gap = F.abs(F.col("frac_pos") - F.col("mean_score"))
+    term = F.round(F.col("n").cast("double") * gap, 6)
+    agg = bins.agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.sum(term).alias("_tsum"),
+        F.max(F.round(gap, 6)).alias("_mce"),
+    )
+    return agg.select(
+        "n",
+        "n_bins_used",
+        F.round(F.col("_tsum") / F.col("n").cast("double"), 6).alias("ece"),
+        F.col("_mce").alias("mce"),
+    )

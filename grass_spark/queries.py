@@ -1104,3 +1104,9 @@ from grass_spark.queries_ext50 import EXT50_ORACLES, EXT50_QUERIES  # noqa: E402
 
 QUERIES.update(EXT50_QUERIES)
 ORACLES.update(EXT50_ORACLES)
+
+# Fifty-first wave (KS length drift, ECE) — queries_ext51
+from grass_spark.queries_ext51 import EXT51_ORACLES, EXT51_QUERIES  # noqa: E402
+
+QUERIES.update(EXT51_QUERIES)
+ORACLES.update(EXT51_ORACLES)
