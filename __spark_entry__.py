@@ -38,6 +38,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "waterfill_mixture", "dup_size_dist",
              "join_cardinality", "user_hhi",
              "ks_lengths", "ece_score",
+             "type_mix_drift", "weekly_quantiles",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

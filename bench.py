@@ -296,6 +296,8 @@ TIER2 = [
     "user_hhi",
     "ks_lengths",
     "ece_score",
+    "type_mix_drift",
+    "weekly_quantiles",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

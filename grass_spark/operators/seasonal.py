@@ -187,3 +187,43 @@ def dow_index(
         )
         .orderBy("dow")
     )
+
+
+def weekly_quantiles(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    probs: tuple = (0.5, 0.95),
+) -> DataFrame:
+    """Weekly quantile bands of a measure: one row per ISO week with
+    the exact type-7 quantiles of that week's values — the latency /
+    order-value band chart.  Returns ``(week_start, n, q_<p>...)``
+    with one column per prob (dots become underscores: ``q_0_5``).
+
+    Quantiles run over the 6-dp-ROUNDED values (the perplexity_buckets
+    discipline) and round again on output; the per-week exact
+    percentile buffers one week's values (the documented
+    ~10^8-per-group bound — use the sketch tier beyond that).
+    The portable Monday anchor keys the weeks.
+    """
+    if not probs:
+        raise ValueError("weekly_quantiles: probs must be non-empty")
+    pr = [float(p) for p in probs]
+    if not all(0.0 <= p <= 1.0 for p in pr):
+        raise ValueError("weekly_quantiles: probs must be in [0, 1]")
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    wk = F.date_sub(
+        day, F.pmod(F.datediff(day, F.lit("1970-01-05").cast("date")), 7)
+    )
+    base = df.where(F.col(value_col).isNotNull()).select(
+        wk.alias("week_start"),
+        F.round(F.col(value_col).cast("double"), 6).alias("_v"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.round(F.percentile("_v", F.lit(p)), 6).alias(
+            "q_" + str(p).replace(".", "_")
+        )
+        for p in pr
+    ]
+    return base.groupBy("week_start").agg(*aggs).orderBy("week_start")

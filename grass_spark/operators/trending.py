@@ -65,3 +65,68 @@ def trending_ranks(
         )
         .orderBy("week_start", "rnk")
     )
+
+
+def type_mix_drift(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weekly composition drift: per ISO week, the total-variation
+    distance between that week's event-type distribution and the
+    overall one — ``tv = 0.5 * sum_t |p_wt - p_t|``.  The
+    one-number-per-week alarm for "the mix changed", feeding the same
+    dashboards as :func:`trending_ranks`.
+
+    Exactness: the TV sum composes from exact integer cross products,
+    ``|n_wt * N - n_t * N_w|`` in DECIMAL(38,0), summed exactly per
+    week and cast to double ONCE into ``0.5 * sum / (N_w * N)`` —
+    no per-type float terms to order.  Scale shape: one map-side
+    ``groupBy(week, type)`` census; marginals and the join are
+    census-sized.
+    """
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    wk = F.date_sub(
+        day, F.pmod(F.datediff(day, F.lit("1970-01-05").cast("date")), 7)
+    )
+    cen = (
+        df.select(wk.alias("wk"), F.col(type_col).alias("_t"))
+        .groupBy("wk", "_t")
+        .agg(F.count(F.lit(1)).alias("_nwt"))
+        .localCheckpoint(eager=False)  # 3 census consumers
+    )
+    wtot = cen.groupBy("wk").agg(F.sum("_nwt").alias("_nw"))
+    ttot = cen.groupBy("_t").agg(F.sum("_nwt").alias("_nt"))
+    gtot = wtot.agg(F.sum("_nw").alias("_n"))
+
+    # densify: a type ABSENT from a week still contributes |0 - p_t|
+    # — build the full week x type grid from the marginals
+    grid = (
+        wtot.crossJoin(F.broadcast(ttot))
+        .join(cen, ["wk", "_t"], "left")
+        .select(
+            "wk",
+            "_nw",
+            "_nt",
+            F.coalesce("_nwt", F.lit(0).cast("long")).alias("_nwt"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    term = F.abs(dec("_nwt") * dec("_n") - dec("_nt") * dec("_nw"))
+    return (
+        grid.crossJoin(F.broadcast(gtot))
+        .groupBy("wk", "_nw", "_n")
+        .agg(F.sum(term).alias("_s"))
+        .select(
+            F.col("wk").alias("week_start"),
+            F.col("_nw").alias("n_events"),
+            F.round(
+                F.lit(0.5)
+                * F.col("_s").cast("double")
+                / (F.col("_nw").cast("double") * F.col("_n").cast("double")),
+                6,
+            ).alias("tv_dist"),
+        )
+        .orderBy("week_start")
+    )

@@ -1110,3 +1110,9 @@ from grass_spark.queries_ext51 import EXT51_ORACLES, EXT51_QUERIES  # noqa: E402
 
 QUERIES.update(EXT51_QUERIES)
 ORACLES.update(EXT51_ORACLES)
+
+# Fifty-second wave (type-mix drift, weekly quantiles) — queries_ext52
+from grass_spark.queries_ext52 import EXT52_ORACLES, EXT52_QUERIES  # noqa: E402
+
+QUERIES.update(EXT52_QUERIES)
+ORACLES.update(EXT52_ORACLES)
