@@ -39,6 +39,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "join_cardinality", "user_hhi",
              "ks_lengths", "ece_score",
              "type_mix_drift", "weekly_quantiles",
+             "ess_weights", "clip_report",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

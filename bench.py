@@ -298,6 +298,8 @@ TIER2 = [
     "ece_score",
     "type_mix_drift",
     "weekly_quantiles",
+    "ess_weights",
+    "clip_report",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -210,3 +210,114 @@ def weighted_sample(
     )
     out_cols = list(df.columns)  # "_g_all" is synthetic, never in df
     return cold.select(*out_cols).unionByName(kept_hot.select(*out_cols))
+
+
+def ess_report(
+    df: DataFrame,
+    *,
+    group_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Effective sample size under importance weights, per group:
+    ``ess = (sum w)^2 / sum w^2`` (Kish) — how many equal-weight
+    samples the weighted set is actually worth; ``ess_ratio = ess/n``
+    near 1 means benign weights, near 0 means a few rows dominate
+    (the DSIR resampling failure mode this report guards).
+
+    Weights reduce to exact integer cents; both power sums run in
+    DECIMAL(38,0) and ``ess`` is one mirrored double expression —
+    bit-identical across engines after round(., 6).  One map-side
+    combinable ``groupBy``; non-positive / NULL weights are excluded
+    and counted.
+    """
+    pos = F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    c = F.round(F.col(weight_col).cast("double") * F.lit(100.0)).cast(
+        "decimal(19,0)"
+    )
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.when(pos, 1).otherwise(0)).alias("n"),
+        F.sum(F.when(~pos, 1).otherwise(0)).alias("n_excluded"),
+        F.sum(F.when(pos, c)).alias("_s1"),
+        F.sum(F.when(pos, c * c)).alias("_s2"),
+    )
+    ess = (F.col("_s1") * F.col("_s1")).cast("double") / F.col(
+        "_s2"
+    ).cast("double")
+    return agg.select(
+        "group",
+        "n",
+        "n_excluded",
+        F.when(F.col("n") > 0, F.round(ess, 6)).alias("ess"),
+        F.when(
+            F.col("n") > 0,
+            F.round(ess / F.col("n").cast("double"), 6),
+        ).alias("ess_ratio"),
+    ).orderBy("group")
+
+
+def clip_report(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    clip_prob: float = 0.99,
+) -> DataFrame:
+    """One-row weight-clipping diagnostic: the ESS gain from clipping
+    importance weights at their ``clip_prob`` quantile — ``(n,
+    clip_threshold, frac_clipped, ess_raw, ess_clipped)``.  The
+    standard pre-flight before any weighted resample: if clipping at
+    p99 multiplies ESS, the tail is noise, not signal.
+
+    The threshold is the exact type-7 quantile of the ROUNDED cent
+    weights, rounded again before the clip compare (the
+    perplexity_buckets cut discipline); clipped weights stay exact
+    integers (``least(c, round(thr))``), so both ESS values compose
+    from DECIMAL(38,0) power sums.
+    """
+    if not 0.0 < clip_prob < 1.0:
+        raise ValueError("clip_report: clip_prob must be in (0, 1)")
+    c = F.round(F.col(weight_col).cast("double") * F.lit(100.0)).cast(
+        "long"
+    )
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(c.alias("_c"))
+    thr = base.agg(
+        F.round(F.percentile("_c", F.lit(float(clip_prob))), 6).alias(
+            "_thr"
+        )
+    )
+    cl = F.least(
+        F.col("_c"), F.round(F.col("_thr")).cast("long")
+    ).cast("decimal(19,0)")
+    raw = F.col("_c").cast("decimal(19,0)")
+    agg = base.crossJoin(F.broadcast(thr)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("_thr").alias("_t"),
+        F.sum(
+            F.when(F.col("_c").cast("double") > F.col("_thr"), 1)
+            .otherwise(0)
+        ).alias("_ncl"),
+        F.sum(raw).alias("_s1"),
+        F.sum(raw * raw).alias("_s2"),
+        F.sum(cl).alias("_c1"),
+        F.sum(cl * cl).alias("_c2"),
+    )
+    ess = lambda s1, s2: (  # noqa: E731
+        (F.col(s1) * F.col(s1)).cast("double") / F.col(s2).cast("double")
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("_t") / F.lit(100.0), 6).alias("clip_threshold"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("_ncl").cast("double") / F.col("n").cast("double"), 6
+            ),
+        ).alias("frac_clipped"),
+        F.when(F.col("n") > 0, F.round(ess("_s1", "_s2"), 6)).alias(
+            "ess_raw"
+        ),
+        F.when(F.col("n") > 0, F.round(ess("_c1", "_c2"), 6)).alias(
+            "ess_clipped"
+        ),
+    )

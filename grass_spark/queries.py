@@ -1116,3 +1116,9 @@ from grass_spark.queries_ext52 import EXT52_ORACLES, EXT52_QUERIES  # noqa: E402
 
 QUERIES.update(EXT52_QUERIES)
 ORACLES.update(EXT52_ORACLES)
+
+# Fifty-third wave (ESS, clip diagnostic) — queries_ext53
+from grass_spark.queries_ext53 import EXT53_ORACLES, EXT53_QUERIES  # noqa: E402
+
+QUERIES.update(EXT53_QUERIES)
+ORACLES.update(EXT53_ORACLES)
