@@ -40,6 +40,7 @@ _PRIORITY = ("state_occupancy", "kappa_lang",
              "ks_lengths", "ece_score",
              "type_mix_drift", "weekly_quantiles",
              "ess_weights", "clip_report",
+             "heatmap_lift", "repeat_orders",
              "ccf_daily", "transition_entropy",
              "concurrency_days", "compaction_plan",
              "fuzzy_pairs", "setsim_docs",

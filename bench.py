@@ -300,6 +300,8 @@ TIER2 = [
     "weekly_quantiles",
     "ess_weights",
     "clip_report",
+    "heatmap_lift",
+    "repeat_orders",
 ]
 
 #: rollup bench size — big enough that a local[32] run takes seconds,

@@ -571,3 +571,53 @@ def user_hhi(
             F.col("_s2").cast("double") / (nd * nd).cast("double"), 6
         ).alias("hhi"),
     ).orderBy(user_col)
+
+
+def heatmap_lift(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week x hour usage heatmap with independence lift: per
+    cell, ``lift = n_dh * N / (n_d * n_h)`` — > 1 where activity
+    concentrates beyond what the two marginals alone explain (the
+    "Monday 9am spike" detector).  ``dow 0 = Monday`` (portable
+    integer anchor), hour from the naive clock (identical extraction
+    in both engines).
+
+    Returns one row per OBSERVED cell ``(dow, hour, n, lift)``.
+    Exactness: lift composes from exact integer cross products in
+    DECIMAL(38,0) with one double cast (the type_mix_drift shape);
+    the only corpus-sized stage is the (dow, hour) census groupBy —
+    <= 168 cells, marginals and the join are cell-sized.
+    """
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    dow = F.pmod(
+        F.datediff(day, F.lit("1970-01-05").cast("date")), 7
+    ).cast("int")
+    cen = (
+        df.select(dow.alias("dow"), F.hour(F.col(ts_col)).alias("hour"))
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # 3 consumers of the cell census
+    )
+    md = cen.groupBy("dow").agg(F.sum("n").alias("_nd"))
+    mh = cen.groupBy("hour").agg(F.sum("n").alias("_nh"))
+    tot = md.agg(F.sum("_nd").alias("_n"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return (
+        cen.join(md, "dow")
+        .join(mh, "hour")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.round(
+                (dec("n") * dec("_n")).cast("double")
+                / (dec("_nd") * dec("_nh")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -1122,3 +1122,9 @@ from grass_spark.queries_ext53 import EXT53_ORACLES, EXT53_QUERIES  # noqa: E402
 
 QUERIES.update(EXT53_QUERIES)
 ORACLES.update(EXT53_ORACLES)
+
+# Fifty-fourth wave (heatmap lift, repeat orders) — queries_ext54
+from grass_spark.queries_ext54 import EXT54_ORACLES, EXT54_QUERIES  # noqa: E402
+
+QUERIES.update(EXT54_QUERIES)
+ORACLES.update(EXT54_ORACLES)
