@@ -43,14 +43,23 @@ def blocked_fuzzy_pairs(
     """
     if max_dist < 0:
         raise ValueError("blocked_fuzzy_pairs: max_dist must be >= 0")
-    bk = (
-        F.substring(F.col(name_col), 1, block)
-        if isinstance(block, int)
-        else block
+    # Prefix blocking (int block): every pair in a block shares the
+    # block key as an exact string prefix, and unit-cost Levenshtein is
+    # invariant under common-prefix removal (lev(p+u, p+v) == lev(u, v)
+    # — the classic trim step of production edit-distance kernels), so
+    # the DP only needs the suffixes.  Combined with the bounded-band
+    # kernel below this turns an O(|name|^2) DP per candidate pair into
+    # O(|suffix| * max_dist).
+    prefix_blocked = isinstance(block, int)
+    bk = F.substring(F.col(name_col), 1, block) if prefix_blocked else block
+    nm = (
+        F.col(name_col).substr(F.lit(block + 1), F.length(name_col))
+        if prefix_blocked
+        else F.col(name_col)
     )
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.col(name_col).alias("_nm"),
+        nm.alias("_nm"),
         bk.alias("_bk"),
     ).where(F.col("_bk").isNotNull())
 
@@ -78,14 +87,16 @@ def blocked_fuzzy_pairs(
         F.col("_id").alias("id_b"),
         F.col("_nm").alias("_nmb"),
     )
+    # Bounded-band kernel: levenshtein(a, b, threshold) runs the banded
+    # DP (O(len * threshold)) and returns -1 when the distance exceeds
+    # the threshold, the true distance otherwise — so `>= 0` is exactly
+    # the `dist <= max_dist` predicate and the surviving values are the
+    # exact distances.
+    dist = F.levenshtein("_nma", "_nmb", int(max_dist))
     return (
         a.join(b, "_bk")
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein("_nma", "_nmb").alias("dist"),
-        )
-        .where(F.col("dist") <= F.lit(int(max_dist)))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)
         .orderBy("id_a", "id_b")
     )
