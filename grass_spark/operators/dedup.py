@@ -26,6 +26,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from grass_spark.operators.parallel import spread
+
 
 def normalize_text(c: Column) -> Column:
     """Casefold + collapse whitespace (shared by all dedup families)."""
@@ -71,8 +73,14 @@ def shingles_of_words(words: Column, n: int = 3) -> Column:
 def with_shingles(
     df: DataFrame, text_col: str, n: int = 3, out: str = "sh_arr"
 ) -> DataFrame:
-    """Add a distinct word-n-gram shingle array column (fast path)."""
-    return df.withColumn(
+    """Add a distinct word-n-gram shingle array column (fast path).
+
+    The normalize+split+fold here is the dominant map-side cost of the
+    whole dedup family, so the input is ``spread`` first: a small
+    single-row-group parquet input would otherwise pin every
+    downstream signature fold onto one scan task (no-op at scale).
+    """
+    return spread(df).withColumn(
         "_words", F.split(normalize_text(F.col(text_col)), " ")
     ).withColumn(out, shingles_of_words(F.col("_words"), n)).drop("_words")
 
@@ -445,10 +453,26 @@ def _propagate_rounds(edges, labels, max_iters: int):
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("cluster_id"))
         )
+        # carry each node's OLD label through the round (labels has
+        # exactly one row per id, so min over the tagged union recovers
+        # it) — the convergence probe then filters the checkpointed
+        # frame directly instead of shuffle-joining back onto the
+        # previous round (one join + one shuffle stage less per round)
         propagated = (
-            labels.unionByName(neigh)
+            labels.select(
+                "id", "cluster_id", F.col("cluster_id").alias("_old")
+            )
+            .unionByName(
+                neigh.withColumn(
+                    "_old",
+                    F.lit(None).cast(dict(labels.dtypes)["cluster_id"]),
+                )
+            )
             .groupBy("id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min("_old").alias("_old"),
+            )
         )
         # pointer doubling: follow the label's own label.  cluster_id is
         # always an existing node id, so the self-join resolves for
@@ -458,17 +482,20 @@ def _propagate_rounds(edges, labels, max_iters: int):
         )
         # localCheckpoint truncates lineage — without it each round
         # re-executes every previous round (exponential plans)
-        new_labels = (
+        new_full = (
             propagated.join(parent, propagated.cluster_id == parent.p_id)
-            .select("id", F.least("cluster_id", "p_cl").alias("cluster_id"))
+            .select(
+                "id",
+                F.least("cluster_id", "p_cl").alias("cluster_id"),
+                "_old",
+            )
         ).localCheckpoint()
         changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-            .filter(F.col("cluster_id") != F.col("old"))
+            new_full.filter(F.col("cluster_id") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_full.select("id", "cluster_id")
         if changed == 0:
             return labels
     raise _NotConverged

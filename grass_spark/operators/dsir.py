@@ -57,7 +57,9 @@ def hashed_gram_rows(
 ) -> DataFrame:
     """(id, bucket) — one row per unigram (and bigram) occurrence.
     Two separate scan-stage Generates union'd, never one fused pass."""
-    d = docs.withColumn("_ws", F.split(normalize_text(F.col(text_col)), " "))
+    d = docs.withColumn(
+        "_ws", F.split(normalize_text(F.col(text_col)), " ")
+    )
     # empty text normalizes to [""] — the empty string is not a gram
     uni = (
         d.select(id_col, F.explode("_ws").alias("_g"))

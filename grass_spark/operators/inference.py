@@ -33,6 +33,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from grass_spark.operators.parallel import spread
+
 __all__ = ["welch_ttest", "poisson_bootstrap", "poisson_cdf_thresholds"]
 
 
@@ -151,9 +153,11 @@ def poisson_bootstrap(
     if hash not in ("md5", "fast"):
         raise ValueError("poisson_bootstrap: hash must be 'md5' or 'fast'")
     cdf = poisson_cdf_thresholds()
-    base = df.where(F.col(value_col).isNotNull()).select(
-        F.col(id_col).cast("string").alias("_id"),
-        _cents(value_col).alias("_c"),
+    base = spread(
+        df.where(F.col(value_col).isNotNull()).select(
+            F.col(id_col).cast("string").alias("_id"),
+            _cents(value_col).alias("_c"),
+        )
     )
     reps = base.select(
         "_id", "_c", F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("_rep")

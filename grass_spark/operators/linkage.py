@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from grass_spark.operators.parallel import spread
+
 
 def blocked_fuzzy_pairs(
     df: DataFrame,
@@ -57,11 +59,16 @@ def blocked_fuzzy_pairs(
         if prefix_blocked
         else F.col(name_col)
     )
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        nm.alias("_nm"),
-        bk.alias("_bk"),
-    ).where(F.col("_bk").isNotNull())
+    # the pair verification streams the probe side through the block
+    # hash relation — spread it so a single-row-group input doesn't
+    # serialize every candidate pair onto one task
+    base = spread(
+        df.select(
+            F.col(id_col).alias("_id"),
+            nm.alias("_nm"),
+            bk.alias("_bk"),
+        ).where(F.col("_bk").isNotNull())
+    )
 
     if max_block is not None:
         hot = (

@@ -50,13 +50,20 @@ def pagerank(
         raise ValueError("pagerank: damping must be in (0, 1)")
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).localCheckpoint(eager=False)  # joined every round
+    ).localCheckpoint(eager=False)  # feeds deg/nodes/ed once
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # The loop-invariant frames persist() instead of checkpointing:
+    # a localCheckpoint RDD reports UnknownPartitioning, so every
+    # round would RE-SHUFFLE the full edge frame into the rank join;
+    # an InMemoryRelation keeps its HashPartitioning(_s)/(_node), so
+    # each round only exchanges the node-sized rank/contribution
+    # frames (the standard cached-edge-list shape of iterative graph
+    # processing — GraphX does the same).
     nodes = (
         e.select(F.col("_s").alias("_node"))
         .unionAll(e.select(F.col("_d").alias("_node")))
         .distinct()
-        .localCheckpoint(eager=False)  # teleport base every round
+        .persist()  # teleport base every round
     )
     dangling = nodes.join(
         deg, nodes["_node"] == deg["_s"], "left_anti"
@@ -66,7 +73,7 @@ def pagerank(
             "pagerank: dangling node(s) without out-edges — feed an "
             "undirected graph as both directions or drop sinks"
         )
-    ed = e.join(deg, "_s").localCheckpoint(eager=False)
+    ed = e.join(deg, "_s").persist()  # joined every round
 
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n1)).select(

@@ -30,6 +30,8 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from grass_spark.functions.litexpr import darr, sq_dist_sql
+
 #: rows per numpy block in the Arrow encode path — bounds the
 #: (block, k, subdim) distance temporaries (the semdecon
 #: memory-bandwidth anti-finding, PLANS.md)
@@ -84,6 +86,26 @@ def _sq_dist(sub: Column, cvec: list[float]) -> Column:
     )
 
 
+def _best_struct_sqls(codebook, xs: str) -> list[str]:
+    """Per subspace j, the SQL text of ``array_min`` over the
+    (round(dist, 6), ordinal) candidate structs — the same tree
+    ``_sq_dist``+``F.struct``+``F.array_min`` built, emitted as text
+    so the m*k*sub literal tree costs ONE parse instead of thousands
+    of py4j calls (see functions/litexpr.py)."""
+    m, k, sub = len(codebook), len(codebook[0]), len(codebook[0][0])
+    out = []
+    for j in range(m):
+        sub_sql = f"slice({xs}, {j * sub + 1}, {sub})"
+        cands = ", ".join(
+            "named_struct('d', round("
+            + sq_dist_sql(sub_sql, codebook[j][c])
+            + f", 6), 'c', {c})"
+            for c in range(k)
+        )
+        out.append(f"array_min(array({cands}))")
+    return out
+
+
 def pq_encode(
     df: DataFrame,
     codebook: list[list[list[float]]],
@@ -125,32 +147,18 @@ def pq_encode(
         )
     if method != "expr":
         raise ValueError(f"unknown method {method!r}")
-    m = len(codebook)
-    k = len(codebook[0])
-    sub = len(codebook[0][0])
     xs = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     staged = df.withColumn("_xs", xs)
-    codes, dists = [], []
-    for j in range(m):
-        subv = F.slice(F.col("_xs"), j * sub + 1, sub)
-        cands = F.array(
-            *[
-                F.struct(
-                    F.round(_sq_dist(subv, codebook[j][c]), 6).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(k)
-            ]
-        )
-        best = F.array_min(cands)
-        codes.append(best["c"].cast("int"))
-        dists.append(best["d"])
-    out_df = staged.withColumn(out, F.array(*codes))
+    bests = _best_struct_sqls(codebook, "_xs")
+    codes_sql = (
+        "array(" + ", ".join(f"CAST({b}.c AS INT)" for b in bests) + ")"
+    )
+    out_df = staged.withColumn(out, F.expr(codes_sql))
     if with_err:
-        err = dists[0]
-        for d in dists[1:]:
-            err = err + d
-        out_df = out_df.withColumn("recon_err", F.round(err, 6))
+        err_sql = " + ".join(f"{b}.d" for b in bests)
+        out_df = out_df.withColumn(
+            "recon_err", F.expr(f"round({err_sql}, 6)")
+        )
     return out_df.drop("_xs")
 
 
@@ -233,17 +241,12 @@ def pq_adc(
         ]
         for j in range(m)
     ]
-    terms = [
-        F.element_at(
-            F.array(*[F.lit(v) for v in table[j]]),
-            F.element_at(F.col(codes_col), j + 1) + 1,
-        )
+    adc_sql = " + ".join(
+        f"element_at({darr(table[j])}, "
+        f"element_at(`{codes_col}`, {j + 1}) + 1)"
         for j in range(m)
-    ]
-    adc = terms[0]
-    for t in terms[1:]:
-        adc = adc + t
-    return df.withColumn(out, F.round(adc, 6))
+    )
+    return df.withColumn(out, F.expr(f"round({adc_sql}, 6)"))
 
 
 def ivf_pq_topk(
@@ -288,31 +291,31 @@ def ivf_pq_topk(
             F.col(vec_col).cast("array<double>").alias("_e"),
         ),
         codebook, emb_col="_e", id_col="neighbor_id", method=method,
-    ).withColumn("cell", _cell_of(F.col("_e"), centroids))
+    ).withColumn("cell", _cell_of("_e", centroids))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("_qe"),
     )
     # per-query ADC table: T[j][c] = round(||q_sub_j - centroid_jc||^2, 6)
-    tbl = F.array(
-        *[
-            F.array(
-                *[
-                    F.round(
-                        _sq_dist(
-                            F.slice(F.col("_qe"), j * sub + 1, sub),
-                            codebook[j][c],
-                        ),
-                        6,
-                    )
-                    for c in range(kk)
-                ]
+    tbl = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "round("
+                + sq_dist_sql(
+                    f"slice(_qe, {j * sub + 1}, {sub})", codebook[j][c]
+                )
+                + ", 6)"
+                for c in range(kk)
             )
+            + ")"
             for j in range(m)
-        ]
+        )
+        + ")"
     )
     q = q.withColumn("_T", tbl).withColumn(
-        "cell", F.explode(_top_cells(F.col("_qe"), centroids, nprobe))
+        "cell", F.explode(_top_cells("_qe", centroids, nprobe))
     )
     cand = (
         F.broadcast(q)

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from grass_spark.functions.litexpr import darr, dlit, dot_sql, l2norm_sql
 from grass_spark.operators.dedup import dedup_clusters
 from grass_spark.operators.similarity import _as_double, dot, l2norm
 
@@ -155,25 +156,28 @@ def assign_clusters(
     # Ordinal-asc == c_id-asc, so the tie-break is unchanged.
     cid_lits = F.array(*[F.lit(c) for c, _ in cents])
     if method == "expr":
-        scored = []
+        # the O(k*dims) literal struct array is emitted as ONE SQL
+        # text parse (functions/litexpr.py) — the Column-by-Column
+        # build cost seconds of py4j round-trips; the tree (and so the
+        # bit-exact oracle contract) is unchanged
+        parts = []
         for i, (_c_id, ce) in enumerate(cents):
-            lit_c = F.array(*[F.lit(float(v)) for v in ce])
             # same a/(b*c) shape and left-to-right norm sum as the DuckDB
             # oracle so the rounded value agrees bit-for-bit
             c_norm = math.sqrt(sum((v * v for v in ce), 0.0))
-            sim = F.round(
-                dot("_e", lit_c) / (l2norm("_e") * F.lit(c_norm)), 6
+            parts.append(
+                f"named_struct('s', round({dot_sql('_e', darr(ce))} / "
+                f"({l2norm_sql('_e')} * {dlit(c_norm)}), 6), "
+                f"'ni', CAST({-i} AS BIGINT))"
             )
-            scored.append(F.struct(
-                sim.alias("s"), F.lit(-i).cast("long").alias("ni")
-            ))
+        scored_arr = "array(" + ", ".join(parts) + ")"
         def _cid(t):
             return F.element_at(cid_lits, (-t["ni"]).cast("int") + 1)
         if probes == 1:
-            best = F.array_max(F.array(*scored))
+            best = F.array_max(F.expr(scored_arr))
             return e.withColumn("cluster_id", _cid(best))
         # struct sort is (s asc, ni asc); reversed = (s desc, c_id asc)
-        top = F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, probes)
+        top = F.slice(F.reverse(F.array_sort(F.expr(scored_arr))), 1, probes)
         return e.withColumn("cluster_id", F.explode(F.transform(top, _cid)))
 
     from pyspark.sql.functions import pandas_udf

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from grass_spark.operators.parallel import spread, stage_checkpoint
+
 
 def setsim_pairs(
     df: DataFrame,
@@ -72,30 +74,45 @@ def setsim_pairs(
         if tokens_col is not None
         else F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     )
-    toks = df.select(
+    # hashed-token scale path (PLANS.md round-5 note, now implemented):
+    # the census, rarity sort and prefix candidate join all run on the
+    # xxhash64 of the token — int64 keys instead of ~25 B shingle
+    # strings, cutting those shuffles' bytes and making the candidate
+    # equi-join an integer probe.  EXACTNESS IS PRESERVED: the prefix
+    # lemma holds for ANY consistent global total order (here
+    # (freq, hash, tok) — still total thanks to the string tiebreak),
+    # a 64-bit collision merely merges two census counts / prefix
+    # buckets, which can only ADD candidates, and verification below
+    # still intersects the ORIGINAL string arrays.
+    toks = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(elems)).alias("_tok"),
-    )
+    ).withColumn("_h", F.xxhash64("_tok"))
     if checkpoint:
-        toks = toks.localCheckpoint(eager=False)  # census + re-join
+        toks = stage_checkpoint(toks)  # census + re-join
 
-    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    freq = toks.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
 
-    # per-doc token array sorted rarest-first by the global (freq, tok)
-    # total order — sort_array on struct(cnt, tok) is lexicographic
+    # per-doc token array sorted rarest-first by the global
+    # (freq, hash, tok) total order — sort_array on the struct is
+    # lexicographic; `_pref` keeps only the hashes of the prefix slots
     sets = (
-        toks.join(freq, "_tok")
+        toks.join(freq, "_h")
         .groupBy("_id")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_cnt", "_tok"))),
-                lambda s: s["_tok"],
-            ).alias("_toks")
+            F.sort_array(
+                F.collect_list(F.struct("_cnt", "_h", "_tok"))
+            ).alias("_st")
         )
-        .select("_id", "_toks", F.size("_toks").alias("_n"))
+        .select(
+            "_id",
+            F.transform("_st", lambda s: s["_tok"]).alias("_toks"),
+            F.transform("_st", lambda s: s["_h"]).alias("_hs"),
+        )
+        .select("_id", "_toks", "_hs", F.size("_toks").alias("_n"))
     )
     if checkpoint:
-        sets = sets.localCheckpoint(eager=False)  # prefix + 2 verifies
+        sets = stage_checkpoint(sets)  # prefix + 2 verifies
 
     # conservative prefix: n - floor(t*n) + 1 >= n - ceil(t*n) + 1
     plen = F.greatest(
@@ -104,12 +121,12 @@ def setsim_pairs(
          + F.lit(1)).cast("int"),
     )
     pref = sets.select(
-        "_id", F.explode(F.slice("_toks", F.lit(1), plen)).alias("_tok")
+        "_id", F.explode(F.slice("_hs", F.lit(1), plen)).alias("_ph")
     )
 
     cand = (
         pref.alias("a")
-        .join(pref.alias("b"), "_tok")
+        .join(pref.alias("b"), "_ph")
         .where(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")

@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from grass_spark.functions.litexpr import darr, dlit, dot_sql
+
 
 def _as_double(c) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
@@ -388,33 +390,39 @@ def train_ivf_centroids(
     return cents.tolist()
 
 
-def _cell_of(vec, centroids: list[list[float]]) -> Column:
+def _cell_scored_sql(vec: str, centroids: list[list[float]],
+                     idx_field: str, neg: bool) -> str:
+    """SQL text of the (score, ±ordinal) struct array over centroid
+    literals — one F.expr parse instead of O(k*dims) py4j calls (see
+    functions/litexpr.py; same tree as the Column builder it
+    replaces)."""
+    parts = []
+    for i, c in enumerate(centroids):
+        half_norm = sum(v * v for v in c) / 2.0
+        parts.append(
+            f"named_struct('s', {dot_sql(vec, darr(c))} - "
+            f"{dlit(half_norm)}, '{idx_field}', {-i if neg else i})"
+        )
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _cell_of(vec: str, centroids: list[list[float]]) -> Column:
     """argmin distance over centroid literals == argmax(dot - |c|^2/2);
-    pure column arithmetic, broadcast-free (literals travel in the plan)."""
-    scored = []
-    for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        half_norm = sum(v * v for v in c) / 2.0
-        scored.append(F.struct(
-            (dot(vec, lit_c) - F.lit(half_norm)).alias("s"),
-            F.lit(-i).alias("ni"),
-        ))
-    best = F.array_max(F.array(*scored))
-    return (-best["ni"]).cast("int")
+    pure column arithmetic, broadcast-free (literals travel in the
+    plan).  ``vec`` is the NAME of the vector column."""
+    arr = _cell_scored_sql(vec, centroids, "ni", neg=True)
+    return F.expr(f"CAST(-(array_max({arr}).ni) AS INT)")
 
 
-def _top_cells(vec, centroids: list[list[float]], nprobe: int) -> Column:
-    """Array of the nprobe best cell ids for a query vector."""
-    scored = []
-    for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        half_norm = sum(v * v for v in c) / 2.0
-        scored.append(F.struct(
-            (dot(vec, lit_c) - F.lit(half_norm)).alias("s"),
-            F.lit(i).alias("i"),
-        ))
-    ranked = F.reverse(F.array_sort(F.array(*scored)))
-    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+def _top_cells(vec: str, centroids: list[list[float]],
+               nprobe: int) -> Column:
+    """Array of the nprobe best cell ids for a query vector column
+    named ``vec``."""
+    arr = _cell_scored_sql(vec, centroids, "i", neg=False)
+    return F.expr(
+        f"transform(slice(reverse(array_sort({arr})), 1, {int(nprobe)}), "
+        "s -> s.i)"
+    )
 
 
 def ivf_topk(
@@ -432,11 +440,11 @@ def ivf_topk(
     ``nprobe`` best cells and ranks exact cosine within candidates."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_e")
-    ).withColumn("cell", _cell_of(F.col("_e"), centroids))
+    ).withColumn("cell", _cell_of("_e", centroids))
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(vec_col).alias("_qe")
     ).withColumn(
-        "cell", F.explode(_top_cells(F.col("_qe"), centroids, nprobe))
+        "cell", F.explode(_top_cells("_qe", centroids, nprobe))
     )
     cand = (
         F.broadcast(q).join(c, on="cell")

@@ -60,6 +60,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from grass_spark.operators.parallel import spread
+
 from grass_spark.operators.dedup import normalize_text
 
 __all__ = ["word_windows", "duplicate_spans"]
@@ -81,7 +83,7 @@ def word_windows(
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    d = df.select(
+    d = spread(df).select(
         id_col, F.split(normalize_text(F.col(text_col)), " ").alias("_ws")
     )
     return (

@@ -13,6 +13,8 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from grass_spark.operators.parallel import spread
+
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
     "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
@@ -144,7 +146,7 @@ def subword_token_counts(
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     pat = greedy_vocab_pattern(vocab)
-    return df.withColumn(
+    return spread(df).withColumn(
         out,
         F.size(F.regexp_extract_all(norm, F.lit(pat), F.lit(0))).cast("long"),
     )
@@ -185,7 +187,7 @@ def subword_encode(
     oov_base = F.lit(len(pieces_v))
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     pieces = F.regexp_extract_all(norm, F.lit(pat), F.lit(0))
-    staged = df.withColumn("_pieces", pieces)
+    staged = spread(df).withColumn("_pieces", pieces)
     ids = F.transform(
         F.col("_pieces"),
         lambda p: F.coalesce(
