@@ -401,6 +401,7 @@ def dedup_clusters(
     (pass a larger value) and for capped best-effort runs alike.
     """
     import math
+    import os
 
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -410,6 +411,29 @@ def dedup_clusters(
         .distinct()
         .cache()
     )
+    # Small-graph fast path: the distributed rounds cost ~2 jobs (6+
+    # shuffle stages) EACH, which dominates end-to-end time when the
+    # deduplicated edge set is tiny — the common case for verified
+    # near-dup graphs at bench scale.  Below the gate, collect the
+    # (bounded) edge list and run exact union-find driver-side: the
+    # output contract (cluster_id = smallest reachable id) is a
+    # well-defined function of the edge set, so the result is
+    # IDENTICAL to the distributed rounds; string ids compare equal
+    # too (Python code-point order == Spark UTF8 byte order).  The
+    # count is one combinable job over the cached edges; above the
+    # gate nothing changes.  Same bounded-collect class as the
+    # literal-centroid / query-vocab collects (PLANS.md).
+    # (an explicit max_iters keeps the distributed rounds — it is the
+    # capped-best-effort / forced-bound contract and must still raise
+    # on non-convergence)
+    small_max = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "100000"))
+    if max_iters is None and small_max > 0:
+        n_edges = edges.count()  # also materializes the cache for reuse
+        if n_edges <= small_max:
+            try:
+                return _local_components(edges)
+            finally:
+                edges.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -445,6 +469,47 @@ def dedup_clusters(
 
 class _NotConverged(Exception):
     pass
+
+
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a COLLECTED (bounded) edge list; returns
+    the same (id, cluster_id = min reachable id) frame the distributed
+    rounds produce.  Caller gates the collect size."""
+    rows = edges.select("src", "dst").collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    out = [(node, comp_min[find(node)]) for node in parent]
+    id_field = edges.schema["src"]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", id_field.dataType, True),
+            StructField("cluster_id", id_field.dataType, True),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def _propagate_rounds(edges, labels, max_iters: int):

@@ -385,14 +385,18 @@ def test_dedup_clusters_raises_on_forced_non_convergence(spark):
         dedup_clusters(pairs, max_iters=1)
 
 
-def test_dedup_clusters_random_graphs_match_union_find(spark):
+def test_dedup_clusters_random_graphs_match_union_find(spark, monkeypatch):
     """Pointer-doubling CC vs a driver-side union-find oracle on seeded
     random graphs (cycles, multi-components, self-dup edges) — armor
-    for the shortcut step's semilattice argument."""
+    for the shortcut step's semilattice argument.  The small-graph
+    fast path is disabled so the DISTRIBUTED rounds stay under test
+    (the fast path itself is pinned by
+    test_dedup_clusters_small_path_matches_distributed)."""
     import random
 
     from grass_spark.operators.dedup import dedup_clusters
 
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
     for seed in (1, 2, 3):
         rng = random.Random(seed)
         n = rng.randint(5, 60)
@@ -424,6 +428,33 @@ def test_dedup_clusters_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
         got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
         assert got == expected, f"seed {seed}"
+
+
+def test_dedup_clusters_small_path_matches_distributed(spark, monkeypatch):
+    """The gated driver-side union-find fast path must return exactly
+    the distributed rounds' labeling (same contract: cluster_id =
+    smallest reachable id), on longs AND on string ids."""
+    import random
+
+    from grass_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
+    dist = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "100000")
+    fast = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert fast == dist
+    spairs = spark.createDataFrame(
+        [(f"d{a:03d}", f"d{b:03d}") for a, b in edges], ["id_a", "id_b"]
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
+    dist_s = {r["id"]: r["cluster_id"] for r in dedup_clusters(spairs).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "100000")
+    fast_s = {r["id"]: r["cluster_id"] for r in dedup_clusters(spairs).collect()}
+    assert fast_s == dist_s
 
 
 def test_synth_documents_near_dedup_recall(spark):
