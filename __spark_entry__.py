@@ -23,7 +23,32 @@ from grass_spark.queries import ORACLES, QUERIES  # noqa: E402
 # iterate these FIRST so they land in any truncated/sampled window.
 # ``scripts/check_oracle.py --json CORRECTNESS_local.json`` covers the
 # FULL set each round as compensating evidence.
-_PRIORITY = ("state_occupancy", "kappa_lang",
+# Round-6 window rotation (r05 VERDICT #1): the driver records the
+# FIRST ~50 entries, so the head is now the core SURVEY-2 set (rollup/
+# kernel/gapfill/algebra/topology — externally re-recorded this round)
+# followed by the queries this optimization round touched; the r05
+# ordering follows and the dict constructor dedups repeats.
+_PRIORITY = ("agg_hourly", "agg_daily_holistic", "univar_daily",
+             "tier_cascade_day", "gapfill_daily", "gaps_daily",
+             "accumulate", "accumulate_cycle", "regression",
+             "allen_relations", "extract_expr", "sessionize",
+             "algebra_expr", "algebra_hash", "algebra_select",
+             "algebra_condition", "algebra_gran", "algebra_gran_cond",
+             "resample_priority", "sample_granules", "shift_extents",
+             "snap", "topology_census", "masked_agg",
+             "weighted_quantile", "series_overall", "group_granules",
+             # r06 optimization-touched set
+             "fuzzy_pairs", "setsim_docs", "poisson_bootstrap",
+             "ivf_pq_search", "pq_codes", "semantic_dedup",
+             "delta_dedup", "near_dedup_keep", "minhash_pairs",
+             "minhash_sig", "jaccard_verify", "edit_verify",
+             "containment_pairs", "dedup_report", "dedup_best_keep",
+             "chunk_dedup", "subword_tokens", "subword_encode",
+             "dup_spans", "knn_cosine", "quantize_embeddings",
+             "pagerank_bipartite", "graph_triangles", "cooccur_edges",
+             "bm25_search", "diversity_sample",
+             # r05 ordering (dedup'd below)
+             "state_occupancy", "kappa_lang",
              "mrr_eval", "stratified_ate",
              "gains_table", "conversion_ci",
              "fk_orphans", "user_growth",

@@ -604,7 +604,9 @@ class TemporalAlgebra:
             # single time instead of per probe — datasets here are
             # catalog-scale map lists (the reference reads granularity
             # from STDS metadata; this inference is its substitute)
-            nd = self._norm(v).localCheckpoint()
+            # lazy checkpoint: the probe's collect below materializes
+            # it in the SAME job (one job instead of checkpoint+probe)
+            nd = self._norm(v).localCheckpoint(eager=False)
             probe = nd.agg(
                 F.count(F.lit(1)).alias("n"), F.min("__time").alias("s")
             ).collect()[0]

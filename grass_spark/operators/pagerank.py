@@ -50,20 +50,18 @@ def pagerank(
         raise ValueError("pagerank: damping must be in (0, 1)")
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).localCheckpoint(eager=False)  # feeds deg/nodes/ed once
+    ).localCheckpoint(eager=False)  # joined every round
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    # The loop-invariant frames persist() instead of checkpointing:
-    # a localCheckpoint RDD reports UnknownPartitioning, so every
-    # round would RE-SHUFFLE the full edge frame into the rank join;
-    # an InMemoryRelation keeps its HashPartitioning(_s)/(_node), so
-    # each round only exchanges the node-sized rank/contribution
-    # frames (the standard cached-edge-list shape of iterative graph
-    # processing — GraphX does the same).
+    # NOTE (r06 anti-finding): persist()-ing nodes/ed to preserve their
+    # HashPartitioning across rounds was MEASURED SLOWER here — the
+    # cached plan pins the pre-AQE partition count, so every tiny
+    # per-round stage runs at full width instead of AQE-coalesced;
+    # the checkpointed frames let AQE size each round.  Don't retry.
     nodes = (
         e.select(F.col("_s").alias("_node"))
         .unionAll(e.select(F.col("_d").alias("_node")))
         .distinct()
-        .persist()  # teleport base every round
+        .localCheckpoint(eager=False)  # teleport base every round
     )
     dangling = nodes.join(
         deg, nodes["_node"] == deg["_s"], "left_anti"
@@ -73,7 +71,7 @@ def pagerank(
             "pagerank: dangling node(s) without out-edges — feed an "
             "undirected graph as both directions or drop sinks"
         )
-    ed = e.join(deg, "_s").persist()  # joined every round
+    ed = e.join(deg, "_s").localCheckpoint(eager=False)
 
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n1)).select(

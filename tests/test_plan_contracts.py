@@ -110,3 +110,71 @@ def test_algebra_gran_no_cartesian_single_explode(spark):
     assert "CartesianProduct" not in plan
     assert "Generate" in plan and "explode(sequence" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------- window boundedness
+def _walk_exec(node):
+    """Yield every node of a SparkPlan tree (py4j), descending into the
+    AQE wrapper's initial plan."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        node = node.initialPlan()
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_exec(ch.apply(i))
+
+
+_BOUNDED_MARKERS = ("Aggregate", "Limit", "TakeOrderedAndProject")
+
+
+def _subtree_bounded(node) -> bool:
+    """True if the subtree contains an aggregate or limit — i.e. the
+    window's input cardinality is census/top-k bounded, not
+    corpus-sized."""
+    for n in _walk_exec(node):
+        cls = n.getClass().getSimpleName()
+        if any(m in cls for m in _BOUNDED_MARKERS):
+            return True
+    return False
+
+
+#: audited single-partition window sites whose input is bounded by
+#: construction but not via an aggregate/limit operator in-plan
+#: (e.g. a broadcast-probe-bounded pair frame) — keep SHORT and
+#: justify each entry
+_UNPARTITIONED_WINDOW_WHITELIST: set = set()
+
+
+def test_no_unbounded_single_partition_windows(spark):
+    """r05 VERDICT #3 guard: every WindowExec with an EMPTY partition
+    spec in any driver-query plan must read from an aggregate/limit-
+    bounded subtree.  A future edit that feeds a corpus-sized frame
+    into a bare Window.orderBy(...) fails here before it ever reaches
+    a benchmark (WindowExec buffers each partition in one task)."""
+    from grass_spark.queries import QUERIES
+
+    eager_iterative = {"near_dedup_keep", "semantic_dedup"}
+    failures = []
+    for name in sorted(set(QUERIES) - eager_iterative):
+        if name in _UNPARTITIONED_WINDOW_WHITELIST:
+            continue
+        try:
+            df = QUERIES[name](spark, SF)
+            root = df._jdf.queryExecution().executedPlan()
+        except Exception as ex:
+            failures.append(f"{name}: plan build failed: {ex}")
+            continue
+        for node in _walk_exec(root):
+            cls = node.getClass().getSimpleName()
+            if cls in ("WindowExec", "WindowInPandasExec"):
+                try:
+                    empty = node.partitionSpec().isEmpty()
+                except Exception:
+                    continue
+                if empty and not _subtree_bounded(node.children().apply(0)):
+                    failures.append(
+                        f"{name}: single-partition {cls} over an "
+                        "unbounded child"
+                    )
+    assert not failures, "\n".join(failures)
