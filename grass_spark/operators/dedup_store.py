@@ -251,14 +251,26 @@ class DedupStore:
             .localCheckpoint(eager=False)
         )
 
-        exact.write.mode("overwrite").parquet(self._p(_EXACT))
-        (
-            members.join(sigs, on=id_col, how="left")
-            .join(sh, on=id_col, how="left")
-            .select(id_col, "cluster_id", "sig", "sh_arr")
-            .write.mode("overwrite").parquet(self._p(_MEMBERS))
+        # the three table writes are independent actions over already-
+        # checkpointed inputs — submit them concurrently so the tail of
+        # one write back-fills the others (optimization guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = (
+            lambda: exact.write.mode("overwrite").parquet(self._p(_EXACT)),
+            lambda: (
+                members.join(sigs, on=id_col, how="left")
+                .join(sh, on=id_col, how="left")
+                .select(id_col, "cluster_id", "sig", "sh_arr")
+                .write.mode("overwrite").parquet(self._p(_MEMBERS))
+            ),
+            lambda: bands_df.write.mode("overwrite").parquet(
+                self._p(_BANDS)
+            ),
         )
-        bands_df.write.mode("overwrite").parquet(self._p(_BANDS))
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [pool.submit(w) for w in writes]:
+                f.result()
         stats = docs.agg(
             F.max(id_col).alias("m"), F.count(F.lit(1)).alias("n")
         ).first()
@@ -460,13 +472,24 @@ class DedupStore:
 
         if update:
             out = out.localCheckpoint()  # materialize BEFORE appends
-            d_exact.write.mode("append").parquet(self._p(_EXACT))
-            (
-                rep_labeled.join(sigs, on=id_col, how="left")
-                .join(sh, on=id_col, how="left")
-                .select(id_col, "cluster_id", "sig", "sh_arr")
-                .write.mode("append").parquet(self._p(_MEMBERS))
+            from concurrent.futures import ThreadPoolExecutor
+
+            appends = (
+                lambda: d_exact.write.mode("append").parquet(
+                    self._p(_EXACT)
+                ),
+                lambda: (
+                    rep_labeled.join(sigs, on=id_col, how="left")
+                    .join(sh, on=id_col, how="left")
+                    .select(id_col, "cluster_id", "sig", "sh_arr")
+                    .write.mode("append").parquet(self._p(_MEMBERS))
+                ),
+                lambda: bands_delta.write.mode("append").parquet(
+                    self._p(_BANDS)
+                ),
             )
-            bands_delta.write.mode("append").parquet(self._p(_BANDS))
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for f in [pool.submit(w) for w in appends]:
+                    f.result()
             self._write_meta(stats["hi"], meta["n_docs"] + stats["n"])
         return out

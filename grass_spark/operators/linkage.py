@@ -100,10 +100,11 @@ def blocked_fuzzy_pairs(
     # the `dist <= max_dist` predicate and the surviving values are the
     # exact distances.
     dist = F.levenshtein("_nma", "_nmb", int(max_dist))
+    # presentation order is the CALLER's concern (r05 VERDICT #7) —
+    # the operator emits the pair set unsorted
     return (
         a.join(b, "_bk")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", dist.alias("dist"))
         .where(F.col("dist") >= 0)
-        .orderBy("id_a", "id_b")
     )
