@@ -29,8 +29,10 @@ negatives):
 
 The token frame feeds two consumers (frequency census + re-join) and
 the per-doc set frame feeds three (prefix explode + both verify
-joins) — each is ``localCheckpoint(eager=False)``'d per the
-multi-consumer-census discipline (see CLAUDE.md / PLANS.md).
+joins) — each goes through the size-gated ``stage_checkpoint`` (the
+multi-consumer-census discipline at soak scale; at MB-scale inputs
+the checkpoint job costs more than the recompute it saves — measured
+r06, OPTIMIZATION_r06.md).
 """
 
 from __future__ import annotations
