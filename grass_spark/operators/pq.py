@@ -75,17 +75,6 @@ def pq_codebook(
     ]
 
 
-def _sq_dist(sub: Column, cvec: list[float]) -> Column:
-    """Left-to-right fold of (x-c)^2 over one subspace; the centroid is
-    a literal ARGUMENT array (zip_with input, never a lambda capture)."""
-    carr = F.array(*[F.lit(float(c)) for c in cvec])
-    return F.aggregate(
-        F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _best_struct_sqls(codebook, xs: str) -> list[str]:
     """Per subspace j, the SQL text of ``array_min`` over the
     (round(dist, 6), ordinal) candidate structs — the same tree
